@@ -1,0 +1,162 @@
+"""World: chunk store with spherical view-distance streaming.
+
+Host-side scene management (the reference's is host-side too —
+src/world.rs).  Chunk voxel payloads live in numpy and are uploaded to the
+device quad pool by the meshing/cache layer; the World itself only manages
+generation, streaming, and visibility queries.
+
+Reference: src/world.rs
+- WorldConfig{view_distance, frustum_culling, max_chunks_per_frame}: :10-27
+- update() — budgeted generation + hysteresis unload (vd + 2): :57-100
+- get_visible_chunks[_frustum] — sphere + optional frustum: :103-146
+- generate_region / contains_chunk / set_view_distance: :159-196
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+from ..utils.config import CHUNK_SIZE
+from .camera import Frustum
+from .chunk import Chunk
+
+
+@dataclass
+class WorldConfig:
+    view_distance: int = 8
+    frustum_culling: bool = True
+    max_chunks_per_frame: int = 4
+
+
+def world_to_chunk_pos(world_pos) -> tuple[int, int, int]:
+    """World position -> chunk grid position (src/world.rs:201-207)."""
+    p = np.asarray(world_pos, dtype=np.float32)
+    return tuple(int(v) for v in np.floor(p / CHUNK_SIZE).astype(np.int64))
+
+
+def chunk_bounds(chunk_pos) -> tuple[np.ndarray, np.ndarray]:
+    """Chunk AABB in world space (src/world.rs:211-215)."""
+    mn = np.asarray(chunk_pos, dtype=np.float32) * CHUNK_SIZE
+    return mn, mn + np.float32(CHUNK_SIZE)
+
+
+class World:
+    def __init__(self, config: WorldConfig | None = None):
+        self.config = config or WorldConfig()
+        self.chunks: dict[tuple[int, int, int], Chunk] = {}
+        self.last_camera_chunk: tuple[int, int, int] | None = None
+
+    # -------------------------------------------------------------- access
+    def get_or_generate_chunk(self, chunk_pos) -> Chunk:
+        key = tuple(int(c) for c in chunk_pos)
+        if key not in self.chunks:
+            self.chunks[key] = Chunk.generate_terrain(key)
+        return self.chunks[key]
+
+    def contains_chunk(self, position) -> bool:
+        return tuple(int(c) for c in position) in self.chunks
+
+    def chunk_count(self) -> int:
+        return len(self.chunks)
+
+    def get_all_chunks(self) -> list[Chunk]:
+        return list(self.chunks.values())
+
+    def clear(self) -> None:
+        self.chunks.clear()
+        self.last_camera_chunk = None
+
+    def set_view_distance(self, view_distance: int) -> None:
+        self.config.view_distance = max(1, int(view_distance))
+
+    def view_distance(self) -> int:
+        return self.config.view_distance
+
+    # ----------------------------------------------------------- streaming
+    def update(self, camera_position) -> bool:
+        """Stream in up to ``max_chunks_per_frame`` chunks inside the view
+        sphere; unload beyond vd + 2 (hysteresis).  Returns True if any chunk
+        was generated (src/world.rs:57-100).
+
+        The candidate scan is vectorized: the cube of candidate positions is
+        produced with numpy and filtered by the sphere + membership test
+        instead of a triple Python loop.
+        """
+        cam = world_to_chunk_pos(camera_position)
+        self.last_camera_chunk = cam
+        vd = self.config.view_distance
+
+        r = np.arange(-vd, vd + 1, dtype=np.int64)
+        gx, gy, gz = np.meshgrid(r, r, r, indexing="ij")
+        offs = np.stack([gx, gy, gz], axis=-1).reshape(-1, 3)
+        dist_sq = (offs.astype(np.float32) ** 2).sum(-1)
+        offs = offs[dist_sq <= float(vd * vd)]
+        # Reference iterates x-outer / y / z-inner (world.rs:66-68);
+        # meshgrid(indexing="ij") preserves that order.
+        generated = 0
+        for off in offs:
+            pos = (cam[0] + int(off[0]), cam[1] + int(off[1]), cam[2] + int(off[2]))
+            if pos not in self.chunks:
+                self.chunks[pos] = Chunk.generate_terrain(pos)
+                generated += 1
+                if generated >= self.config.max_chunks_per_frame:
+                    return True
+
+        unload = vd + 2
+        unload_sq = float(unload * unload)
+        self.chunks = {
+            pos: c
+            for pos, c in self.chunks.items()
+            if float(
+                (pos[0] - cam[0]) ** 2 + (pos[1] - cam[1]) ** 2 + (pos[2] - cam[2]) ** 2
+            )
+            <= unload_sq
+        }
+        return generated > 0
+
+    # ---------------------------------------------------------- visibility
+    def _positions_array(self) -> tuple[list[tuple[int, int, int]], np.ndarray]:
+        keys = list(self.chunks.keys())
+        if not keys:
+            return keys, np.zeros((0, 3), dtype=np.int64)
+        return keys, np.asarray(keys, dtype=np.int64)
+
+    def get_visible_chunks(self, camera_position) -> list[Chunk]:
+        """Sphere-only visibility (src/world.rs:103-114), vectorized."""
+        cam = np.asarray(world_to_chunk_pos(camera_position), dtype=np.int64)
+        keys, pos = self._positions_array()
+        if not keys:
+            return []
+        dist_sq = ((pos - cam) ** 2).sum(-1).astype(np.float32)
+        vd_sq = np.float32(self.config.view_distance**2)
+        return [self.chunks[keys[i]] for i in np.nonzero(dist_sq <= vd_sq)[0]]
+
+    def get_visible_chunks_frustum(
+        self, camera_position, frustum: Frustum | None
+    ) -> list[Chunk]:
+        """Sphere + optional frustum AABB visibility (src/world.rs:118-146),
+        vectorized over the whole chunk table in one pass."""
+        cam = np.asarray(world_to_chunk_pos(camera_position), dtype=np.int64)
+        keys, pos = self._positions_array()
+        if not keys:
+            return []
+        dist_sq = ((pos - cam) ** 2).sum(-1).astype(np.float32)
+        keep = dist_sq <= np.float32(self.config.view_distance**2)
+        if self.config.frustum_culling and frustum is not None:
+            mins = (pos.astype(np.float32)) * CHUNK_SIZE
+            maxs = mins + np.float32(CHUNK_SIZE)
+            inside = frustum.intersects_aabb(mins, maxs)
+            keep &= np.atleast_1d(inside)
+        return [self.chunks[keys[i]] for i in np.nonzero(keep)[0]]
+
+    # ------------------------------------------------------------- helpers
+    def generate_region(self, mins, maxs) -> None:
+        """Pre-generate an inclusive region (src/world.rs:159-170)."""
+        for cx in range(int(mins[0]), int(maxs[0]) + 1):
+            for cy in range(int(mins[1]), int(maxs[1]) + 1):
+                for cz in range(int(mins[2]), int(maxs[2]) + 1):
+                    key = (cx, cy, cz)
+                    if key not in self.chunks:
+                        self.chunks[key] = Chunk.generate_terrain(key)

@@ -1,0 +1,181 @@
+// Native greedy mesher + host-side frame-loop helpers.
+//
+// The binary greedy merge is the one genuinely sequential, scalar-heavy
+// algorithm in the engine (reference: src/meshing/binary_greedy.rs:683-807).
+// It runs on the host feeding the device-resident quad pool, so it is
+// implemented in C++ with the same bit-twiddling structure the Rust
+// reference uses (trailing_zeros / trailing_ones scans with bit
+// consumption).  Exposed via a tiny C ABI consumed through ctypes.
+//
+// Also hosts the sequential culling passes that are order-dependent and
+// therefore host-side: horizon culling (src/rendering/culling.rs:40-119)
+// and the chunk occlusion pre-pass (src/rendering/occlusion.rs:60-154).
+
+#include <cstdint>
+#include <cstring>
+#include <cmath>
+
+extern "C" {
+
+// Greedy-merge per-type slice masks into packed 32-bit quads.
+//
+// masks: uint32[6][4][32][32]  (face, block_type, slice, row; bit = col)
+// out:   packed quads, capacity `cap`
+// Returns number of quads emitted (may exceed cap; only cap are written).
+//
+// Packing must match meshing/quad_format.py.
+int64_t greedy_mesh_masks(const uint32_t* masks, uint32_t* out, int64_t cap) {
+    int64_t n = 0;
+    for (int face = 0; face < 6; ++face) {
+        for (int slice = 0; slice < 32; ++slice) {
+            for (int btype = 0; btype < 4; ++btype) {
+                const uint32_t* src = masks + (((face * 4 + btype) * 32 + slice) * 32);
+                uint32_t data[32];
+                // quick emptiness check
+                uint32_t any = 0;
+                for (int r = 0; r < 32; ++r) { data[r] = src[r]; any |= src[r]; }
+                if (!any) continue;
+                for (int row = 0; row < 32; ++row) {
+                    if (data[row] == 0) continue;
+                    uint32_t col = 0;
+                    while (col < 32) {
+                        uint32_t rest = data[row] >> col;
+                        if (rest == 0) break;
+                        col += (uint32_t)__builtin_ctz(rest);
+                        rest = data[row] >> col;
+                        // trailing ones
+                        uint32_t inv = ~rest;
+                        uint32_t height = inv ? (uint32_t)__builtin_ctz(inv) : 32u;
+                        uint32_t height_mask =
+                            height >= 32 ? 0xFFFFFFFFu : ((1u << height) - 1u);
+                        uint32_t mask = height_mask << col;
+                        uint32_t width = 1;
+                        while (row + (int)width < 32) {
+                            if (((data[row + width] >> col) & height_mask) != height_mask)
+                                break;
+                            data[row + width] &= ~mask;
+                            ++width;
+                        }
+                        if (n < cap) {
+                            uint32_t q = (uint32_t)(row & 0x1F)
+                                | (((uint32_t)col & 0x1F) << 5)
+                                | (((width - 1u) & 0x3F) << 10)
+                                | (((height - 1u) & 0x3F) << 16)
+                                | (((uint32_t)btype & 0x3u) << 22)
+                                | (((uint32_t)slice & 0x1Fu) << 24)
+                                | (((uint32_t)face & 0x7u) << 29);
+                            out[n] = q;
+                        }
+                        ++n;
+                        data[row] &= ~mask;
+                        col += height;
+                    }
+                }
+            }
+        }
+    }
+    return n;
+}
+
+// Horizon culling (reference src/rendering/culling.rs:40-119).
+//
+// Inputs are pre-sorted front-to-back by the caller.
+//   centers: f32[n][3] mesh centers (world space)
+//   cam:     f32[3]
+//   keep:    out uint8[n]
+// Config mirrors HorizonCullingConfig (culling.rs:27-35).
+void horizon_cull(const float* centers, int64_t n, const float* cam,
+                  int32_t bins, float base_margin, float margin_dist_factor,
+                  float min_dist_chunks, float chunk_size, uint8_t* keep) {
+    const float PI = 3.14159265358979323846f;
+    // bins <= 4096 guard
+    float horizon[4096];
+    if (bins > 4096) bins = 4096;
+    for (int i = 0; i < bins; ++i) horizon[i] = -INFINITY;
+    const float half_chunk = chunk_size * 0.5f;
+    for (int64_t i = 0; i < n; ++i) {
+        const float dx = centers[i * 3 + 0] - cam[0];
+        const float dy = centers[i * 3 + 1] - cam[1];
+        const float dz = centers[i * 3 + 2] - cam[2];
+        const float dist_xz = std::sqrt(dx * dx + dz * dz);
+        if (dist_xz < 1e-3f) { keep[i] = 1; continue; }
+        const float dist_chunks = dist_xz / chunk_size;
+        if (dist_chunks < min_dist_chunks) { keep[i] = 1; continue; }
+        const float angle = std::atan2(dz, dx);
+        float bin_f = (angle + PI) / (2.0f * PI) * (float)bins;
+        int64_t bin = (int64_t)std::floor(bin_f);
+        if (bin < 0) bin += bins;
+        bin %= bins;
+        const float slope = dy / dist_xz;
+        const float margin = base_margin * (1.0f + dist_chunks * margin_dist_factor);
+        const float current = horizon[bin];
+        const bool cull = slope >= 0.0f && (slope + margin) < current;
+        if (!cull) {
+            keep[i] = 1;
+            const float top_slope = (dy + half_chunk) / dist_xz;
+            if (top_slope > current) horizon[bin] = top_slope;
+        } else {
+            keep[i] = 0;
+        }
+    }
+}
+
+// Chunk-level occlusion pre-pass (reference src/rendering/occlusion.rs +
+// src/main.rs:500-526): sequential front-to-back over projected rects.
+//   rects:   i32[n][4] (min_x, min_y, max_x, max_y) inclusive pixel rects
+//   depths:  f32[n] near depth per rect
+//   use_occ: uint8[n] per-rect "participates in occlusion query" flag
+//            (main.rs:474-478: only beyond 2 chunks distance)
+//   keep:    out uint8[n]
+void occlusion_pass(const int32_t* rects, const float* depths,
+                    const uint8_t* use_occ, int64_t n,
+                    int32_t screen_w, int32_t screen_h,
+                    int32_t grid_w, int32_t grid_h,
+                    float epsilon, uint8_t* keep) {
+    if (grid_w * grid_h > 65536 || screen_w <= 0 || screen_h <= 0) {
+        for (int64_t i = 0; i < n; ++i) keep[i] = 1;
+        return;
+    }
+    float cells[65536];
+    for (int i = 0; i < grid_w * grid_h; ++i) cells[i] = INFINITY;
+
+    for (int64_t i = 0; i < n; ++i) {
+        int32_t min_x = rects[i * 4 + 0], min_y = rects[i * 4 + 1];
+        int32_t max_x = rects[i * 4 + 2], max_y = rects[i * 4 + 3];
+        const float near_depth = depths[i];
+        // clamp (occlusion.rs:72-81)
+        bool offscreen = (max_x < 0 || max_y < 0 || min_x >= screen_w || min_y >= screen_h);
+        if (min_x < 0) min_x = 0;
+        if (min_y < 0) min_y = 0;
+        if (max_x > screen_w - 1) max_x = screen_w - 1;
+        if (max_y > screen_h - 1) max_y = screen_h - 1;
+        bool empty = offscreen || (min_x > max_x || min_y > max_y);
+
+        bool occluded = false;
+        if (!empty) {
+            const int cx0 = (int)((int64_t)min_x * grid_w / screen_w);
+            const int cx1 = (int)((int64_t)max_x * grid_w / screen_w);
+            const int cy0 = (int)((int64_t)min_y * grid_h / screen_h);
+            const int cy1 = (int)((int64_t)max_y * grid_h / screen_h);
+            if (use_occ[i]) {
+                occluded = true;
+                for (int cy = cy0; cy <= cy1 && occluded; ++cy)
+                    for (int cx = cx0; cx <= cx1; ++cx)
+                        if (!(cells[cy * grid_w + cx] < near_depth - epsilon)) {
+                            occluded = false;
+                            break;
+                        }
+            }
+            if (!occluded) {
+                for (int cy = cy0; cy <= cy1; ++cy)
+                    for (int cx = cx0; cx <= cx1; ++cx) {
+                        float* cell = &cells[cy * grid_w + cx];
+                        if (near_depth < *cell) *cell = near_depth;
+                    }
+            }
+        }
+        keep[i] = occluded ? 0 : 1;
+    }
+}
+
+}  // extern "C"

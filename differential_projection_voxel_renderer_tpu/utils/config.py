@@ -1,0 +1,123 @@
+"""Global constants and runtime configuration for the TPU voxel renderer.
+
+Mirrors the tuning points of the Rust reference
+(`/root/reference`, gatewaytofredom/differential_projection_voxel_renderer):
+
+- ``CHUNK_SIZE = 32``                 (src/voxel/chunk.rs:7)
+- ``NEAR_W_EPS = 0.001``              (src/rendering/rasterizer.rs:18)
+- span epsilon ``0.001`` px           (src/rendering/span_walker.rs:142)
+- occlusion epsilon ``0.005``         (src/rendering/occlusion.rs:138)
+- occlusion grid ``128 x 72``         (src/main.rs:47)
+- ``MACROTILE_SIZE = 128``            (src/rendering/macrotile.rs:21)
+- ``PACKET_CAPACITY = 32``            (src/meshing/face_packets.rs:9)
+- horizon culling bins/margins        (src/rendering/culling.rs:27-35)
+
+TPU-specific capacities are new here: everything under ``jit`` must have a
+static shape, so variable-length quad streams become fixed-capacity buffers
+plus counts (see SURVEY.md section 7, "Variable-length quad streams").
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+
+# --------------------------------------------------------------------------
+# Voxel / world constants (reference: src/voxel/chunk.rs:7-9)
+# --------------------------------------------------------------------------
+CHUNK_SIZE: int = 32
+CHUNK_VOLUME: int = CHUNK_SIZE * CHUNK_SIZE * CHUNK_SIZE
+
+# Terrain generation (reference: src/voxel/chunk.rs:114-177)
+TERRAIN_SEED: int = 12345
+TERRAIN_SCALE: float = 0.01
+TERRAIN_AMPLITUDE: float = 20.0
+TERRAIN_DIRT_DEPTH: int = 3
+TERRAIN_SOLID_MARGIN: int = 10  # "all solid below terrain" margin, chunk.rs:132
+
+# --------------------------------------------------------------------------
+# Rasterizer constants
+# --------------------------------------------------------------------------
+NEAR_W_EPS: float = 0.001           # rasterizer.rs:18
+SPAN_EPSILON_PX: float = 0.001      # span_walker.rs:142
+MIN_TRIANGLE_AREA: float = 0.1      # rasterizer.rs:2237 (sub-pixel cull)
+OCCLUSION_EPSILON: float = 0.005    # occlusion.rs:138
+OCCLUSION_GRID_W: int = 128         # main.rs:47
+OCCLUSION_GRID_H: int = 72
+MACROTILE_SIZE: int = 128           # macrotile.rs:21
+PACKET_CAPACITY: int = 32           # face_packets.rs:9
+HIZ_BLOCK_SIZE: int = 8             # hiz_buffer.rs:17
+SKY_COLOR: int = 0xFF87CEEB         # main.rs:393 framebuffer clear
+
+# --------------------------------------------------------------------------
+# TPU static capacities (new; no reference analogue — XLA needs static shapes)
+# --------------------------------------------------------------------------
+# Max packed quads per chunk mesh.  Terrain chunks average a few hundred
+# quads (reference notes ~800 vertices i.e. ~200 quads, binary_greedy.rs:91).
+# Worst-case adversarial content (3D checkerboard) overflows any practical
+# bound; overflow is reported via a counter, never silent corruption.
+QUADS_PER_CHUNK_CAP: int = 4096
+
+# Max chunk meshes drawn in a single frame (reference sees ~250 visible
+# meshes at view distance 12, README.md:36).
+VISIBLE_CHUNKS_CAP: int = 512
+
+# Max quads rasterized per frame after culling + compaction.
+RENDER_QUADS_CAP: int = 32768
+
+# Default framebuffer tile shape for the Pallas rasterizer.  Lane dim must be
+# a multiple of 128; sublane dim a multiple of 8 (f32 tiling).
+TILE_H: int = 120   # 720 / 6, multiple of 8
+TILE_W: int = 256   # multiple of 128
+
+
+def _default_use_pallas() -> bool:
+    """Pallas kernels compile only for TPU; fall back to the pure-jnp
+    reference implementations elsewhere (CPU test meshes, multichip dryruns).
+    """
+    import jax
+
+    try:
+        return jax.default_backend() == "tpu"
+    except Exception:  # pragma: no cover - backend probing should not fail
+        return False
+
+
+@dataclasses.dataclass
+class RenderConfig:
+    """Per-renderer configuration.
+
+    Mirrors the reference's scattered config structs:
+    - WorldConfig            (src/world.rs:10-27)        -> see models/world.py
+    - ShadingConfig          (src/rendering/shading.rs)  -> ops/shading.py
+    - HorizonCullingConfig   (src/rendering/culling.rs)  -> ops/culling.py
+    - MacrotileRenderConfig  (src/rendering/macrotile_renderer.rs:26-40)
+    """
+
+    width: int = 1280
+    height: int = 720
+    enable_shading: bool = True
+    enable_textures: bool = True
+    backface_culling: bool = True
+    # "span mode" draws each quad as its screen-space AABB at constant depth,
+    # exactly like the reference Hyper-Pipeline span walker
+    # (span_walker.rs:131-193).  The default "exact" mode rasterizes the true
+    # projected parallelogram with per-pixel perspective-correct depth/UV,
+    # matching the reference's production Pipeline A (rasterizer.rs:1219-1467).
+    span_mode: bool = False
+    quads_cap: int = RENDER_QUADS_CAP
+    visible_chunks_cap: int = VISIBLE_CHUNKS_CAP
+    tile_h: int = TILE_H
+    tile_w: int = TILE_W
+    # None => auto (pallas on TPU, jnp elsewhere)
+    use_pallas: bool | None = None
+    # Collect per-frame pixel/quad counters (reference FUNCTION_COUNTERS,
+    # src/perf/profiling.rs — compiled out unless --features profiling).
+    profiling: bool = False
+
+    def resolve_use_pallas(self) -> bool:
+        if self.use_pallas is not None:
+            return self.use_pallas
+        if os.environ.get("DPVR_FORCE_JNP"):
+            return False
+        return _default_use_pallas()
