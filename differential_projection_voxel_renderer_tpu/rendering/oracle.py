@@ -1,0 +1,274 @@
+"""Oracle rasterizers — slow, simple, independent ground truth.
+
+The reference's backbone test strategy is differential: a deliberately
+simple barycentric rasterizer is ground truth and the optimized path must
+match it pixel-exactly (tests/span_walker_fuzz_tests.rs:35-86).  We keep the
+same discipline with three independent numpy implementations:
+
+- ``render_exact``     — per-quad scalar loop over the quad's pixel bbox
+  applying the SAME geometric rule as the device path (homogeneous
+  parallelogram coverage, planar depth, perspective-correct UV), computed in
+  float64 through an independent derivation (per-pixel 2x2 linear solve
+  instead of a precomputed adjugate).
+- ``render_span``      — the Hyper-Pipeline span-walker semantics: screen
+  AABB fill at constant near depth, flat block colors
+  (span_walker.rs:131-273).
+- ``render_triangles`` — the reference test oracle: two triangles per quad,
+  barycentric edge functions at pixel centers, interpolated NDC depth
+  (span_walker_fuzz_tests.rs:35-86).
+
+All loop quads in stream order with a strict ``<`` depth test, matching
+framebuffer.rs:325.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..meshing import quad_format as qf
+from ..models.block_type import BLOCK_COLORS_ARGB
+from ..utils.config import NEAR_W_EPS, SKY_COLOR, SPAN_EPSILON_PX
+from ..ops.projection import FACE_N_AXIS
+
+
+def _decode(quads):
+    f = qf.unpack_quads(quads)
+    ap = qf.axis_pos(f["face"], f["slice_idx"])
+    return f, ap
+
+
+def _clip_corners(quads, chunk_world, vp):
+    """f64 clip coords of the 4 corners (c00, c10, c11, c01) per quad."""
+    corners = qf.quad_corners_local(quads).astype(np.float64)  # [N,4,3]
+    world = corners + np.asarray(chunk_world, np.float64)[None, None, :]
+    hom = np.concatenate([world, np.ones(world.shape[:-1] + (1,))], axis=-1)
+    return hom @ np.asarray(vp, np.float64).T  # [N,4,4]
+
+
+def _visible_mask(quads, chunk_world, vp, cam_pos, *, backface=True):
+    """Backface (plane-side) + frustum culling, mirroring
+    ops/projection.project_and_cull."""
+    f, ap = _decode(quads)
+    clip = _clip_corners(quads, chunk_world, vp)
+    w = clip[..., 3]
+    any_behind = (w <= NEAR_W_EPS).any(axis=1)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        ndc = clip[..., :3] / np.where(np.abs(w)[..., None] > 1e-300, w[..., None], 1e-300)
+    ok = (w > NEAR_W_EPS)[..., None]
+    nmin = np.where(ok, ndc, np.inf).min(axis=1)
+    nmax = np.where(ok, ndc, -np.inf).max(axis=1)
+    depth_near = np.where(any_behind, 0.0, nmin[:, 2])
+    in_frustum = (
+        (nmax[:, 0] >= -1) & (nmin[:, 0] <= 1)
+        & (nmax[:, 1] >= -1) & (nmin[:, 1] <= 1)
+        & (depth_near >= 0) & (depth_near <= 1)
+    ) | any_behind
+    if backface:
+        n_axis = FACE_N_AXIS[f["face"]]
+        plane = np.asarray(chunk_world, np.float64)[n_axis] + ap
+        d = np.asarray(cam_pos, np.float64)[n_axis] - plane
+        front = np.where(qf.FACE_IS_POSITIVE[f["face"]], d > 0, d < 0)
+    else:
+        front = np.ones_like(any_behind)
+    return front & in_frustum, depth_near, nmin, nmax, any_behind
+
+
+def render_exact(quads, chunk_world, vp, cam_pos, width, height,
+                 color_tables=None, *, backface=True, fb=None):
+    """Ground truth for the production path (f64 scalar math).
+
+    Pass ``fb=(color, depth)`` to continue rendering into existing buffers
+    (multi-chunk scenes: call once per chunk in draw order)."""
+    if fb is not None:
+        color, depth = fb
+    else:
+        color = np.full((height, width), np.uint32(SKY_COLOR), np.uint32)
+        depth = np.full((height, width), np.inf, np.float64)
+    if len(quads) == 0:
+        return color, depth
+    f, ap = _decode(quads)
+    visible, _, nmin, nmax, any_behind = _visible_mask(
+        quads, chunk_world, vp, cam_pos, backface=backface)
+    vp64 = np.asarray(vp, np.float64)
+    chunk_world = np.asarray(chunk_world, np.float64)
+
+    for i in range(len(quads)):
+        if not visible[i]:
+            continue
+        face = int(f["face"][i])
+        t_ax = int(np.argmax(np.abs(qf.FACE_TANGENTS[face])))
+        b_ax = int(np.argmax(np.abs(qf.FACE_BITANGENTS[face])))
+        n_ax = int(FACE_N_AXIS[face])
+        t_col = vp64[:, t_ax]
+        b_col = vp64[:, b_ax]
+        o_world = chunk_world.copy()
+        o_world[n_ax] += float(ap[i])
+        o_col = vp64 @ np.array([*o_world, 1.0])
+        u0, u1 = float(f["u"][i]), float(f["u"][i] + f["w"][i])
+        v0, v1 = float(f["v"][i]), float(f["v"][i] + f["h"][i])
+
+        # pixel bbox
+        if any_behind[i]:
+            x0, x1, y0, y1 = 0, width - 1, 0, height - 1
+        else:
+            sx0 = (nmin[i, 0] + 1) * 0.5 * width
+            sx1 = (nmax[i, 0] + 1) * 0.5 * width
+            sy0 = (1 - nmax[i, 1]) * 0.5 * height
+            sy1 = (1 - nmin[i, 1]) * 0.5 * height
+            x0 = max(int(np.floor(sx0)), 0)
+            x1 = min(int(np.ceil(sx1)), width - 1)
+            y0 = max(int(np.floor(sy0)), 0)
+            y1 = min(int(np.ceil(sy1)), height - 1)
+            if x0 > x1 or y0 > y1:
+                continue
+
+        M = np.array(
+            [
+                [t_col[0], b_col[0], o_col[0]],
+                [t_col[1], b_col[1], o_col[1]],
+                [t_col[3], b_col[3], o_col[3]],
+            ]
+        )
+        det = np.linalg.det(M)
+        if det == 0.0:
+            continue
+        Minv = np.linalg.inv(M)  # independent derivation vs adjugate path
+
+        px = np.arange(x0, x1 + 1)
+        py = np.arange(y0, y1 + 1)
+        nx = (2.0 * (px + 0.5) - width) / width
+        ny = 1.0 - 2.0 * (py + 0.5) / height
+        NX, NY = np.meshgrid(nx, ny)
+        n_h = np.stack([NX, NY, np.ones_like(NX)], axis=-1)
+        q = n_h @ (Minv.T * det * np.sign(det))  # sigma-fixed adjugate
+        qu, qv, qw = q[..., 0], q[..., 1], q[..., 2]
+        cover = (
+            (qw > 0) & (qu >= u0 * qw) & (qu <= u1 * qw)
+            & (qv >= v0 * qw) & (qv <= v1 * qw)
+        )
+        if not cover.any():
+            continue
+        with np.errstate(divide="ignore", invalid="ignore"):
+            uu = np.where(cover, qu / qw, 0.0)
+            vv = np.where(cover, qv / qw, 0.0)
+        zc = np.array([t_col[2], b_col[2], o_col[2]])
+        zrow = (zc @ Minv) # z_ndc = zrow . (nx, ny, 1)
+        z = n_h @ zrow
+        if color_tables is not None:
+            tu = (uu * 8.0).astype(np.int64) & 7
+            tv = (vv * 8.0).astype(np.int64) & 7
+            idx = tv * 8 + tu
+            block = int(f["block"][i])
+            bits = (int(color_tables["mask_lo"][block])
+                    | (int(color_tables["mask_hi"][block]) << 32))
+            bit = (bits >> idx) & 1
+            ce = np.uint32(color_tables["color_even"][face, block])
+            co = np.uint32(color_tables["color_odd"][face, block])
+            quad_color = np.where(bit != 0, co, ce)
+        else:
+            quad_color = np.uint32(BLOCK_COLORS_ARGB[int(f["block"][i])])
+        sub_d = depth[y0 : y1 + 1, x0 : x1 + 1]
+        passed = cover & (z < sub_d)
+        sub_c = color[y0 : y1 + 1, x0 : x1 + 1]
+        depth[y0 : y1 + 1, x0 : x1 + 1] = np.where(passed, z, sub_d)
+        color[y0 : y1 + 1, x0 : x1 + 1] = np.where(passed, quad_color, sub_c)
+    return color, depth
+
+
+def render_span(quads, chunk_world, vp, cam_pos, width, height, *, fb=None):
+    """Span-walker semantics: screen-AABB fill, constant depth, flat colors
+    (span_walker.rs setup_trapezoid_batches + scanline loop), with pixel-
+    center coverage on both axes (see ops/projection.py span-mode notes)."""
+    if fb is not None:
+        color, depth = fb
+    else:
+        color = np.full((height, width), np.uint32(SKY_COLOR), np.uint32)
+        depth = np.full((height, width), np.inf, np.float64)
+    if len(quads) == 0:
+        return color, depth
+    f, _ = _decode(quads)
+    visible, depth_near, nmin, nmax, any_behind = _visible_mask(
+        quads, chunk_world, vp, cam_pos, backface=False)
+    # span mode uses the Hyper-Pipeline clip-normal backface test
+    vp64 = np.asarray(vp, np.float64)
+    n_axis = FACE_N_AXIS[f["face"]]
+    sign = np.where(qf.FACE_IS_POSITIVE[f["face"]], 1.0, -1.0)
+    front = sign * vp64[2, :][n_axis] < 0
+    visible = visible & front
+
+    for i in range(len(quads)):
+        if not visible[i]:
+            continue
+        sx0 = max((nmin[i, 0] + 1) * 0.5 * width, 0.0)
+        sy0 = max((1 - nmax[i, 1]) * 0.5 * height, 0.0)
+        sx1 = min((nmax[i, 0] + 1) * 0.5 * width + SPAN_EPSILON_PX, float(width))
+        sy1 = min((1 - nmin[i, 1]) * 0.5 * height + SPAN_EPSILON_PX, float(height))
+        if sx0 >= width or sy0 >= height or sx1 <= 0 or sy1 <= 0:
+            continue
+        d = depth_near[i]
+        c = np.uint32(BLOCK_COLORS_ARGB[int(f["block"][i])])
+        for y in range(int(np.floor(sy0)), min(int(np.ceil(sy1)) + 1, height)):
+            yc = y + 0.5
+            if not (sy0 <= yc < sy1):
+                continue
+            for x in range(int(np.floor(sx0)), min(int(np.ceil(sx1)) + 1, width)):
+                xc = x + 0.5
+                if not (sx0 <= xc < sx1):
+                    continue
+                if d < depth[y, x]:
+                    depth[y, x] = d
+                    color[y, x] = c
+    return color, depth
+
+
+def render_triangles(quads, chunk_world, vp, width, height, *,
+                     colors=None, fb=None):
+    """Reference-test-style barycentric triangle oracle
+    (span_walker_fuzz_tests.rs:35-86): per quad, two triangles, inclusive
+    edge functions at pixel centers, area > 0 keeps (backface cull),
+    interpolated NDC depth, flat colors."""
+    if fb is not None:
+        color, depth = fb
+    else:
+        color = np.full((height, width), np.uint32(SKY_COLOR), np.uint32)
+        depth = np.full((height, width), np.inf, np.float64)
+    clip = _clip_corners(quads, chunk_world, vp)  # order c00, c10, c11, c01
+    f, _ = _decode(quads)
+
+    def edge(a, b, c):
+        return (c[0] - a[0]) * (b[1] - a[1]) - (c[1] - a[1]) * (b[0] - a[0])
+
+    for i in range(len(quads)):
+        block = int(f["block"][i])
+        col = (np.uint32(colors[i]) if colors is not None
+               else np.uint32(BLOCK_COLORS_ARGB[block]))
+        quad_clip = clip[i]
+        if (quad_clip[:, 3] <= NEAR_W_EPS).any():
+            continue  # oracle skips near-crossing quads entirely
+        ndc = quad_clip[:, :3] / quad_clip[:, 3:4]
+        scr = np.stack(
+            [(ndc[:, 0] + 1) * 0.5 * width, (1 - ndc[:, 1]) * 0.5 * height],
+            axis=-1,
+        )
+        for tri in ((0, 1, 2), (0, 2, 3)):
+            p = [scr[t] for t in tri]
+            zs = [ndc[t, 2] for t in tri]
+            area = edge(p[0], p[1], p[2])
+            if area <= 0:
+                continue
+            x0 = max(int(np.floor(min(v[0] for v in p))), 0)
+            x1 = min(int(np.ceil(max(v[0] for v in p))), width - 1)
+            y0 = max(int(np.floor(min(v[1] for v in p))), 0)
+            y1 = min(int(np.ceil(max(v[1] for v in p))), height - 1)
+            for y in range(y0, y1 + 1):
+                for x in range(x0, x1 + 1):
+                    pt = (x + 0.5, y + 0.5)
+                    w0 = edge(p[1], p[2], pt)
+                    w1 = edge(p[2], p[0], pt)
+                    w2 = edge(p[0], p[1], pt)
+                    if w0 >= 0 and w1 >= 0 and w2 >= 0:
+                        z = (w0 * zs[0] + w1 * zs[1] + w2 * zs[2]) / area
+                        if z < depth[y, x]:
+                            depth[y, x] = z
+                            color[y, x] = col
+    return color, depth

@@ -62,6 +62,9 @@ QUADS_PER_CHUNK_CAP: int = 4096
 # meshes at view distance 12, README.md:36).
 VISIBLE_CHUNKS_CAP: int = 512
 
+# Max quads gathered from visible chunk meshes per frame (pre-cull).
+GATHER_QUADS_CAP: int = 131072
+
 # Max quads rasterized per frame after culling + compaction.
 RENDER_QUADS_CAP: int = 32768
 
@@ -105,6 +108,7 @@ class RenderConfig:
     # projected parallelogram with per-pixel perspective-correct depth/UV,
     # matching the reference's production Pipeline A (rasterizer.rs:1219-1467).
     span_mode: bool = False
+    gather_cap: int = GATHER_QUADS_CAP
     quads_cap: int = RENDER_QUADS_CAP
     visible_chunks_cap: int = VISIBLE_CHUNKS_CAP
     tile_h: int = TILE_H
