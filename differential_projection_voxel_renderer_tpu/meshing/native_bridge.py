@@ -92,12 +92,19 @@ def _greedy_mesh_masks_native(masks: np.ndarray) -> np.ndarray:
     lib = _build_and_load()
     assert lib is not None
     masks = np.ascontiguousarray(masks, dtype=np.uint32)
-    cap = 6 * 32 * 512  # hard upper bound: 512 quads per (face, slice)
-    out = np.empty(cap, dtype=np.uint32)
-    n = lib.greedy_mesh_masks(
-        masks.ctypes.data_as(ctypes.c_void_p), out.ctypes.data_as(ctypes.c_void_p), cap
-    )
-    return out[: int(n)].copy()
+    cap = 6 * 32 * 512
+    while True:
+        out = np.empty(cap, dtype=np.uint32)
+        n = int(
+            lib.greedy_mesh_masks(
+                masks.ctypes.data_as(ctypes.c_void_p),
+                out.ctypes.data_as(ctypes.c_void_p),
+                cap,
+            )
+        )
+        if n <= cap:
+            return out[:n].copy()
+        cap = n  # exact size known; one retry suffices
 
 
 def _available() -> bool:

@@ -153,6 +153,7 @@ def project_and_cull(
     eps = jnp.float32(NEAR_W_EPS)
     ws = jnp.stack([c00[:, 3], c10[:, 3], c01[:, 3], c11[:, 3]], axis=0)
     any_behind = (ws <= eps).any(axis=0)
+    all_behind = (ws <= eps).all(axis=0)  # fully behind the eye: cull
 
     def ndc(c):
         w = c[:, 3:4]
@@ -175,7 +176,7 @@ def project_and_cull(
         & (depth_near >= 0.0)
         & (depth_near <= 1.0)
     )
-    in_frustum = in_frustum | any_behind
+    in_frustum = (in_frustum | any_behind) & ~all_behind
 
     if backface_culling:
         if span_mode:

@@ -222,23 +222,36 @@ def render_span(quads, chunk_world, vp, cam_pos, width, height, *, fb=None):
 
 
 def render_triangles(quads, chunk_world, vp, width, height, *,
-                     colors=None, fb=None):
+                     colors=None, fb=None, cam_pos=None):
     """Reference-test-style barycentric triangle oracle
     (span_walker_fuzz_tests.rs:35-86): per quad, two triangles, inclusive
-    edge functions at pixel centers, area > 0 keeps (backface cull),
-    interpolated NDC depth, flat colors."""
+    edge functions at pixel centers, interpolated NDC depth, flat colors.
+
+    Orientation-free: our packed quads use a fixed (u, v) parameterization
+    instead of per-face winding tables (mesh.rs:624-661), so the inside
+    test uses the sign of the triangle's own signed area; backface culling
+    uses the exact plane-side test when ``cam_pos`` is given."""
     if fb is not None:
         color, depth = fb
     else:
         color = np.full((height, width), np.uint32(SKY_COLOR), np.uint32)
         depth = np.full((height, width), np.inf, np.float64)
     clip = _clip_corners(quads, chunk_world, vp)  # order c00, c10, c11, c01
-    f, _ = _decode(quads)
+    f, ap = _decode(quads)
+    if cam_pos is not None:
+        n_axis = FACE_N_AXIS[f["face"]]
+        plane = np.asarray(chunk_world, np.float64)[n_axis] + ap
+        d = np.asarray(cam_pos, np.float64)[n_axis] - plane
+        front = np.where(qf.FACE_IS_POSITIVE[f["face"]], d > 0, d < 0)
+    else:
+        front = np.ones(len(quads), dtype=bool)
 
     def edge(a, b, c):
         return (c[0] - a[0]) * (b[1] - a[1]) - (c[1] - a[1]) * (b[0] - a[0])
 
     for i in range(len(quads)):
+        if not front[i]:
+            continue
         block = int(f["block"][i])
         col = (np.uint32(colors[i]) if colors is not None
                else np.uint32(BLOCK_COLORS_ARGB[block]))
@@ -254,7 +267,11 @@ def render_triangles(quads, chunk_world, vp, width, height, *,
             p = [scr[t] for t in tri]
             zs = [ndc[t, 2] for t in tri]
             area = edge(p[0], p[1], p[2])
-            if area <= 0:
+            if area < 0:  # normalize orientation instead of culling
+                p[1], p[2] = p[2], p[1]
+                zs[1], zs[2] = zs[2], zs[1]
+                area = -area
+            if area == 0:
                 continue
             x0 = max(int(np.floor(min(v[0] for v in p))), 0)
             x1 = min(int(np.ceil(max(v[0] for v in p))), width - 1)
