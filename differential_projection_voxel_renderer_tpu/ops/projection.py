@@ -15,8 +15,7 @@ This is the TPU-native form of the reference's Hyper-Pipeline geometry stage
 
 - Packet-level backface culling and SIMD frustum AABB culling
   (packet_pipeline.rs:104, :194-256) become masked vectorized tests over the
-  whole frame's quad stream; visible quads are compacted with a cumsum
-  scatter (the TPU version of "compacted visible-quad stream").
+  whole frame's quad stream; visible quads are compacted scatter-free.
 
 - Rasterizer setup: each quad is a parallelogram ``P(u,v) = O + u*T + v*B``
   in clip space.  We precompute the adjugate of ``M = [T.xyw | B.xyw |
@@ -29,19 +28,21 @@ This is the TPU-native form of the reference's Hyper-Pipeline geometry stage
   (rasterizer.rs:2560-2795) and its per-scanline edge walking
   (rasterizer.rs:1351-1462) with branchless tensor math.
 
-Everything below is jnp, shape-static, and jit/vmap-friendly.
+TPU layout rule honored throughout: every per-quad quantity is its own [M]
+array (structure-of-arrays).  A ``[M, 4]`` layout would put 4 on the lane
+dimension (padded to 128 -> 32x wasted VPU lanes and pathological gathers —
+measured ~100x slowdowns); tiny per-face tables are applied with 6-way
+selects instead of gathers for the same reason.
 """
 
 from __future__ import annotations
 
 from dataclasses import dataclass
-from functools import partial
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..meshing import quad_format as qf
 from ..utils.config import NEAR_W_EPS, SPAN_EPSILON_PX
 
 # Per-face axis indices: the chunk-local axes that u, v, and the face normal
@@ -63,30 +64,35 @@ def decode_quads(quads: jnp.ndarray) -> dict[str, jnp.ndarray]:
     block = ((q >> 22) & 0x3).astype(jnp.int32)
     slice_idx = ((q >> 24) & 0x1F).astype(jnp.int32)
     face = ((q >> 29) & 0x7).astype(jnp.int32)
-    is_pos = jnp.asarray(FACE_POSITIVE)[face]
-    axis_pos = jnp.where(is_pos == 1, slice_idx + 1, slice_idx).astype(jnp.float32)
+    is_pos = (face & 1) == 0  # +X/+Y/+Z are even indices (FaceDir order)
+    axis_pos = jnp.where(is_pos, slice_idx + 1, slice_idx).astype(jnp.float32)
     return dict(
         u0=u, v0=v, u1=u + w, v1=v + h, block=block, face=face,
         slice_idx=slice_idx, axis_pos=axis_pos, is_pos=is_pos,
     )
 
 
+def _select3(idx: jnp.ndarray, v0, v1, v2) -> jnp.ndarray:
+    return jnp.where(idx == 0, v0, jnp.where(idx == 1, v1, v2))
+
+
 @dataclass(frozen=True)
 class ViewTables:
     """Per-frame, per-camera constants shared by every quad."""
 
-    view_proj: jnp.ndarray      # f32[4, 4]
-    axis_cols: jnp.ndarray      # f32[3, 4]  — vp @ unit axis (w=0) = vp[:, :3].T
-    cam_pos: jnp.ndarray        # f32[3]
+    view_proj: jnp.ndarray  # f32[4, 4]
+    cam_pos: jnp.ndarray    # f32[3]
 
 
 def view_tables(view_proj: jnp.ndarray, cam_pos: jnp.ndarray) -> ViewTables:
-    vp = jnp.asarray(view_proj, jnp.float32)
-    return ViewTables(vp, vp[:, :3].T, jnp.asarray(cam_pos, jnp.float32))
+    return ViewTables(jnp.asarray(view_proj, jnp.float32),
+                      jnp.asarray(cam_pos, jnp.float32))
 
 
-def chunk_clip_origins(view_proj: jnp.ndarray, chunk_positions: jnp.ndarray) -> jnp.ndarray:
-    """vp @ [chunk_pos * 32, 1] for every chunk slot — f32[V, 4].
+def chunk_clip_origins(view_proj: jnp.ndarray, chunk_positions: jnp.ndarray):
+    """vp @ [chunk_pos * 32, 1] for every chunk slot, returned as a tuple of
+    four f32[V] component arrays (SoA — per-quad gathers from 1D tables are
+    fast; strided column slices of a [V, 4] array are a per-use relayout).
 
     One small matmul replaces the reference's per-(face, chunk, slice)
     basis-cache misses (packet_pipeline.rs:142-160).
@@ -94,28 +100,48 @@ def chunk_clip_origins(view_proj: jnp.ndarray, chunk_positions: jnp.ndarray) -> 
     world = chunk_positions.astype(jnp.float32) * 32.0
     ones = jnp.ones(world.shape[:-1] + (1,), jnp.float32)
     hom = jnp.concatenate([world, ones], axis=-1)
-    return hom @ jnp.asarray(view_proj, jnp.float32).T
+    clip = hom @ jnp.asarray(view_proj, jnp.float32).T
+    return tuple(clip[:, r] for r in range(4))
 
 
-def _corners_clip(dec, origin_clip, t_col, b_col):
-    """Four clip-space corners of each quad, each f32[N, 4]."""
-    u0 = dec["u0"][:, None]
-    u1 = dec["u1"][:, None]
-    v0 = dec["v0"][:, None]
-    v1 = dec["v1"][:, None]
-    c00 = origin_clip + u0 * t_col + v0 * b_col
-    c10 = origin_clip + u1 * t_col + v0 * b_col
-    c01 = origin_clip + u0 * t_col + v1 * b_col
-    c11 = origin_clip + u1 * t_col + v1 * b_col
-    return c00, c10, c01, c11
+class _Basis:
+    """Per-quad clip-space basis in SoA form: each of origin/tangent/
+    bitangent is 4 separate [M] arrays (ox..ow, tx..tw, bx..bw)."""
+
+    __slots__ = ("o", "t", "b")
+
+    def __init__(self, dec, chunk_slot, chunk_clip, vp):
+        face = dec["face"]
+        t_axis = _select_axis(face, FACE_T_AXIS)
+        b_axis = _select_axis(face, FACE_B_AXIS)
+        n_axis = _select_axis(face, FACE_N_AXIS)
+        # vp columns as 12 scalars; per-quad column components by axis select
+        col = [[vp[r, a] for a in range(3)] for r in range(4)]
+        self.t = tuple(_select3(t_axis, col[r][0], col[r][1], col[r][2]) for r in range(4))
+        self.b = tuple(_select3(b_axis, col[r][0], col[r][1], col[r][2]) for r in range(4))
+        n = tuple(_select3(n_axis, col[r][0], col[r][1], col[r][2]) for r in range(4))
+        ap = dec["axis_pos"]
+        # chunk_clip is a tuple of 4 [V] arrays (see chunk_clip_origins)
+        self.o = tuple(chunk_clip[r][chunk_slot] + ap * n[r] for r in range(4))
+
+    def corner(self, u, v, r):
+        return self.o[r] + u * self.t[r] + v * self.b[r]
+
+
+def _select_axis(face, table_np):
+    t = [int(x) for x in table_np]
+    out = jnp.full(face.shape, t[5], jnp.int32)
+    for i in range(4, -1, -1):
+        out = jnp.where(face == i, jnp.int32(t[i]), out)
+    return out
 
 
 def project_and_cull(
     quads: jnp.ndarray,          # uint32[N]
     chunk_slot: jnp.ndarray,     # int32[N] index into per-chunk arrays
     in_stream: jnp.ndarray,      # bool[N] — true where the stream has a quad
-    chunk_clip: jnp.ndarray,     # f32[V, 4] from chunk_clip_origins
-    chunk_world: jnp.ndarray,    # f32[V, 3] chunk world origins (pos * 32)
+    chunk_clip,                  # tuple of 4 f32[V] (chunk_clip_origins)
+    chunk_world,                 # tuple of 3 f32[V] chunk world origins
     tables: ViewTables,
     *,
     width: int,
@@ -124,9 +150,6 @@ def project_and_cull(
     backface_culling: bool = True,
 ) -> dict[str, jnp.ndarray]:
     """Stage A: project every quad's 4 corners, backface + frustum cull.
-
-    Returns ``valid`` (survivors), ``depth_near``, ``any_behind`` and the
-    integer screen bbox — everything the binning/compaction stage needs.
 
     Semantics mirror the reference funnel:
     - backface: exact plane-side test against the camera position (the
@@ -137,44 +160,42 @@ def project_and_cull(
       (packet_pipeline.rs:288-294).
     - near-crossing quads (any corner w <= 0.001) are conservatively kept
       with a full-screen bbox (main.rs:453-458's chunk-level fallback,
-      applied per quad).
+      applied per quad); fully-behind quads are culled.
     """
     dec = decode_quads(quads)
     face = dec["face"]
-    axis_cols = tables.axis_cols
-    t_col = axis_cols[jnp.asarray(FACE_T_AXIS)[face]]
-    b_col = axis_cols[jnp.asarray(FACE_B_AXIS)[face]]
-    n_axis = jnp.asarray(FACE_N_AXIS)[face]
-    n_col = axis_cols[n_axis]
-    origin_clip = chunk_clip[chunk_slot] + dec["axis_pos"][:, None] * n_col
-
-    c00, c10, c01, c11 = _corners_clip(dec, origin_clip, t_col, b_col)
+    vp = tables.view_proj
+    basis = _Basis(dec, chunk_slot, chunk_clip, vp)
+    u0, u1, v0, v1 = dec["u0"], dec["u1"], dec["v0"], dec["v1"]
 
     eps = jnp.float32(NEAR_W_EPS)
-    ws = jnp.stack([c00[:, 3], c10[:, 3], c01[:, 3], c11[:, 3]], axis=0)
-    any_behind = (ws <= eps).any(axis=0)
-    all_behind = (ws <= eps).all(axis=0)  # fully behind the eye: cull
-
-    def ndc(c):
-        w = c[:, 3:4]
-        safe = jnp.where(jnp.abs(w) > 1e-30, w, 1e-30)
-        return c[:, :3] / safe
-
-    n00, n10, n01, n11 = ndc(c00), ndc(c10), ndc(c01), ndc(c11)
-    stackn = jnp.stack([n00, n10, n01, n11], axis=0)  # [4, N, 3]
-    w_ok = (ws > eps)[..., None]  # [4, N, 1]
     big = jnp.float32(jnp.inf)
-    nmin = jnp.where(w_ok, stackn, big).min(axis=0)
-    nmax = jnp.where(w_ok, stackn, -big).max(axis=0)
-    depth_near = jnp.where(any_behind, 0.0, nmin[:, 2]).astype(jnp.float32)
+    corners_uv = ((u0, v0), (u1, v0), (u0, v1), (u1, v1))
+    ws = [basis.corner(u, v, 3) for (u, v) in corners_uv]
+    any_behind = (ws[0] <= eps) | (ws[1] <= eps) | (ws[2] <= eps) | (ws[3] <= eps)
+    all_behind = (ws[0] <= eps) & (ws[1] <= eps) & (ws[2] <= eps) & (ws[3] <= eps)
+
+    def axis_minmax(r):
+        lo = big
+        hi = -big
+        for (u, v), w in zip(corners_uv, ws):
+            c = basis.corner(u, v, r)
+            safe = jnp.where(jnp.abs(w) > 1e-30, w, 1e-30)
+            n = c / safe
+            ok = w > eps
+            lo = jnp.minimum(lo, jnp.where(ok, n, big))
+            hi = jnp.maximum(hi, jnp.where(ok, n, -big))
+        return lo, hi
+
+    nx_min, nx_max = axis_minmax(0)
+    ny_min, ny_max = axis_minmax(1)
+    nz_min, _ = axis_minmax(2)
+    depth_near = jnp.where(any_behind, 0.0, nz_min).astype(jnp.float32)
 
     in_frustum = (
-        (nmax[:, 0] >= -1.0)
-        & (nmin[:, 0] <= 1.0)
-        & (nmax[:, 1] >= -1.0)
-        & (nmin[:, 1] <= 1.0)
-        & (depth_near >= 0.0)
-        & (depth_near <= 1.0)
+        (nx_max >= -1.0) & (nx_min <= 1.0)
+        & (ny_max >= -1.0) & (ny_min <= 1.0)
+        & (depth_near >= 0.0) & (depth_near <= 1.0)
     )
     in_frustum = (in_frustum | any_behind) & ~all_behind
 
@@ -182,14 +203,18 @@ def project_and_cull(
         if span_mode:
             # Hyper-Pipeline test: clip-space normal z < 0 keeps
             # (differential_projection.rs:78-82)
-            sign = jnp.where(dec["is_pos"] == 1, 1.0, -1.0)
-            front = sign * n_col[:, 2] < 0.0
+            n_axis = _select_axis(face, FACE_N_AXIS)
+            ncz = _select3(n_axis, vp[2, 0], vp[2, 1], vp[2, 2])
+            sign = jnp.where(dec["is_pos"], 1.0, -1.0)
+            front = sign * ncz < 0.0
         else:
-            plane = chunk_world[chunk_slot, :][jnp.arange(face.shape[0]), n_axis] + dec[
-                "axis_pos"
-            ]
-            d = tables.cam_pos[n_axis] - plane
-            front = jnp.where(dec["is_pos"] == 1, d > 0.0, d < 0.0)
+            n_axis = _select_axis(face, FACE_N_AXIS)
+            cw = tuple(chunk_world[a][chunk_slot] for a in range(3))
+            plane = _select3(n_axis, cw[0], cw[1], cw[2]) + dec["axis_pos"]
+            cam = _select3(n_axis, tables.cam_pos[0], tables.cam_pos[1],
+                           tables.cam_pos[2])
+            d = cam - plane
+            front = jnp.where(dec["is_pos"], d > 0.0, d < 0.0)
     else:
         front = jnp.ones_like(any_behind)
 
@@ -197,18 +222,14 @@ def project_and_cull(
 
     # Integer screen bbox (pixels, inclusive), full screen if near-crossing.
     wf, hf = jnp.float32(width), jnp.float32(height)
-    sx0 = (nmin[:, 0] + 1.0) * 0.5 * wf
-    sx1 = (nmax[:, 0] + 1.0) * 0.5 * wf
-    sy0 = (1.0 - nmax[:, 1]) * 0.5 * hf
-    sy1 = (1.0 - nmin[:, 1]) * 0.5 * hf
-    bb_x0 = jnp.clip(jnp.floor(sx0), 0, width - 1).astype(jnp.int32)
-    bb_x1 = jnp.clip(jnp.ceil(sx1), 0, width - 1).astype(jnp.int32)
-    bb_y0 = jnp.clip(jnp.floor(sy0), 0, height - 1).astype(jnp.int32)
-    bb_y1 = jnp.clip(jnp.ceil(sy1), 0, height - 1).astype(jnp.int32)
-    bb_x0 = jnp.where(any_behind, 0, bb_x0)
-    bb_y0 = jnp.where(any_behind, 0, bb_y0)
-    bb_x1 = jnp.where(any_behind, width - 1, bb_x1)
-    bb_y1 = jnp.where(any_behind, height - 1, bb_y1)
+    sx0 = (nx_min + 1.0) * 0.5 * wf
+    sx1 = (nx_max + 1.0) * 0.5 * wf
+    sy0 = (1.0 - ny_max) * 0.5 * hf
+    sy1 = (1.0 - ny_min) * 0.5 * hf
+    bb_x0 = jnp.where(any_behind, 0, jnp.clip(jnp.floor(sx0), 0, width - 1).astype(jnp.int32))
+    bb_x1 = jnp.where(any_behind, width - 1, jnp.clip(jnp.ceil(sx1), 0, width - 1).astype(jnp.int32))
+    bb_y0 = jnp.where(any_behind, 0, jnp.clip(jnp.floor(sy0), 0, height - 1).astype(jnp.int32))
+    bb_y1 = jnp.where(any_behind, height - 1, jnp.clip(jnp.ceil(sy1), 0, height - 1).astype(jnp.int32))
 
     return dict(
         valid=valid,
@@ -219,23 +240,32 @@ def project_and_cull(
         bb_y0=bb_y0,
         bb_y1=bb_y1,
         # NDC AABB for span mode
-        ndc_min=nmin,
-        ndc_max=nmax,
+        nx_min=nx_min, nx_max=nx_max, ny_min=ny_min, ny_max=ny_max,
     )
 
 
 def compact_stream(valid: jnp.ndarray, cap: int, payloads: tuple[jnp.ndarray, ...]):
     """Order-preserving compaction of a masked stream into a fixed-capacity
-    buffer (the cumsum-scatter pattern; SURVEY.md section 5 "compacted via
-    mask + cumsum scatter").  Returns (count, overflow, packed payloads).
+    buffer — the TPU "compacted visible-quad stream" (SURVEY.md section 5).
+
+    Scatter-free: output slot n holds the n-th survivor, found by binary
+    search over the cumulative survivor count (XLA scatters serialize on
+    TPU — measured 3 ms for a 131k scatter — while searchsorted is a few
+    rounds of vectorized gathers at ~30 us).  Returns
+    (count, overflow, packed payloads).
     """
-    idx = jnp.cumsum(valid.astype(jnp.int32)) - 1
-    total = jnp.maximum(idx[-1] + 1, 0) if valid.shape[0] else jnp.int32(0)
-    dest = jnp.where(valid & (idx < cap), idx, cap)
+    csum = jnp.cumsum(valid.astype(jnp.int32))
+    total = csum[-1] if valid.shape[0] else jnp.int32(0)
+    targets = jnp.arange(1, cap + 1, dtype=jnp.int32)
+    src = jnp.searchsorted(csum, targets, side="left").astype(jnp.int32)
+    src = jnp.minimum(src, valid.shape[0] - 1)
+    in_range = targets <= total
     outs = []
     for p in payloads:
-        buf = jnp.zeros((cap,) + p.shape[1:], p.dtype)
-        outs.append(buf.at[dest].set(p, mode="drop"))
+        taken = p[src]
+        zero = jnp.zeros((), p.dtype)
+        outs.append(jnp.where(in_range.reshape((cap,) + (1,) * (p.ndim - 1)),
+                              taken, zero))
     count = jnp.minimum(total, cap).astype(jnp.int32)
     overflow = jnp.maximum(total - cap, 0).astype(jnp.int32)
     return count, overflow, tuple(outs)
@@ -244,15 +274,13 @@ def compact_stream(valid: jnp.ndarray, cap: int, payloads: tuple[jnp.ndarray, ..
 def quad_coefficients(
     quads: jnp.ndarray,        # uint32[M] (compacted)
     chunk_slot: jnp.ndarray,   # int32[M]
-    proj: dict[str, jnp.ndarray],  # Stage-A fields, compacted alongside
-    chunk_clip: jnp.ndarray,
+    proj: dict[str, jnp.ndarray],  # Stage-A fields on the compacted stream
+    chunk_clip,                # tuple of 4 f32[V]
     tables: ViewTables,
     color_tables: dict[str, jnp.ndarray],
     *,
     width: int,
     height: int,
-    tile_h: int,
-    tile_w: int,
     span_mode: bool = False,
 ) -> dict[str, jnp.ndarray]:
     """Stage B: rasterizer coefficients for the compacted visible stream.
@@ -264,16 +292,14 @@ def quad_coefficients(
     - z0, z1, z2: exact planar NDC depth, ``z = z0*nx + z1*ny + z2``
     - u0, u1, v0, v1: coverage bounds (quad params, or NDC AABB in span mode)
     - color_even / color_odd + mask_lo / mask_hi: two-tone texel select
-    - tilebox: packed inclusive tile range (tx0 | tx1<<8 | ty0<<16 | ty1<<24)
-    - depth_near: constant span-mode depth / sort key
+
+    ``proj`` (Stage-A output on the same stream) is required only in span
+    mode (the exact-mode coefficients depend solely on the quad geometry).
     """
     dec = decode_quads(quads)
     face = dec["face"]
-    axis_cols = tables.axis_cols
-    t_col = axis_cols[jnp.asarray(FACE_T_AXIS)[face]]
-    b_col = axis_cols[jnp.asarray(FACE_B_AXIS)[face]]
-    n_col = axis_cols[jnp.asarray(FACE_N_AXIS)[face]]
-    o_col = chunk_clip[chunk_slot] + dec["axis_pos"][:, None] * n_col
+    vp = tables.view_proj
+    n = quads.shape[0]
 
     if span_mode:
         # Screen-space AABB fill at constant depth — the span walker
@@ -282,16 +308,14 @@ def quad_coefficients(
         # reference's epsilon/clamp semantics applied in screen space.
         wf, hf = jnp.float32(width), jnp.float32(height)
         eps = jnp.float32(SPAN_EPSILON_PX)
-        sx0 = jnp.maximum((proj["ndc_min"][:, 0] + 1.0) * 0.5 * wf, 0.0)
-        sy0 = jnp.maximum((1.0 - proj["ndc_max"][:, 1]) * 0.5 * hf, 0.0)
-        sx1 = jnp.minimum((proj["ndc_max"][:, 0] + 1.0) * 0.5 * wf + eps, wf)
-        sy1 = jnp.minimum((1.0 - proj["ndc_min"][:, 1]) * 0.5 * hf + eps, hf)
-        # back to NDC for the unified coverage test
+        sx0 = jnp.maximum((proj["nx_min"] + 1.0) * 0.5 * wf, 0.0)
+        sy0 = jnp.maximum((1.0 - proj["ny_max"]) * 0.5 * hf, 0.0)
+        sx1 = jnp.minimum((proj["nx_max"] + 1.0) * 0.5 * wf + eps, wf)
+        sy1 = jnp.minimum((1.0 - proj["ny_min"]) * 0.5 * hf + eps, hf)
         u0 = sx0 / (0.5 * wf) - 1.0
         u1 = sx1 / (0.5 * wf) - 1.0
         v0 = 1.0 - sy1 / (0.5 * hf)
         v1 = 1.0 - sy0 / (0.5 * hf)
-        n = quads.shape[0]
         zeros = jnp.zeros((n,), jnp.float32)
         ones = jnp.ones((n,), jnp.float32)
         coeffs = dict(
@@ -303,15 +327,20 @@ def quad_coefficients(
         )
         from ..models.block_type import BLOCK_COLORS_ARGB  # tiny table
 
-        col = jnp.asarray(BLOCK_COLORS_ARGB.view(np.int32))[dec["block"]]
+        flat_colors = [int(np.uint32(c).view(np.int32)) for c in
+                       np.asarray(BLOCK_COLORS_ARGB)]
+        col = jnp.full((n,), flat_colors[0], jnp.int32)
+        for i in (1, 2, 3):
+            col = jnp.where(dec["block"] == i, jnp.int32(flat_colors[i]), col)
         coeffs["color_even"] = col
         coeffs["color_odd"] = col
         coeffs["mask_lo"] = jnp.zeros((n,), jnp.int32)
         coeffs["mask_hi"] = jnp.zeros((n,), jnp.int32)
     else:
-        m00, m01, m02 = t_col[:, 0], b_col[:, 0], o_col[:, 0]
-        m10, m11, m12 = t_col[:, 1], b_col[:, 1], o_col[:, 1]
-        m20, m21, m22 = t_col[:, 3], b_col[:, 3], o_col[:, 3]
+        basis = _Basis(dec, chunk_slot, chunk_clip, vp)
+        m00, m01, m02 = basis.t[0], basis.b[0], basis.o[0]
+        m10, m11, m12 = basis.t[1], basis.b[1], basis.o[1]
+        m20, m21, m22 = basis.t[3], basis.b[3], basis.o[3]
         a00 = m11 * m22 - m12 * m21
         a01 = -(m01 * m22 - m02 * m21)
         a02 = m01 * m12 - m02 * m11
@@ -324,7 +353,7 @@ def quad_coefficients(
         det = m00 * a00 + m01 * a10 + m02 * a20
         sigma = jnp.where(det > 0, 1.0, jnp.where(det < 0, -1.0, 0.0)).astype(jnp.float32)
         inv_det = jnp.where(det != 0.0, 1.0 / det, 0.0).astype(jnp.float32)
-        tz, bz, oz = t_col[:, 2], b_col[:, 2], o_col[:, 2]
+        tz, bz, oz = basis.t[2], basis.b[2], basis.o[2]
         z0 = (tz * a00 + bz * a10 + oz * a20) * inv_det
         z1 = (tz * a01 + bz * a11 + oz * a21) * inv_det
         z2 = (tz * a02 + bz * a12 + oz * a22) * inv_det
@@ -335,18 +364,39 @@ def quad_coefficients(
             z0=z0, z1=z1, z2=z2,
             u0=dec["u0"], u1=dec["u1"], v0=dec["v0"], v1=dec["v1"],
         )
-        fb = face * 4 + dec["block"]
-        ce = jnp.asarray(color_tables["color_even"].view(np.int32)).reshape(-1)[fb]
-        co = jnp.asarray(color_tables["color_odd"].view(np.int32)).reshape(-1)[fb]
+        # 24-entry color tables applied via select chains over (face, block)
+        ce_np = np.asarray(color_tables["color_even"]).view(np.int32)
+        co_np = np.asarray(color_tables["color_odd"]).view(np.int32)
+        ml_np = np.asarray(color_tables["mask_lo"]).view(np.int32)
+        mh_np = np.asarray(color_tables["mask_hi"]).view(np.int32)
+        block = dec["block"]
+        ce = jnp.zeros((n,), jnp.int32)
+        co = jnp.zeros((n,), jnp.int32)
+        for f in range(6):
+            fm = face == f
+            for b_ in range(1, 4):
+                m = fm & (block == b_)
+                ce = jnp.where(m, jnp.int32(int(ce_np[f, b_])), ce)
+                co = jnp.where(m, jnp.int32(int(co_np[f, b_])), co)
+        ml = jnp.zeros((n,), jnp.int32)
+        mh = jnp.zeros((n,), jnp.int32)
+        for b_ in range(1, 4):
+            m = block == b_
+            ml = jnp.where(m, jnp.int32(int(ml_np[b_])), ml)
+            mh = jnp.where(m, jnp.int32(int(mh_np[b_])), mh)
         coeffs["color_even"] = ce
         coeffs["color_odd"] = co
-        coeffs["mask_lo"] = jnp.asarray(color_tables["mask_lo"].view(np.int32))[dec["block"]]
-        coeffs["mask_hi"] = jnp.asarray(color_tables["mask_hi"].view(np.int32))[dec["block"]]
+        coeffs["mask_lo"] = ml
+        coeffs["mask_hi"] = mh
 
+    return coeffs
+
+
+def pack_tilebox(proj: dict[str, jnp.ndarray], *, tile_h: int, tile_w: int):
+    """Stage-A screen bbox -> packed inclusive tile range
+    (tx0 | tx1<<8 | ty0<<16 | ty1<<24) for the binner."""
     tx0 = (proj["bb_x0"] // tile_w).astype(jnp.int32)
     tx1 = (proj["bb_x1"] // tile_w).astype(jnp.int32)
     ty0 = (proj["bb_y0"] // tile_h).astype(jnp.int32)
     ty1 = (proj["bb_y1"] // tile_h).astype(jnp.int32)
-    coeffs["tilebox"] = tx0 | (tx1 << 8) | (ty0 << 16) | (ty1 << 24)
-    coeffs["depth_near"] = proj["depth_near"]
-    return coeffs
+    return tx0 | (tx1 << 8) | (ty0 << 16) | (ty1 << 24)

@@ -4,19 +4,31 @@ The compute heart of the renderer.  Replaces the reference's scanline span
 walker + AVX2 blend fills (src/rendering/span_walker.rs:283-392, 524-586 —
 ``fill_span_simd_branchless``: load depth+color, compare, blendv,
 unconditional store) with the TPU-native equivalent: for each framebuffer
-tile resident in VMEM, loop the visible-quad stream and evaluate coverage /
-depth / texel for EVERY pixel of the tile at once on the VPU, then
-``jnp.where``-blend depth and color.  A 120x256 tile is 61 VPU vregs — the
+tile resident in VMEM, stream the tile's binned quads and evaluate coverage
+/ depth / texel for EVERY pixel of the tile at once on the VPU, then
+``jnp.where``-blend depth and color.  A 120x256 tile is 60 VPU vregs — the
 whole framebuffer tile IS the "register framebuffer" the reference emulates
 8 pixels at a time.
 
-Two interchangeable implementations with identical arithmetic:
+Pipeline structure (mirrors the reference frame, main.rs:528-597, redesigned
+for the TPU memory system):
 
-- ``rasterize_jnp``    — pure jnp ``fori_loop`` (reference implementation;
-  runs anywhere, used for CPU tests and the multichip dryrun)
-- ``rasterize_pallas`` — the Pallas TPU kernel (grid over framebuffer tiles,
-  per-tile early skip from each quad's precomputed tile box; replaces the
-  reference's Rayon stripe binning, main.rs:528-557)
+1. ``build_tile_lists`` — bin quads to framebuffer tiles as a dense overlap
+   matrix + scatter-free compaction (cumsum + batched searchsorted; the
+   "dense [tiles x quads] mask" plan from SURVEY.md section 5).  Replaces
+   Rayon stripe binning.
+2. gather the per-tile quad streams into contiguous HBM buffers (XLA
+   gather), ordered front-to-back per tile (= original stream order).
+3. ``_raster_kernel`` — Pallas grid over tiles; per tile the quad stream is
+   DMA'd HBM -> SMEM in double-buffered blocks (Mosaic requires static lane
+   indices in VMEM, so per-quad scalars live in SMEM), and each quad is
+   blended into the VMEM-resident tile.
+
+Two implementations with identical per-pixel arithmetic:
+
+- ``rasterize_jnp``    — pure jnp fori_loop over the unbinned stream
+  (reference implementation; runs anywhere, exact same output)
+- ``rasterize_pallas`` — the production TPU kernel
 
 Per-pixel math (see ops/projection.py for the coefficient derivation):
   q  = A @ (nx, ny, 1)           -- 2D homogeneous coordinates
@@ -48,18 +60,37 @@ I_FIELDS = ("color_even", "color_odd", "mask_lo", "mask_hi")
 
 SKY_I32 = np.uint32(SKY_COLOR).astype(np.int32)
 
+# Quads streamed per DMA block (HBM -> SMEM); lane-aligned.
+BLOCK_Q = 256
 
-def pack_coeffs(coeffs: dict[str, jnp.ndarray]):
-    """SoA dict -> (f32[16, M], i32[4, M], tilebox i32[M])."""
+
+def pack_coeffs_rows(coeffs: dict[str, jnp.ndarray]):
+    """SoA dict -> (f32[16, N], i32[8, N]) blocked layout: the quad stream
+    stays on the (unpadded) lane dimension; a quad's record is one column.
+    (A quad-major [N, 16] layout pads 16 -> 128 lanes: 8x the memory and
+    pathological downstream ops — measured.)  The int block is padded to 8
+    rows so SMEM double-buffer slices stay tiling-aligned (sublane 8).
+    """
     f = jnp.stack([coeffs[k].astype(jnp.float32) for k in F_FIELDS], axis=0)
-    i = jnp.stack([coeffs[k].astype(jnp.int32) for k in I_FIELDS], axis=0)
-    return f, i, coeffs["tilebox"].astype(jnp.int32)
+    ints = [coeffs[k].astype(jnp.int32) for k in I_FIELDS]
+    zero = jnp.zeros_like(ints[0])
+    i = jnp.stack(ints + [zero] * (8 - len(I_FIELDS)), axis=0)
+    return f, i
+
+
+def pack_coeffs_quadmajor(coeffs: dict[str, jnp.ndarray]):
+    """SoA dict -> (f32[N, 16], i32[N, 4]) for the jnp reference path
+    (CPU-friendly scalar row reads)."""
+    f = jnp.stack([coeffs[k].astype(jnp.float32) for k in F_FIELDS], axis=1)
+    i = jnp.stack([coeffs[k].astype(jnp.int32) for k in I_FIELDS], axis=1)
+    return f, i
 
 
 def _pixel_ndc(height: int, width: int, y0, x0, th: int, tw: int):
     """NDC coords of pixel centers for the tile with origin (y0, x0)."""
-    py = y0 + jax.lax.broadcasted_iota(jnp.float32, (th, tw), 0)
-    px = x0 + jax.lax.broadcasted_iota(jnp.float32, (th, tw), 1)
+    # integer iota (Mosaic requires int iota) then cast
+    py = y0 + jax.lax.broadcasted_iota(jnp.int32, (th, tw), 0).astype(jnp.float32)
+    px = x0 + jax.lax.broadcasted_iota(jnp.int32, (th, tw), 1).astype(jnp.float32)
     nx = (2.0 * (px + 0.5) - width) / width
     ny = 1.0 - 2.0 * (py + 0.5) / height
     return nx, ny
@@ -109,17 +140,17 @@ def _blend_one_quad(nx, ny, fro, iro, color, depth):
 
 
 @functools.partial(jax.jit, static_argnames=("height", "width"))
-def rasterize_jnp(fcoef, icoef, tilebox, count, *, height: int, width: int):
-    """Full-frame fori_loop rasterizer — bit-identical math to the kernel."""
-    del tilebox  # no tiling here
+def rasterize_jnp(fcoef, icoef, count, *, height: int, width: int):
+    """Full-frame fori_loop rasterizer — bit-identical math to the kernel.
+    ``fcoef``/``icoef`` are quad-major ([N, 16] / [N, 4])."""
     nx, ny = _pixel_ndc(height, width, 0, 0, height, width)
     color0 = jnp.full((height, width), SKY_I32, jnp.int32)
     depth0 = jnp.full((height, width), jnp.inf, jnp.float32)
 
     def body(k, carry):
         color, depth = carry
-        fro = tuple(fcoef[i, k] for i in range(len(F_FIELDS)))
-        iro = tuple(icoef[i, k] for i in range(len(I_FIELDS)))
+        fro = tuple(fcoef[k, i] for i in range(len(F_FIELDS)))
+        iro = tuple(icoef[k, i] for i in range(len(I_FIELDS)))
         return _blend_one_quad(nx, ny, fro, iro, color, depth)
 
     color, depth = jax.lax.fori_loop(0, count, body, (color0, depth0))
@@ -127,73 +158,166 @@ def rasterize_jnp(fcoef, icoef, tilebox, count, *, height: int, width: int):
 
 
 # ---------------------------------------------------------------------------
+# Tile binning (device-side, scatter-free)
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.jit, static_argnames=("tiles_y", "tiles_x", "k_cap"))
+def build_tile_lists(tilebox, count, *, tiles_y: int, tiles_x: int, k_cap: int):
+    """Compact per-tile quad index lists from packed tile boxes.
+
+    Returns (items i32[T, k_cap], counts i32[T], overflow i32).  Lists keep
+    ascending quad order, so per-pixel blend order matches the unbinned
+    stream exactly.  Compaction is cumsum + batched searchsorted — no
+    scatter, fully vectorized (TPU scatters serialize; binary search is 15
+    rounds of vectorized gathers).
+    """
+    m = tilebox.shape[0]
+    q = jnp.arange(m, dtype=jnp.int32)
+    in_count = q < count
+    tx0 = tilebox & 0xFF
+    tx1 = (tilebox >> 8) & 0xFF
+    ty0 = (tilebox >> 16) & 0xFF
+    ty1 = (tilebox >> 24) & 0xFF
+    t = jnp.arange(tiles_y * tiles_x, dtype=jnp.int32)
+    ty = (t // tiles_x)[:, None]
+    tx = (t % tiles_x)[:, None]
+    overlap = (
+        in_count[None, :]
+        & (tx >= tx0[None, :])
+        & (tx <= tx1[None, :])
+        & (ty >= ty0[None, :])
+        & (ty <= ty1[None, :])
+    )
+    counts = overlap.sum(axis=1).astype(jnp.int32)
+    # stable argsort on !overlap: set positions first, ascending quad order
+    order = jnp.argsort(~overlap, axis=1, stable=True)
+    items = order[:, :k_cap].astype(jnp.int32)
+    valid = jnp.arange(k_cap, dtype=jnp.int32)[None, :] < counts[:, None]
+    items = jnp.where(valid, items, 0)
+    overflow = jnp.maximum(counts - k_cap, 0).sum().astype(jnp.int32)
+    return items, jnp.minimum(counts, k_cap).astype(jnp.int32), overflow
+
+
+# ---------------------------------------------------------------------------
 # Pallas TPU kernel
 # ---------------------------------------------------------------------------
 
 
-def _raster_kernel(count_ref, tilebox_ref, fcoef_ref, icoef_ref,
-                   color_ref, depth_ref, *, height, width, tile_h, tile_w):
-    ti = pl.program_id(0)  # tile row
-    tj = pl.program_id(1)  # tile col
+def _raster_kernel(counts_ref, f_hbm, i_hbm, color_ref, depth_ref,
+                   f_smem, i_smem, f_sem, i_sem,
+                   *, height, width, tile_h, tile_w, tiles_x, k_cap):
+    t = pl.program_id(0)
+    ti = t // tiles_x  # tile row
+    tj = t % tiles_x   # tile col
     nx, ny = _pixel_ndc(height, width,
-                        (ti * tile_h).astype(jnp.float32),
-                        (tj * tile_w).astype(jnp.float32),
+                        ti * tile_h,
+                        tj * tile_w,
                         tile_h, tile_w)
     # fused clear: depth = +inf, color = sky (main.rs:393)
     color_ref[:] = jnp.full((tile_h, tile_w), SKY_I32, jnp.int32)
     depth_ref[:] = jnp.full((tile_h, tile_w), jnp.inf, jnp.float32)
 
-    def body(k, _):
-        box = tilebox_ref[k]
-        tx0 = box & 0xFF
-        tx1 = (box >> 8) & 0xFF
-        ty0 = (box >> 16) & 0xFF
-        ty1 = (box >> 24) & 0xFF
-        hit = (tj >= tx0) & (tj <= tx1) & (ti >= ty0) & (ti <= ty1)
+    count = counts_ref[t]
+    nblocks = (count + BLOCK_Q - 1) // BLOCK_Q
+    base = t * k_cap
 
-        @pl.when(hit)
+    nf, ni = len(F_FIELDS), len(I_FIELDS)
+
+    ni_pad = 8  # int rows padded to the sublane tile (see pack_coeffs_rows)
+
+    def dmas(slot, b):
+        off = pl.multiple_of(base + b * BLOCK_Q, BLOCK_Q)
+        return (
+            pltpu.make_async_copy(
+                f_hbm.at[:, pl.ds(off, BLOCK_Q)],
+                f_smem.at[pl.ds(slot * nf, nf), :],
+                f_sem.at[slot]
+            ),
+            pltpu.make_async_copy(
+                i_hbm.at[:, pl.ds(off, BLOCK_Q)],
+                i_smem.at[pl.ds(slot * ni_pad, ni_pad), :],
+                i_sem.at[slot]
+            ),
+        )
+
+    @pl.when(nblocks > 0)
+    def _():
+        df, di = dmas(0, 0)
+        df.start()
+        di.start()
+
+    def block_body(b, _):
+        slot = b % 2
+
+        @pl.when(b + 1 < nblocks)
         def _():
-            fro = tuple(fcoef_ref[i, k] for i in range(len(F_FIELDS)))
-            iro = tuple(icoef_ref[i, k] for i in range(len(I_FIELDS)))
+            df, di = dmas((b + 1) % 2, b + 1)
+            df.start()
+            di.start()
+
+        df, di = dmas(slot, b)
+        df.wait()
+        di.wait()
+        n_in_block = jnp.minimum(count - b * BLOCK_Q, BLOCK_Q)
+
+        def quad_body(k, _):
+            fro = tuple(f_smem[slot * nf + i, k] for i in range(nf))
+            iro = tuple(i_smem[slot * ni_pad + i, k] for i in range(ni))
             color, depth = _blend_one_quad(nx, ny, fro, iro,
                                            color_ref[:], depth_ref[:])
             color_ref[:] = color
             depth_ref[:] = depth
+            return 0
 
+        jax.lax.fori_loop(0, n_in_block, quad_body, 0)
         return 0
 
-    jax.lax.fori_loop(0, count_ref[0], body, 0)
+    jax.lax.fori_loop(0, nblocks, block_body, 0)
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("height", "width", "tile_h", "tile_w", "interpret"),
+    static_argnames=("height", "width", "tile_h", "tile_w", "k_cap", "interpret"),
 )
-def rasterize_pallas(fcoef, icoef, tilebox, count, *, height: int, width: int,
-                     tile_h: int, tile_w: int, interpret: bool = False):
-    """Tiled Pallas rasterizer.  ``height % tile_h == 0`` and
-    ``width % tile_w == 0`` are required (framebuffer helpers pick tiles)."""
+def rasterize_pallas(f_binned, i_binned, tile_counts, *, height: int,
+                     width: int, tile_h: int, tile_w: int, k_cap: int = 8192,
+                     interpret: bool = False):
+    """Binned, streamed, tiled Pallas rasterizer.
+
+    ``f_binned`` f32[16, T*k_cap] / ``i_binned`` i32[4, T*k_cap] hold the
+    per-tile quad records in blocked SoA layout (see pack_coeffs_rows);
+    ``tile_counts`` i32[T].  ``height % tile_h == 0`` and
+    ``width % tile_w == 0`` required.  Returns (color, depth).
+    """
     assert height % tile_h == 0 and width % tile_w == 0
-    grid = (height // tile_h, width // tile_w)
-    m = fcoef.shape[1]
+    tiles_y, tiles_x = height // tile_h, width // tile_w
+    n_tiles = tiles_y * tiles_x
+    assert k_cap % BLOCK_Q == 0
+    counts = tile_counts
 
     kernel = functools.partial(
-        _raster_kernel, height=height, width=width, tile_h=tile_h, tile_w=tile_w
+        _raster_kernel, height=height, width=width, tile_h=tile_h,
+        tile_w=tile_w, tiles_x=tiles_x, k_cap=k_cap,
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,  # count, tilebox -> SMEM
-        grid=grid,
+        num_scalar_prefetch=1,  # per-tile counts -> SMEM
+        grid=(n_tiles,),
         in_specs=[
-            pl.BlockSpec((len(F_FIELDS), m), lambda i, j, *_: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((len(I_FIELDS), m), lambda i, j, *_: (0, 0),
-                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),  # f_binned stays in HBM
+            pl.BlockSpec(memory_space=pltpu.ANY),  # i_binned stays in HBM
         ],
         out_specs=[
-            pl.BlockSpec((tile_h, tile_w), lambda i, j, *_: (i, j),
+            pl.BlockSpec((tile_h, tile_w), lambda t, *_: (t // (width // tile_w), t % (width // tile_w)),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((tile_h, tile_w), lambda i, j, *_: (i, j),
+            pl.BlockSpec((tile_h, tile_w), lambda t, *_: (t // (width // tile_w), t % (width // tile_w)),
                          memory_space=pltpu.VMEM),
+        ],
+        scratch_shapes=[
+            pltpu.SMEM((2 * len(F_FIELDS), BLOCK_Q), jnp.float32),
+            pltpu.SMEM((2 * 8, BLOCK_Q), jnp.int32),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
     )
     color, depth = pl.pallas_call(
@@ -204,22 +328,8 @@ def rasterize_pallas(fcoef, icoef, tilebox, count, *, height: int, width: int,
             jax.ShapeDtypeStruct((height, width), jnp.float32),
         ],
         interpret=interpret,
-    )(count.reshape(1).astype(jnp.int32), tilebox, fcoef, icoef)
+    )(counts, f_binned, i_binned)
     return color, depth
-
-
-def rasterize(coeffs, count, *, height, width, tile_h=None, tile_w=None,
-              use_pallas=True, interpret=False):
-    """Convenience wrapper: pack + dispatch."""
-    fcoef, icoef, tilebox = pack_coeffs(coeffs)
-    if not use_pallas:
-        return rasterize_jnp(fcoef, icoef, tilebox, count,
-                             height=height, width=width)
-    if tile_h is None or tile_w is None:
-        tile_h, tile_w = pick_tile(height, width)
-    return rasterize_pallas(fcoef, icoef, tilebox, count, height=height,
-                            width=width, tile_h=tile_h, tile_w=tile_w,
-                            interpret=interpret)
 
 
 def pick_tile(height: int, width: int) -> tuple[int, int]:

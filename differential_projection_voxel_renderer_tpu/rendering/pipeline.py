@@ -53,11 +53,8 @@ def _render_step(
     n_visible,        # int32[]
     view_proj,        # f32[4, 4]
     cam_pos,          # f32[3]
-    color_even,       # int32[6, 4]
-    color_odd,        # int32[6, 4]
-    mask_lo,          # int32[4]
-    mask_hi,          # int32[4]
     *,
+    color_tables,     # dict of small numpy tables (compile-time constants)
     width: int,
     height: int,
     tile_h: int,
@@ -68,6 +65,7 @@ def _render_step(
     backface_culling: bool,
     use_pallas: bool,
     interpret: bool,
+    tile_k_cap: int = 8192,
 ):
     vcap = visible_slots.shape[0]
     tables = proj_ops.view_tables(view_proj, cam_pos)
@@ -79,7 +77,8 @@ def _render_step(
     ).astype(jnp.int32)
     positions = pool_positions[sel]
     chunk_clip = proj_ops.chunk_clip_origins(view_proj, positions)
-    chunk_world = positions.astype(jnp.float32) * 32.0
+    world = positions.astype(jnp.float32) * 32.0
+    chunk_world = tuple(world[:, a] for a in range(3))
 
     cum = jnp.cumsum(counts)
     total = cum[-1]
@@ -110,28 +109,53 @@ def _render_step(
         width=width, height=height, span_mode=span_mode,
         backface_culling=backface_culling,
     )
-    color_tables = dict(
-        color_even=color_even, color_odd=color_odd,
-        mask_lo=mask_lo, mask_hi=mask_hi,
-    )
-    coeffs = proj_ops.quad_coefficients(
-        q_c, slot_c, proj_b, chunk_clip, tables, color_tables,
-        width=width, height=height, tile_h=tile_h, tile_w=tile_w,
-        span_mode=span_mode,
-    )
 
-    # ---- rasterize
-    fcoef, icoef, tilebox = raster_ops.pack_coeffs(coeffs)
     if use_pallas:
+        # ---- bin to framebuffer tiles, then compute coefficients directly
+        # on the per-tile streams (recompute beats gathering 20 fields)
+        tiles_y, tiles_x = height // tile_h, width // tile_w
+        tilebox = proj_ops.pack_tilebox(proj_b, tile_h=tile_h, tile_w=tile_w)
+        items, tile_counts, bin_overflow = raster_ops.build_tile_lists(
+            tilebox, count, tiles_y=tiles_y, tiles_x=tiles_x, k_cap=tile_k_cap
+        )
+        flat = items.reshape(-1)
+        q_b = q_c[flat]
+        slot_b = slot_c[flat]
+        in_bin = (
+            jnp.arange(tile_k_cap, dtype=jnp.int32)[None, :]
+            < tile_counts[:, None]
+        ).reshape(-1)
+        if span_mode:
+            proj_bb = proj_ops.project_and_cull(
+                q_b, slot_b, in_bin, chunk_clip, chunk_world, tables,
+                width=width, height=height, span_mode=True,
+                backface_culling=backface_culling,
+            )
+        else:
+            proj_bb = None
+        coeffs = proj_ops.quad_coefficients(
+            q_b, slot_b, proj_bb, chunk_clip, tables, color_tables,
+            width=width, height=height, span_mode=span_mode,
+        )
+        f_binned, i_binned = raster_ops.pack_coeffs_rows(coeffs)
         color, depth = raster_ops.rasterize_pallas(
-            fcoef, icoef, tilebox, count, height=height, width=width,
-            tile_h=tile_h, tile_w=tile_w, interpret=interpret,
+            f_binned, i_binned, tile_counts, height=height, width=width,
+            tile_h=tile_h, tile_w=tile_w, k_cap=tile_k_cap,
+            interpret=interpret,
         )
     else:
-        color, depth = raster_ops.rasterize_jnp(
-            fcoef, icoef, tilebox, count, height=height, width=width,
+        coeffs = proj_ops.quad_coefficients(
+            q_c, slot_c, proj_b, chunk_clip, tables, color_tables,
+            width=width, height=height, span_mode=span_mode,
         )
-    stats = jnp.stack([jnp.minimum(total, gather_cap), count, overflow])
+        fcoef, icoef = raster_ops.pack_coeffs_quadmajor(coeffs)
+        color, depth = raster_ops.rasterize_jnp(
+            fcoef, icoef, count, height=height, width=width,
+        )
+        bin_overflow = jnp.int32(0)
+    stats = jnp.stack(
+        [jnp.minimum(total, gather_cap), count, overflow, bin_overflow]
+    )
     return color, depth, stats
 
 
@@ -154,6 +178,7 @@ class Renderer:
         self._step = jax.jit(
             functools.partial(
                 _render_step,
+                color_tables=self._tables_np,
                 width=cfg.width,
                 height=cfg.height,
                 tile_h=tile_h,
@@ -164,25 +189,24 @@ class Renderer:
                 backface_culling=cfg.backface_culling,
                 use_pallas=use_pallas,
                 interpret=False,
+                tile_k_cap=cfg.tile_k_cap,
             )
         )
 
     def _rebuild_tables(self) -> None:
-        t = build_quad_color_tables(
+        self._tables_np = build_quad_color_tables(
             self.atlas.kernel_tables(),
             enable_shading=self.config.enable_shading,
             enable_textures=self.config.enable_textures,
         )
-        self.color_even = jnp.asarray(t["color_even"].view(np.int32))
-        self.color_odd = jnp.asarray(t["color_odd"].view(np.int32))
-        self.mask_lo = jnp.asarray(t["mask_lo"].view(np.int32))
-        self.mask_hi = jnp.asarray(t["mask_hi"].view(np.int32))
-        self._tables_np = t
 
     def set_shading(self, enable: bool) -> None:
-        """Runtime toggle, like the reference's F key (main.rs:143-153)."""
+        """Runtime toggle, like the reference's F key (main.rs:143-153).
+        Rebuilding the tables retraces the step (tables are compile-time
+        constants), exactly like the reference's per-thread Rasterizer
+        clone with new config (main.rs:581-590)."""
         self.config.enable_shading = enable
-        self._rebuild_tables()
+        self.__init__(self.config, self.atlas)
 
     def render(self, quad_pool, pool_counts, pool_positions, visible_slots,
                n_visible, view_proj, cam_pos):
@@ -193,5 +217,4 @@ class Renderer:
             jnp.asarray(n_visible, jnp.int32),
             jnp.asarray(view_proj, jnp.float32),
             jnp.asarray(cam_pos, jnp.float32),
-            self.color_even, self.color_odd, self.mask_lo, self.mask_hi,
         )

@@ -110,6 +110,8 @@ class RenderConfig:
     span_mode: bool = False
     gather_cap: int = GATHER_QUADS_CAP
     quads_cap: int = RENDER_QUADS_CAP
+    # per-framebuffer-tile binned quad capacity (multiple of 256)
+    tile_k_cap: int = 8192
     visible_chunks_cap: int = VISIBLE_CHUNKS_CAP
     tile_h: int = TILE_H
     tile_w: int = TILE_W

@@ -40,20 +40,20 @@ def test_differential_equals_full_mvp_all_faces():
     for face in range(6):
         quads = _random_quads(rng, 100, face=face)
         chunk_pos = np.array([[0, 0, 0]], np.int32)
-        tables = P.view_tables(jnp.asarray(vp), jnp.asarray(cam.position))
         chunk_clip = P.chunk_clip_origins(jnp.asarray(vp), jnp.asarray(chunk_pos))
         dec = P.decode_quads(jnp.asarray(quads))
-        t_col = tables.axis_cols[jnp.asarray(P.FACE_T_AXIS)[dec["face"]]]
-        b_col = tables.axis_cols[jnp.asarray(P.FACE_B_AXIS)[dec["face"]]]
-        n_col = tables.axis_cols[jnp.asarray(P.FACE_N_AXIS)[dec["face"]]]
-        origin = chunk_clip[jnp.zeros(100, jnp.int32)] + dec["axis_pos"][:, None] * n_col
+        basis = P._Basis(dec, jnp.zeros(100, jnp.int32), chunk_clip,
+                         jnp.asarray(vp))
         # differential projection of corner (u1, v1)
-        diff = origin + dec["u1"][:, None] * t_col + dec["v1"][:, None] * b_col
+        diff = np.stack(
+            [np.asarray(basis.corner(dec["u1"], dec["v1"], r)) for r in range(4)],
+            axis=1,
+        )
         # full MVP of the same corner
         corners = quad_corners_local(quads)[:, 2, :]  # (u1, v1) corner
         hom = np.concatenate([corners, np.ones((100, 1))], axis=1).astype(np.float32)
         full = hom @ vp.T.astype(np.float32)
-        np.testing.assert_allclose(np.asarray(diff), full, atol=1e-3, rtol=1e-4)
+        np.testing.assert_allclose(diff, full, atol=1e-3, rtol=1e-4)
 
 
 def test_face_coordinate_systems_position_exact():
@@ -84,9 +84,10 @@ def test_backface_culling_plane_side():
         vp = jnp.asarray(cam.view_projection_matrix())
         tables = P.view_tables(vp, jnp.asarray(cam.position))
         chunk_clip = P.chunk_clip_origins(vp, chunk_pos)
+        cw = tuple(jnp.zeros(1, jnp.float32) for _ in range(3))
         out = P.project_and_cull(
             q, jnp.zeros(1, jnp.int32), jnp.ones(1, bool),
-            chunk_clip, jnp.zeros((1, 3), jnp.float32), tables,
+            chunk_clip, cw, tables,
             width=128, height=128,
         )
         assert bool(out["valid"][0]) == expect, (cam_y, expect)
@@ -99,7 +100,8 @@ def test_frustum_culls_offscreen_quads():
     # one chunk at origin (visible), one far to the side (offscreen)
     chunk_pos = jnp.asarray([[0, 0, 0], [100, 0, 0]], jnp.int32)
     chunk_clip = P.chunk_clip_origins(vp, chunk_pos)
-    chunk_world = chunk_pos.astype(jnp.float32) * 32.0
+    world = chunk_pos.astype(jnp.float32) * 32.0
+    chunk_world = tuple(world[:, a] for a in range(3))
     q = jnp.asarray(
         np.concatenate(
             [pack_quads([0], [0], [32], [32], [3], [16], [4])] * 2  # +Z faces
@@ -124,9 +126,10 @@ def test_near_crossing_quads_conservatively_kept():
     chunk_clip = P.chunk_clip_origins(vp, chunk_pos)
     # +Y face right under the camera, spanning behind and in front
     q = jnp.asarray(pack_quads([0], [0], [32], [32], [3], [9], [2]))
+    cw = tuple(jnp.zeros(1, jnp.float32) for _ in range(3))
     out = P.project_and_cull(
         q, jnp.zeros(1, jnp.int32), jnp.ones(1, bool),
-        chunk_clip, jnp.zeros((1, 3), jnp.float32), tables,
+        chunk_clip, cw, tables,
         width=128, height=128,
     )
     assert bool(out["any_behind"][0])

@@ -72,10 +72,6 @@ def _render_args(renderer, quads, cam, n_chunks=1):
         jnp.asarray(1, jnp.int32),
         jnp.asarray(vp, jnp.float32),
         jnp.asarray(cam.position, jnp.float32),
-        renderer.color_even,
-        renderer.color_odd,
-        renderer.mask_lo,
-        renderer.mask_hi,
     )
 
 
@@ -83,6 +79,7 @@ def _step(renderer, args, *, use_pallas, interpret, span_mode=False, tile=(64, 1
     cfg = renderer.config
     color, depth, stats = _render_step(
         *args,
+        color_tables=renderer._tables_np,
         width=cfg.width,
         height=cfg.height,
         tile_h=tile[0],
@@ -93,6 +90,7 @@ def _step(renderer, args, *, use_pallas, interpret, span_mode=False, tile=(64, 1
         backface_culling=cfg.backface_culling,
         use_pallas=use_pallas,
         interpret=interpret,
+        tile_k_cap=cfg.quads_cap,
     )
     return np.asarray(color).view(np.uint32), np.asarray(depth), np.asarray(stats)
 
