@@ -1,0 +1,259 @@
+"""The frame loop: world streaming, device mesh cache, culling funnel,
+and the per-frame render call.
+
+This is the TPU-native equivalent of the reference's app layer
+(src/main.rs:20-608), headless: winit/softbuffer are replaced by device-
+resident color/depth buffers that can be fetched to numpy on demand
+(SURVEY.md section 7 "Interactivity").
+
+Per frame (main.rs RedrawRequested, :207-310):
+1. controller -> camera
+2. world.update — stream/unload chunks (budgeted, hysteresis)
+3. frustum + distance chunk visibility (vectorized numpy)
+4. incremental remeshing: new chunks + their already-meshed neighbors
+   (main.rs:224-277), meshed on host (C++ greedy) into the device quad pool
+5. front-to-back sort + horizon culling + optional occlusion pass (host,
+   sequential algorithms — see ops/culling.py, ops/occlusion.py)
+6. one jitted device render step (rendering/pipeline.py)
+"""
+
+from __future__ import annotations
+
+import functools
+import time
+from dataclasses import dataclass, field
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..meshing.greedy import mesh_chunk
+from ..models.camera import Camera, CameraController
+from ..models.world import World, WorldConfig
+from ..ops.culling import HorizonCullingConfig, horizon_cull_mask, sort_front_to_back
+from ..ops.occlusion import occlusion_pass, project_chunk_rects
+from ..rendering.pipeline import Renderer
+from ..utils.config import CHUNK_SIZE, QUADS_PER_CHUNK_CAP, RenderConfig
+
+
+@functools.partial(jax.jit, donate_argnums=0)
+def _pool_set_row(pool, slot, row):
+    """In-place (donated) row update of the device quad pool — the TPU
+    analogue of inserting into the mesh cache HashMap (main.rs:274)."""
+    return pool.at[slot].set(row)
+
+
+class QuadPool:
+    """Device-resident mesh cache: packed quads per chunk slot.
+
+    Replaces the reference's ``mesh_cache: HashMap<IVec3, Option<ChunkMesh>>``
+    (main.rs:81) + the Hyper-Pipeline basis cache: chunk meshes stay in HBM
+    across frames; only newly-meshed chunks are uploaded (16 KB rows).
+    """
+
+    def __init__(self, slots: int = 4096, qcap: int = QUADS_PER_CHUNK_CAP):
+        self.slots = slots
+        self.qcap = qcap
+        self.quads = jnp.zeros((slots, qcap), jnp.uint32)
+        self.counts = np.zeros(slots, np.int32)
+        self.positions = np.zeros((slots, 3), np.int32)
+        # pos -> slot; None-mesh chunks (uniform/empty) get count 0 slots so
+        # "has cache entry" stays distinct from "has no mesh" (main.rs:285)
+        self.by_pos: dict[tuple[int, int, int], int] = {}
+        self._free: list[int] = list(range(slots - 1, -1, -1))
+        self.overflow_drops = 0
+        self._dev_cache: tuple | None = None  # (counts, positions) on device
+
+    def device_tables(self):
+        """Device copies of counts/positions, re-uploaded only after pool
+        mutations (the tables are tiny but a per-frame H2D hurts latency)."""
+        import jax.numpy as _jnp
+
+        if self._dev_cache is None:
+            self._dev_cache = (
+                _jnp.asarray(self.counts),
+                _jnp.asarray(self.positions),
+            )
+        return self._dev_cache
+
+    def __contains__(self, pos) -> bool:
+        return tuple(int(c) for c in pos) in self.by_pos
+
+    def insert(self, pos, quads: np.ndarray | None) -> None:
+        key = tuple(int(c) for c in pos)
+        slot = self.by_pos.get(key)
+        if slot is None:
+            if not self._free:
+                raise RuntimeError(
+                    "QuadPool exhausted; raise `slots` (mesh cache capacity)"
+                )
+            slot = self._free.pop()
+            self.by_pos[key] = slot
+        n = 0
+        row = np.zeros(self.qcap, np.uint32)
+        if quads is not None:
+            n = min(len(quads), self.qcap)
+            if len(quads) > self.qcap:
+                self.overflow_drops += len(quads) - self.qcap
+            row[:n] = quads[:n]
+        self.quads = _pool_set_row(self.quads, jnp.int32(slot), jnp.asarray(row))
+        self.counts[slot] = n
+        self.positions[slot] = key
+        self._dev_cache = None
+
+    def remove(self, pos) -> None:
+        key = tuple(int(c) for c in pos)
+        slot = self.by_pos.pop(key, None)
+        if slot is not None:
+            self.counts[slot] = 0
+            self._free.append(slot)
+            self._dev_cache = None
+
+    def retain(self, predicate) -> None:
+        """Drop cache entries whose position fails the predicate
+        (main.rs:280 ``mesh_cache.retain``)."""
+        for key in [k for k in self.by_pos if not predicate(k)]:
+            self.remove(key)
+
+    def slot_of(self, pos) -> int | None:
+        return self.by_pos.get(tuple(int(c) for c in pos))
+
+
+@dataclass
+class FrameResult:
+    color: jnp.ndarray  # int32[H, W] ARGB bits (device)
+    depth: jnp.ndarray  # f32[H, W] (device)
+    stats: jnp.ndarray  # [gathered, rasterized, overflow, bin_overflow]
+    rendered_meshes: int
+    visible_chunks: int
+
+    def color_numpy(self) -> np.ndarray:
+        return np.asarray(self.color).view(np.uint32)
+
+    def depth_numpy(self) -> np.ndarray:
+        return np.asarray(self.depth)
+
+
+class Engine:
+    """Owns world + camera + mesh pool + renderer; drives frames."""
+
+    def __init__(self, render_config: RenderConfig | None = None,
+                 world_config: WorldConfig | None = None,
+                 pool_slots: int = 4096,
+                 horizon_config: HorizonCullingConfig | None = None):
+        self.config = render_config or RenderConfig()
+        self.world = World(world_config or WorldConfig(
+            view_distance=12, frustum_culling=True, max_chunks_per_frame=16
+        ))
+        self.renderer = Renderer(self.config)
+        self.pool = QuadPool(slots=pool_slots)
+        aspect = self.config.width / self.config.height
+        self.camera = Camera(np.array([0.0, 10.0, 20.0], np.float32), aspect)
+        self.controller = CameraController()
+        self.horizon_config = horizon_config or HorizonCullingConfig()
+        self.enable_horizon_culling = True
+        self.enable_occlusion_culling = False  # 'O' toggle default (main.rs:112)
+        self._neighbor_offsets = [
+            (1, 0, 0), (-1, 0, 0), (0, 1, 0), (0, -1, 0), (0, 0, 1), (0, 0, -1)
+        ]
+
+    # ------------------------------------------------------------- meshing
+    def _remesh(self, visible_chunks) -> int:
+        """Incremental remeshing with neighbor invalidation
+        (main.rs:224-277).  Returns number of chunks (re)meshed."""
+        to_mesh: list[tuple[int, int, int]] = []
+        for chunk in visible_chunks:
+            pos = tuple(int(c) for c in chunk.position)
+            if pos not in self.pool:
+                to_mesh.append(pos)
+                for off in self._neighbor_offsets:
+                    np_ = (pos[0] + off[0], pos[1] + off[1], pos[2] + off[2])
+                    if self.world.contains_chunk(np_) and np_ in self.pool:
+                        to_mesh.append(np_)
+        if not to_mesh:
+            return 0
+        to_mesh = sorted(set(to_mesh))
+        all_chunks = self.world.get_all_chunks()
+        for pos in to_mesh:
+            chunk = self.world.chunks.get(pos)
+            if chunk is None:
+                continue
+            self.pool.insert(pos, mesh_chunk(chunk, all_chunks))
+        return len(to_mesh)
+
+    def prime(self) -> None:
+        """Generate + mesh everything currently visible (the reference's
+        startup path, main.rs:66-100)."""
+        frustum = self.camera.extract_frustum()
+        visible = self.world.get_visible_chunks_frustum(
+            self.camera.position, frustum
+        )
+        self._remesh(visible)
+
+    # --------------------------------------------------------------- frame
+    def render_frame(self, dt: float = 0.016) -> FrameResult:
+        cam = self.camera
+        self.controller.update_camera(cam, dt)
+        self.world.update(cam.position)
+
+        frustum = cam.extract_frustum()
+        visible = self.world.get_visible_chunks_frustum(cam.position, frustum)
+
+        self._remesh(visible)
+        self.pool.retain(self.world.contains_chunk)
+
+        # visible meshes: pool slots with quads among visible chunks
+        # (dict lookups per chunk, vectorized center math)
+        by_pos = self.pool.by_pos
+        counts = self.pool.counts
+        slot_list = []
+        pos_list = []
+        for chunk in visible:
+            slot = by_pos.get(chunk.position)
+            if slot is not None and counts[slot] > 0:
+                slot_list.append(slot)
+                pos_list.append(chunk.position)
+        slots = np.asarray(slot_list, np.int32)
+        centers = (
+            np.asarray(pos_list, np.float32) * CHUNK_SIZE + 16.0
+            if pos_list
+            else np.zeros((0, 3), np.float32)
+        )
+        n_visible_meshes = len(slot_list)
+        vp = cam.view_projection_matrix()
+
+        if n_visible_meshes:
+            order = sort_front_to_back(centers, cam.position)
+            slots = slots[order]
+            centers = centers[order]
+            if self.enable_horizon_culling:
+                keep = horizon_cull_mask(centers, cam.position,
+                                         self.horizon_config)
+                slots, centers = slots[keep], centers[keep]
+            if self.enable_occlusion_culling and len(slots):
+                rects, near, _ = project_chunk_rects(
+                    centers, vp, self.config.width, self.config.height
+                )
+                d2 = ((centers - cam.position[None, :]) ** 2).sum(-1)
+                use_occ = d2 >= (CHUNK_SIZE * 2.0) ** 2  # main.rs:474-478
+                keep = occlusion_pass(rects, near, use_occ,
+                                      self.config.width, self.config.height)
+                slots, centers = slots[keep], centers[keep]
+
+        vcap = self.config.visible_chunks_cap
+        visible_slots = np.zeros(vcap, np.int32)
+        n = min(len(slots), vcap)
+        if n:
+            visible_slots[:n] = slots[:n]
+
+        dev_counts, dev_positions = self.pool.device_tables()
+        color, depth, stats = self.renderer.render(
+            self.pool.quads,
+            dev_counts,
+            dev_positions,
+            visible_slots,
+            n,
+            vp,
+            cam.position,
+        )
+        return FrameResult(color, depth, stats, n, n_visible_meshes)

@@ -47,12 +47,14 @@ class World:
         self.config = config or WorldConfig()
         self.chunks: dict[tuple[int, int, int], Chunk] = {}
         self.last_camera_chunk: tuple[int, int, int] | None = None
+        self._pos_cache: tuple[list, np.ndarray] | None = None
 
     # -------------------------------------------------------------- access
     def get_or_generate_chunk(self, chunk_pos) -> Chunk:
         key = tuple(int(c) for c in chunk_pos)
         if key not in self.chunks:
             self.chunks[key] = Chunk.generate_terrain(key)
+            self._invalidate_cache()
         return self.chunks[key]
 
     def contains_chunk(self, position) -> bool:
@@ -67,6 +69,7 @@ class World:
     def clear(self) -> None:
         self.chunks.clear()
         self.last_camera_chunk = None
+        self._invalidate_cache()
 
     def set_view_distance(self, view_distance: int) -> None:
         self.config.view_distance = max(1, int(view_distance))
@@ -100,12 +103,14 @@ class World:
             pos = (cam[0] + int(off[0]), cam[1] + int(off[1]), cam[2] + int(off[2]))
             if pos not in self.chunks:
                 self.chunks[pos] = Chunk.generate_terrain(pos)
+                self._invalidate_cache()
                 generated += 1
                 if generated >= self.config.max_chunks_per_frame:
                     return True
 
         unload = vd + 2
         unload_sq = float(unload * unload)
+        before = len(self.chunks)
         self.chunks = {
             pos: c
             for pos, c in self.chunks.items()
@@ -114,14 +119,24 @@ class World:
             )
             <= unload_sq
         }
+        if len(self.chunks) != before:
+            self._invalidate_cache()
         return generated > 0
 
     # ---------------------------------------------------------- visibility
     def _positions_array(self) -> tuple[list[tuple[int, int, int]], np.ndarray]:
+        """Cached key/position arrays — rebuilding a ~7k-entry array every
+        frame costs ~1 ms; the cache is invalidated on any mutation."""
+        if self._pos_cache is not None:
+            return self._pos_cache
         keys = list(self.chunks.keys())
-        if not keys:
-            return keys, np.zeros((0, 3), dtype=np.int64)
-        return keys, np.asarray(keys, dtype=np.int64)
+        arr = (np.asarray(keys, dtype=np.int64) if keys
+               else np.zeros((0, 3), dtype=np.int64))
+        self._pos_cache = (keys, arr)
+        return self._pos_cache
+
+    def _invalidate_cache(self) -> None:
+        self._pos_cache = None
 
     def get_visible_chunks(self, camera_position) -> list[Chunk]:
         """Sphere-only visibility (src/world.rs:103-114), vectorized."""
@@ -160,3 +175,4 @@ class World:
                     key = (cx, cy, cz)
                     if key not in self.chunks:
                         self.chunks[key] = Chunk.generate_terrain(key)
+                        self._invalidate_cache()

@@ -139,13 +139,22 @@ def _blend_one_quad(nx, ny, fro, iro, color, depth):
 # ---------------------------------------------------------------------------
 
 
-@functools.partial(jax.jit, static_argnames=("height", "width"))
-def rasterize_jnp(fcoef, icoef, count, *, height: int, width: int):
+@functools.partial(jax.jit, static_argnames=("height", "width", "band_h"))
+def rasterize_jnp(fcoef, icoef, count, *, height: int, width: int,
+                  y0=0, band_h: int | None = None):
     """Full-frame fori_loop rasterizer — bit-identical math to the kernel.
-    ``fcoef``/``icoef`` are quad-major ([N, 16] / [N, 4])."""
-    nx, ny = _pixel_ndc(height, width, 0, 0, height, width)
-    color0 = jnp.full((height, width), SKY_I32, jnp.int32)
-    depth0 = jnp.full((height, width), jnp.inf, jnp.float32)
+    ``fcoef``/``icoef`` are quad-major ([N, 16] / [N, 4]).
+
+    ``y0``/``band_h`` rasterize only the horizontal band starting at row
+    ``y0`` (NDC stays global) — the building block for sharding the
+    framebuffer across devices (parallel/sharded_render.py), the TPU form
+    of the reference's Rayon stripe split (framebuffer.rs:392-431).
+    """
+    band_h = height if band_h is None else band_h
+    nx, ny = _pixel_ndc(height, width, jnp.asarray(y0, jnp.int32), 0,
+                        band_h, width)
+    color0 = jnp.full((band_h, width), SKY_I32, jnp.int32)
+    depth0 = jnp.full((band_h, width), jnp.inf, jnp.float32)
 
     def body(k, carry):
         color, depth = carry

@@ -1,0 +1,152 @@
+"""Multi-chip rendering: camera-batch data parallelism x framebuffer-tile
+parallelism over a jax.sharding.Mesh.
+
+The reference's only parallelism is intra-node: Rayon work-stealing over
+disjoint framebuffer stripes plus AVX2 lanes (SURVEY.md section 2.7).  The
+TPU-native scaling story (SURVEY.md section 5 "Distributed communication
+backend"):
+
+- ``tp`` axis: framebuffer row bands sharded across chips — per-band
+  rasterization is embarrassingly parallel after culling; the depth buffer
+  never crosses chips (each band owns its rows, exactly like the
+  reference's ``split_at_mut`` stripes but across ICI instead of threads).
+- ``dp`` axis: independent frames/cameras (multi-view or animation batch)
+  — the reference analog is "DP over frames/cameras, not layers".
+- The scene (device quad pool) is replicated; the per-frame quad stream is
+  recomputed per shard (geometry is ~1% of raster cost).  The only
+  collective is a tiny ``psum`` of the frame counters across ``tp`` — the
+  "small psum of a stats grid" case from SURVEY.md section 2.7.
+
+Everything here is the pure-jnp path (it must run on any backend, including
+the CPU-mesh dryrun); the Pallas kernel slots in per-shard on real
+multi-chip hardware since each band is just a smaller framebuffer.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.experimental.shard_map import shard_map
+
+from ..ops import projection as proj_ops
+from ..ops import raster as raster_ops
+
+
+def make_mesh(n_devices: int | None = None) -> Mesh:
+    """2D (dp, tp) mesh over the available devices: tp gets the larger
+    factor (framebuffer bands are the finer-grained axis)."""
+    devs = jax.devices()[: n_devices or len(jax.devices())]
+    n = len(devs)
+    dp = 1
+    for cand in (4, 3, 2):
+        if n % cand == 0 and n // cand > 1:
+            dp = n // cand if cand >= n // cand else cand
+            break
+    dp = max(1, min(dp, n))
+    while n % dp:
+        dp -= 1
+    tp = n // dp
+    return Mesh(np.array(devs).reshape(dp, tp), ("dp", "tp"))
+
+
+def _render_one_camera(pool, counts_all, positions, visible_slots, n_visible,
+                       view_proj, cam_pos, color_tables, *, width, height,
+                       gather_cap, render_cap, band_y0, band_h, span_mode):
+    """Geometry + band rasterization for a single camera (jnp path).
+    Mirrors rendering/pipeline._render_step, restricted to a row band."""
+    vcap = visible_slots.shape[0]
+    tables = proj_ops.view_tables(view_proj, cam_pos)
+    sel = jnp.clip(visible_slots, 0, pool.shape[0] - 1)
+    counts = jnp.where(jnp.arange(vcap) < n_visible, counts_all[sel], 0)
+    counts = counts.astype(jnp.int32)
+    pos = positions[sel]
+    chunk_clip = proj_ops.chunk_clip_origins(view_proj, pos)
+    world = pos.astype(jnp.float32) * 32.0
+    chunk_world = tuple(world[:, a] for a in range(3))
+
+    cum = jnp.cumsum(counts)
+    total = cum[-1]
+    i = jnp.arange(gather_cap, dtype=jnp.int32)
+    chunk_of = jnp.clip(
+        jnp.searchsorted(cum, i, side="right").astype(jnp.int32), 0, vcap - 1
+    )
+    base = jnp.where(chunk_of > 0, cum[jnp.maximum(chunk_of - 1, 0)], 0)
+    within = jnp.clip(i - base, 0, pool.shape[1] - 1)
+    in_stream = i < jnp.minimum(total, gather_cap)
+    quads = pool[sel[chunk_of], within]
+
+    proj_a = proj_ops.project_and_cull(
+        quads, chunk_of, in_stream, chunk_clip, chunk_world, tables,
+        width=width, height=height, span_mode=span_mode,
+    )
+    count, _, (q_c, slot_c) = proj_ops.compact_stream(
+        proj_a["valid"], render_cap, (quads, chunk_of)
+    )
+    in_render = jnp.arange(render_cap, dtype=jnp.int32) < count
+    proj_b = proj_ops.project_and_cull(
+        q_c, slot_c, in_render, chunk_clip, chunk_world, tables,
+        width=width, height=height, span_mode=span_mode,
+    )
+    coeffs = proj_ops.quad_coefficients(
+        q_c, slot_c, proj_b if span_mode else None, chunk_clip, tables,
+        color_tables, width=width, height=height, span_mode=span_mode,
+    )
+    fcoef, icoef = raster_ops.pack_coeffs_quadmajor(coeffs)
+    color, depth = raster_ops.rasterize_jnp(
+        fcoef, icoef, count, height=height, width=width,
+        y0=band_y0, band_h=band_h,
+    )
+    return color, depth, count
+
+
+def make_sharded_render(mesh: Mesh, *, width: int, height: int,
+                        gather_cap: int = 8192, render_cap: int = 4096,
+                        color_tables=None, span_mode: bool = False):
+    """Builds the jitted multi-device render step.
+
+    Inputs (global shapes):
+    - pool uint32[P, QCAP], counts i32[P], positions i32[P, 3]: replicated
+    - visible_slots i32[B, VCAP], n_visible i32[B], view_proj f32[B, 4, 4],
+      cam_pos f32[B, 3]: sharded over ``dp`` (camera batch)
+    Outputs:
+    - color i32[B, H, W], depth f32[B, H, W]: sharded (dp, tp) over (B, H)
+    - total quads rasterized per frame i32[B] (psum across tp)
+    """
+    if color_tables is None:
+        from ..ops.shading import build_quad_color_tables
+        from ..ops.texture import TextureAtlas
+
+        color_tables = build_quad_color_tables(TextureAtlas().kernel_tables())
+    tp = mesh.shape["tp"]
+    assert height % (tp * 8) == 0, "height must split into 8-aligned bands"
+    band_h = height // tp
+
+    def shard_fn(pool, counts, positions, visible_slots, n_visible, vp, cam):
+        band_y0 = jax.lax.axis_index("tp") * band_h
+
+        def one(vs, nv, vp1, cam1):
+            return _render_one_camera(
+                pool, counts, positions, vs, nv, vp1, cam1, color_tables,
+                width=width, height=height, gather_cap=gather_cap,
+                render_cap=render_cap, band_y0=band_y0, band_h=band_h,
+                span_mode=span_mode,
+            )
+
+        color, depth, count = jax.vmap(one)(visible_slots, n_visible, vp, cam)
+        # tiny ICI collective: frame counters agree across tp shards;
+        # psum-mean keeps them identical and exercises the collective path
+        count = jax.lax.psum(count, "tp") // tp
+        return color, depth, count
+
+    fn = shard_map(
+        shard_fn,
+        mesh=mesh,
+        in_specs=(P(), P(), P(), P("dp"), P("dp"), P("dp"), P("dp")),
+        out_specs=(P("dp", "tp"), P("dp", "tp"), P("dp")),
+        check_rep=False,
+    )
+    return jax.jit(fn)
