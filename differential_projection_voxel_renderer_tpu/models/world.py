@@ -48,6 +48,9 @@ class World:
         self.chunks: dict[tuple[int, int, int], Chunk] = {}
         self.last_camera_chunk: tuple[int, int, int] | None = None
         self._pos_cache: tuple[list, np.ndarray] | None = None
+        # camera chunk at which the view sphere was last found complete;
+        # skips the O(candidates) generation scan on static frames
+        self._filled_at: tuple[int, int, int] | None = None
 
     # -------------------------------------------------------------- access
     def get_or_generate_chunk(self, chunk_pos) -> Chunk:
@@ -69,10 +72,12 @@ class World:
     def clear(self) -> None:
         self.chunks.clear()
         self.last_camera_chunk = None
+        self._filled_at = None
         self._invalidate_cache()
 
     def set_view_distance(self, view_distance: int) -> None:
         self.config.view_distance = max(1, int(view_distance))
+        self._filled_at = None
 
     def view_distance(self) -> int:
         return self.config.view_distance
@@ -90,6 +95,8 @@ class World:
         cam = world_to_chunk_pos(camera_position)
         self.last_camera_chunk = cam
         vd = self.config.view_distance
+        if self._filled_at == cam:
+            return False  # sphere already filled at this camera chunk
 
         r = np.arange(-vd, vd + 1, dtype=np.int64)
         gx, gy, gz = np.meshgrid(r, r, r, indexing="ij")
@@ -121,6 +128,8 @@ class World:
         }
         if len(self.chunks) != before:
             self._invalidate_cache()
+        if generated == 0:
+            self._filled_at = cam
         return generated > 0
 
     # ---------------------------------------------------------- visibility

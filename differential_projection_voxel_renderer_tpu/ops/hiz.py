@@ -103,8 +103,9 @@ class HiZBuffer:
         """Rebuild both levels from a rendered depth buffer (the reduce_window
         path; the reference instead updates incrementally per quad)."""
         l1, l2 = build_pyramid(jnp.asarray(depth, jnp.float32))
-        self.level1 = np.asarray(l1)
-        self.level2 = np.asarray(l2)
+        # np.asarray of a jax array is read-only; copy for mutable updates
+        self.level1 = np.array(l1)
+        self.level2 = np.array(l2)
 
     def update_region(self, x0, y0, x1, y1, near_depth) -> None:
         """hiz_buffer.rs:143-183."""

@@ -1,0 +1,107 @@
+"""Framebuffer: device-resident ARGB color + f32 depth.
+
+Reference: src/rendering/framebuffer.rs — ARGB u32 color + f32 depth (init
+infinity) with SIMD clears and depth-tested writes.  On TPU the buffers are
+jnp arrays produced by the render step; "clear" is fused into the raster
+kernel (ops/raster.py initializes tiles to sky/inf in VMEM — the AVX clear
+loop, framebuffer.rs:224-313, has no standalone existence here because XLA
+would fuse it anyway).  This class is the host-facing container: fetch,
+inspect, save, and the stripe/tile views used by tests.
+
+The reference's FrameSlice/FrameTile disjoint mutable views
+(framebuffer.rs:16-195) exist to prove data-race freedom to the borrow
+checker; a pure-functional pipeline has no aliasing to prove, so the
+equivalents here are just row-band slices for assertions and the sharded
+renderer's band partitioning (parallel/sharded_render.py).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..utils.config import SKY_COLOR
+
+
+def rgb_to_u32(r: int, g: int, b: int) -> int:
+    """framebuffer.rs:475 — pack RGB into ARGB32 with full alpha."""
+    return 0xFF000000 | (int(r) << 16) | (int(g) << 8) | int(b)
+
+
+def apply_ao(color: int, ao_factor: float) -> int:
+    """framebuffer.rs:481 — scale RGB channels by an AO factor."""
+    r = int(((color >> 16) & 0xFF) * ao_factor)
+    g = int(((color >> 8) & 0xFF) * ao_factor)
+    b = int((color & 0xFF) * ao_factor)
+    return 0xFF000000 | (min(r, 255) << 16) | (min(g, 255) << 8) | min(b, 255)
+
+
+class Framebuffer:
+    """Host-side framebuffer container with reference API parity."""
+
+    def __init__(self, width: int, height: int):
+        self.width = int(width)
+        self.height = int(height)
+        self.color = np.full((self.height, self.width), np.uint32(SKY_COLOR),
+                             np.uint32)
+        self.depth = np.full((self.height, self.width), np.inf, np.float32)
+
+    @staticmethod
+    def from_device(color, depth) -> "Framebuffer":
+        """Wrap a rendered (color int32 bits, depth f32) pair."""
+        c = np.asarray(color)
+        fb = Framebuffer(c.shape[1], c.shape[0])
+        fb.color = c.view(np.uint32) if c.dtype == np.int32 else c.astype(np.uint32)
+        fb.depth = np.asarray(depth)
+        return fb
+
+    def clear(self, color: int = SKY_COLOR) -> None:
+        """framebuffer.rs clear: color fill + depth to infinity."""
+        self.color.fill(np.uint32(color))
+        self.depth.fill(np.inf)
+
+    def resize(self, width: int, height: int) -> None:
+        self.__init__(width, height)
+
+    def set_pixel(self, x: int, y: int, color: int, depth: float) -> bool:
+        """Depth-tested write, strict less (framebuffer.rs:317-353)."""
+        if not (0 <= x < self.width and 0 <= y < self.height):
+            return False
+        if depth < self.depth[y, x]:
+            self.depth[y, x] = depth
+            self.color[y, x] = np.uint32(color)
+            return True
+        return False
+
+    def split_into_stripes(self, count: int):
+        """Disjoint horizontal band views (framebuffer.rs:392-431); numpy
+        slices are views, so writes land in the parent buffers."""
+        stripe_h = (self.height + count - 1) // count
+        out = []
+        for i in range(count):
+            y0 = i * stripe_h
+            y1 = min(y0 + stripe_h, self.height)
+            if y0 >= y1:
+                break
+            out.append((y0, self.color[y0:y1], self.depth[y0:y1]))
+        return out
+
+    def color_buffer_slice(self) -> np.ndarray:
+        """Flat u32 view, the blit source (framebuffer.rs color_buffer_slice
+        / main.rs:321)."""
+        return self.color.reshape(-1)
+
+    # ------------------------------------------------------------- output
+    def to_rgb8(self) -> np.ndarray:
+        """uint8[H, W, 3] RGB image."""
+        c = self.color
+        return np.stack(
+            [(c >> 16) & 0xFF, (c >> 8) & 0xFF, c & 0xFF], axis=-1
+        ).astype(np.uint8)
+
+    def save_ppm(self, path: str) -> None:
+        """Write a binary PPM (no image libs needed) — the headless
+        replacement for the softbuffer blit."""
+        img = self.to_rgb8()
+        with open(path, "wb") as f:
+            f.write(f"P6\n{self.width} {self.height}\n255\n".encode())
+            f.write(img.tobytes())
