@@ -56,7 +56,9 @@ F_FIELDS = (
     "a00", "a01", "a02", "a10", "a11", "a12", "a20", "a21", "a22",
     "z0", "z1", "z2", "u0", "u1", "v0", "v1",
 )
-I_FIELDS = ("color_even", "color_odd", "mask_lo", "mask_hi")
+# bb0/bb1 pack the quad's inclusive pixel bbox (x | y << 16) so the kernel
+# touches only the 8x128 sub-blocks the quad can cover.
+I_FIELDS = ("color_even", "color_odd", "mask_lo", "mask_hi", "bb0", "bb1")
 
 SKY_I32 = np.uint32(SKY_COLOR).astype(np.int32)
 
@@ -98,7 +100,7 @@ def _pixel_ndc(height: int, width: int, y0, x0, th: int, tw: int):
 
 def _blend_one_quad(nx, ny, fro, iro, color, depth):
     """Shared per-quad pixel math. ``fro``/``iro`` are per-quad scalars in
-    F_FIELDS / I_FIELDS order; returns updated (color, depth)."""
+    F_FIELDS / I_FIELDS[:4] order; returns updated (color, depth)."""
     (a00, a01, a02, a10, a11, a12, a20, a21, a22,
      z0, z1, z2, u0, u1, v0, v1) = fro
     color_even, color_odd, mask_lo, mask_hi = iro
@@ -159,7 +161,7 @@ def rasterize_jnp(fcoef, icoef, count, *, height: int, width: int,
     def body(k, carry):
         color, depth = carry
         fro = tuple(fcoef[k, i] for i in range(len(F_FIELDS)))
-        iro = tuple(icoef[k, i] for i in range(len(I_FIELDS)))
+        iro = tuple(icoef[k, i] for i in range(4))
         return _blend_one_quad(nx, ny, fro, iro, color, depth)
 
     color, depth = jax.lax.fori_loop(0, count, body, (color0, depth0))
@@ -213,16 +215,19 @@ def build_tile_lists(tilebox, count, *, tiles_y: int, tiles_x: int, k_cap: int):
 # ---------------------------------------------------------------------------
 
 
+# VPU sub-block shape: one f32 vreg
+PIECE_H = 8
+PIECE_W = 128
+
+
 def _raster_kernel(counts_ref, f_hbm, i_hbm, color_ref, depth_ref,
                    f_smem, i_smem, f_sem, i_sem,
                    *, height, width, tile_h, tile_w, tiles_x, k_cap):
     t = pl.program_id(0)
     ti = t // tiles_x  # tile row
     tj = t % tiles_x   # tile col
-    nx, ny = _pixel_ndc(height, width,
-                        ti * tile_h,
-                        tj * tile_w,
-                        tile_h, tile_w)
+    tile_py0 = ti * tile_h
+    tile_px0 = tj * tile_w
     # fused clear: depth = +inf, color = sky (main.rs:393)
     color_ref[:] = jnp.full((tile_h, tile_w), SKY_I32, jnp.int32)
     depth_ref[:] = jnp.full((tile_h, tile_w), jnp.inf, jnp.float32)
@@ -273,10 +278,37 @@ def _raster_kernel(counts_ref, f_hbm, i_hbm, color_ref, depth_ref,
         def quad_body(k, _):
             fro = tuple(f_smem[slot * nf + i, k] for i in range(nf))
             iro = tuple(i_smem[slot * ni_pad + i, k] for i in range(ni))
-            color, depth = _blend_one_quad(nx, ny, fro, iro,
-                                           color_ref[:], depth_ref[:])
-            color_ref[:] = color
-            depth_ref[:] = depth
+            bb0 = iro[4]
+            bb1 = iro[5]
+            # quad pixel bbox clamped to this tile, in tile-local coords
+            lx0 = jnp.maximum((bb0 & 0xFFFF) - tile_px0, 0)
+            ly0 = jnp.maximum((bb0 >> 16) - tile_py0, 0)
+            lx1 = jnp.minimum((bb1 & 0xFFFF) - tile_px0, tile_w - 1)
+            ly1 = jnp.minimum((bb1 >> 16) - tile_py0, tile_h - 1)
+            # covered sub-block range (quads only pay for pieces their bbox
+            # touches — the reference's per-scanline span bounds,
+            # rasterizer.rs:1401-1413, in 8x128 granularity)
+            by0 = ly0 // PIECE_H
+            bx0 = lx0 // PIECE_W
+            nby = ly1 // PIECE_H - by0 + 1
+            nbx = lx1 // PIECE_W - bx0 + 1
+
+            def piece_body(p, _):
+                py = by0 + p // nbx
+                px = bx0 + p % nbx
+                yoff = pl.multiple_of(py * PIECE_H, PIECE_H)
+                xoff = pl.multiple_of(px * PIECE_W, PIECE_W)
+                nx, ny = _pixel_ndc(height, width,
+                                    tile_py0 + yoff, tile_px0 + xoff,
+                                    PIECE_H, PIECE_W)
+                sub_c = color_ref[pl.ds(yoff, PIECE_H), pl.ds(xoff, PIECE_W)]
+                sub_d = depth_ref[pl.ds(yoff, PIECE_H), pl.ds(xoff, PIECE_W)]
+                c2, d2 = _blend_one_quad(nx, ny, fro, iro[:4], sub_c, sub_d)
+                color_ref[pl.ds(yoff, PIECE_H), pl.ds(xoff, PIECE_W)] = c2
+                depth_ref[pl.ds(yoff, PIECE_H), pl.ds(xoff, PIECE_W)] = d2
+                return 0
+
+            jax.lax.fori_loop(0, nby * nbx, piece_body, 0)
             return 0
 
         jax.lax.fori_loop(0, n_in_block, quad_body, 0)

@@ -137,6 +137,10 @@ def _render_step(
             q_b, slot_b, proj_bb, chunk_clip, tables, color_tables,
             width=width, height=height, span_mode=span_mode,
         )
+        bb0 = (proj_b["bb_x0"] | (proj_b["bb_y0"] << 16))[flat]
+        bb1 = (proj_b["bb_x1"] | (proj_b["bb_y1"] << 16))[flat]
+        coeffs["bb0"] = bb0
+        coeffs["bb1"] = bb1
         f_binned, i_binned = raster_ops.pack_coeffs_rows(coeffs)
         color, depth = raster_ops.rasterize_pallas(
             f_binned, i_binned, tile_counts, height=height, width=width,
@@ -148,6 +152,8 @@ def _render_step(
             q_c, slot_c, proj_b, chunk_clip, tables, color_tables,
             width=width, height=height, span_mode=span_mode,
         )
+        coeffs["bb0"] = proj_b["bb_x0"] | (proj_b["bb_y0"] << 16)
+        coeffs["bb1"] = proj_b["bb_x1"] | (proj_b["bb_y1"] << 16)
         fcoef, icoef = raster_ops.pack_coeffs_quadmajor(coeffs)
         color, depth = raster_ops.rasterize_jnp(
             fcoef, icoef, count, height=height, width=width,

@@ -66,7 +66,7 @@ VISIBLE_CHUNKS_CAP: int = 512
 GATHER_QUADS_CAP: int = 131072
 
 # Max quads rasterized per frame after culling + compaction.
-RENDER_QUADS_CAP: int = 32768
+RENDER_QUADS_CAP: int = 65536
 
 # Default framebuffer tile shape for the Pallas rasterizer.  Lane dim must be
 # a multiple of 128; sublane dim a multiple of 8 (f32 tiling).
@@ -111,7 +111,7 @@ class RenderConfig:
     gather_cap: int = GATHER_QUADS_CAP
     quads_cap: int = RENDER_QUADS_CAP
     # per-framebuffer-tile binned quad capacity (multiple of 256)
-    tile_k_cap: int = 8192
+    tile_k_cap: int = 16384
     visible_chunks_cap: int = VISIBLE_CHUNKS_CAP
     tile_h: int = TILE_H
     tile_w: int = TILE_W
