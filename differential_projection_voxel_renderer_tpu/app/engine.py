@@ -153,6 +153,8 @@ class Engine:
         self.horizon_config = horizon_config or HorizonCullingConfig()
         self.enable_horizon_culling = True
         self.enable_occlusion_culling = False  # 'O' toggle default (main.rs:112)
+        # reference epsilon (occlusion.rs:138); see ops/occlusion.py note
+        self.occlusion_epsilon = 0.005
         self._neighbor_offsets = [
             (1, 0, 0), (-1, 0, 0), (0, 1, 0), (0, -1, 0), (0, 0, 1), (0, 0, -1)
         ]
@@ -237,7 +239,8 @@ class Engine:
                 d2 = ((centers - cam.position[None, :]) ** 2).sum(-1)
                 use_occ = d2 >= (CHUNK_SIZE * 2.0) ** 2  # main.rs:474-478
                 keep = occlusion_pass(rects, near, use_occ,
-                                      self.config.width, self.config.height)
+                                      self.config.width, self.config.height,
+                                      epsilon=self.occlusion_epsilon)
                 slots, centers = slots[keep], centers[keep]
 
         vcap = self.config.visible_chunks_cap
@@ -245,6 +248,8 @@ class Engine:
         n = min(len(slots), vcap)
         if n:
             visible_slots[:n] = slots[:n]
+        self._last_visible_slots = visible_slots
+        self._last_n_visible = n
 
         dev_counts, dev_positions = self.pool.device_tables()
         color, depth, stats = self.renderer.render(

@@ -33,6 +33,7 @@ class OcclusionBuffer:
         self.grid_height = int(grid_height)
         self.cells = np.full((self.grid_height, self.grid_width), np.inf,
                              np.float32)
+        self.epsilon = OCCLUSION_EPSILON
 
     def resize(self, screen_width: int, screen_height: int) -> None:
         self.screen_width = int(screen_width)
@@ -88,7 +89,7 @@ class OcclusionBuffer:
             return False
         cx0, cy0, cx1, cy1 = r
         region = self.cells[cy0 : cy1 + 1, cx0 : cx1 + 1]
-        return bool((region < near_depth - OCCLUSION_EPSILON).all())
+        return bool((region < near_depth - self.epsilon).all())
 
 
 def occlusion_pass(
@@ -101,22 +102,32 @@ def occlusion_pass(
     *,
     grid_w: int = OCCLUSION_GRID_W,
     grid_h: int = OCCLUSION_GRID_H,
+    epsilon: float = OCCLUSION_EPSILON,
     use_native: bool = True,
 ) -> np.ndarray:
     """The reference's render_frame pass 2 (main.rs:500-526) as a function.
-    Returns keep mask bool[n]."""
+    Returns keep mask bool[n].
+
+    NOTE (faithful-semantics finding): with the reference's epsilon of 0.005
+    in NDC depth (occlusion.rs:138) and the near=0.1/far=1000 projection,
+    depth differences beyond ~20 world units are < 0.002, so the pass culls
+    essentially nothing past its own 2-chunk minimum distance — consistent
+    with the toggle defaulting OFF (main.rs:112).  ``epsilon`` is exposed so
+    a deployment can pick a working threshold (e.g. 1e-4).
+    """
     n = len(rects)
     if n == 0:
         return np.zeros(0, dtype=bool)
     if use_native:
         keep = native_bridge.occlusion_pass_native(
             rects, depths, np.asarray(use_occ, np.uint8), screen_w, screen_h,
-            grid_w, grid_h, OCCLUSION_EPSILON,
+            grid_w, grid_h, epsilon,
         )
         if keep is not None:
             return keep.astype(bool)
 
     buf = OcclusionBuffer(screen_w, screen_h, grid_w, grid_h)
+    buf.epsilon = epsilon
     keep = np.ones(n, dtype=bool)
     for i in range(n):
         x0, y0, x1, y1 = (int(v) for v in rects[i])

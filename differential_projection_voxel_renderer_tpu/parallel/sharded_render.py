@@ -95,6 +95,8 @@ def _render_one_camera(pool, counts_all, positions, visible_slots, n_visible,
         q_c, slot_c, proj_b if span_mode else None, chunk_clip, tables,
         color_tables, width=width, height=height, span_mode=span_mode,
     )
+    coeffs["bb0"] = proj_b["bb_x0"] | (proj_b["bb_y0"] << 16)
+    coeffs["bb1"] = proj_b["bb_x1"] | (proj_b["bb_y1"] << 16)
     fcoef, icoef = raster_ops.pack_coeffs_quadmajor(coeffs)
     color, depth = raster_ops.rasterize_jnp(
         fcoef, icoef, count, height=height, width=width,

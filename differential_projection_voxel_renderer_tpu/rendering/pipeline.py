@@ -224,3 +224,39 @@ class Renderer:
             jnp.asarray(view_proj, jnp.float32),
             jnp.asarray(cam_pos, jnp.float32),
         )
+
+
+def make_repeated_step(renderer: "Renderer", n_frames: int):
+    """N full render steps inside one jit (lax.fori_loop over per-frame
+    cameras).  Used by bench.py to measure pure device throughput with a
+    single dispatch — in this environment the TPU sits behind a network
+    relay whose per-dispatch round trip would otherwise dominate."""
+    cfg = renderer.config
+    use_pallas = cfg.resolve_use_pallas()
+    tile_h, tile_w = renderer.tile
+
+    def run(quad_pool, pool_counts, pool_positions, visible_slots, n_visible,
+            vps, cams):
+        def body(i, carry):
+            color, depth, stats = _render_step(
+                quad_pool, pool_counts, pool_positions, visible_slots,
+                n_visible, vps[i], cams[i],
+                color_tables=renderer._tables_np,
+                width=cfg.width, height=cfg.height,
+                tile_h=tile_h, tile_w=tile_w,
+                gather_cap=cfg.gather_cap, render_cap=cfg.quads_cap,
+                span_mode=cfg.span_mode,
+                backface_culling=cfg.backface_culling,
+                use_pallas=use_pallas, interpret=False,
+                tile_k_cap=cfg.tile_k_cap,
+            )
+            return color, depth, stats
+
+        init = (
+            jnp.zeros((cfg.height, cfg.width), jnp.int32),
+            jnp.zeros((cfg.height, cfg.width), jnp.float32),
+            jnp.zeros(4, jnp.int32),
+        )
+        return jax.lax.fori_loop(0, n_frames, body, init)
+
+    return jax.jit(run)

@@ -1,0 +1,165 @@
+"""Engine integration tests: streaming, mesh cache, culling funnel, and the
+full frame loop (the reference's rendering_pipeline_tests.rs end-to-end
+category + the movement invariant from
+horizon_culling_pipeline_movement_tests.rs)."""
+
+import numpy as np
+import pytest
+
+from differential_projection_voxel_renderer_tpu.app.engine import Engine, QuadPool
+from differential_projection_voxel_renderer_tpu.app.flythrough import (
+    CameraKey,
+    run_flythrough,
+)
+from differential_projection_voxel_renderer_tpu.models.world import WorldConfig
+from differential_projection_voxel_renderer_tpu.utils.config import (
+    RenderConfig,
+    SKY_COLOR,
+)
+
+SKY = np.uint32(SKY_COLOR)
+
+
+def _small_engine(**kw):
+    eng = Engine(
+        render_config=RenderConfig(width=256, height=128, gather_cap=16384,
+                                   quads_cap=8192, tile_k_cap=2048),
+        world_config=WorldConfig(view_distance=3, frustum_culling=True,
+                                 max_chunks_per_frame=64),
+        pool_slots=512,
+        **kw,
+    )
+    eng.camera.position = np.array([0.0, 40.0, 60.0], np.float32)
+    eng.camera.look_at(np.array([0.0, 0.0, 0.0]))
+    return eng
+
+
+@pytest.fixture(scope="module")
+def engine():
+    eng = _small_engine()
+    eng.world.generate_region((-3, -1, -3), (3, 1, 3))
+    eng.prime()
+    return eng
+
+
+def test_frame_renders_terrain(engine):
+    res = engine.render_frame(dt=0.0)
+    col = res.color_numpy()
+    assert (col != SKY).sum() > 1000
+    assert res.rendered_meshes > 0
+    stats = np.asarray(res.stats)
+    assert stats[2] == 0 and stats[3] == 0  # no overflow
+
+
+def test_mesh_cache_reused(engine):
+    before = dict(engine.pool.by_pos)
+    engine.render_frame(dt=0.0)
+    engine.render_frame(dt=0.0)
+    assert engine.pool.by_pos == before  # static camera: no remeshing
+
+
+def test_streaming_meshes_new_chunks():
+    eng = _small_engine()
+    eng.world.update(eng.camera.position)
+    n0 = len(eng.pool.by_pos)
+    for _ in range(8):
+        eng.render_frame(dt=0.0)
+    assert len(eng.pool.by_pos) > n0
+    # unloaded chunks leave the cache (mesh_cache.retain, main.rs:280)
+    for key in eng.pool.by_pos:
+        assert eng.world.contains_chunk(key)
+
+
+def test_horizon_culling_never_turns_geometry_into_sky():
+    """Crown-jewel invariant (horizon_culling_pipeline_movement_tests.rs):
+    with horizon culling ON, no pixel that was geometry with culling OFF may
+    become sky, across a camera sweep."""
+    eng = _small_engine()
+    eng.world.generate_region((-3, -1, -3), (3, 1, 3))
+    eng.prime()
+    path = [
+        (np.array([x, 25.0, 60.0], np.float32), np.array([0.0, 0.0, 0.0]))
+        for x in np.linspace(-40, 40, 5)
+    ]
+    for pos, target in path:
+        eng.camera.position = pos
+        eng.camera.look_at(target)
+        eng.enable_horizon_culling = False
+        baseline = eng.render_frame(dt=0.0).color_numpy()
+        eng.enable_horizon_culling = True
+        culled = eng.render_frame(dt=0.0).color_numpy()
+        became_sky = (baseline != SKY) & (culled == SKY)
+        assert became_sky.sum() == 0, f"{became_sky.sum()} px popped at {pos}"
+
+
+def test_occlusion_culling_culls_hidden_and_preserves_image():
+    """A chunk fully hidden behind a nearer solid chunk is culled by the
+    occlusion pass and the image is unchanged (the reference's bbox-based
+    occlusion is exact only for this fully-covered case — which is why the
+    'O' toggle defaults off, main.rs:112)."""
+    from differential_projection_voxel_renderer_tpu.models.chunk import Chunk
+
+    eng = _small_engine()
+    # solid chunks floating high above the terrain band (y = 3 chunks) so
+    # the scene is exactly two meshes; camera looks straight down -Z at them
+    eng.camera.position = np.array([16.0, 112.0, 80.0], np.float32)
+    eng.camera.look_at(np.array([16.0, 112.0, 0.0]))
+    for z in (0, -1):
+        eng.world.chunks[(0, 3, z)] = Chunk.generate_test_solid((0, 3, z))
+    eng.world._invalidate_cache()
+    eng.prime()
+    eng.enable_horizon_culling = False
+    eng.enable_occlusion_culling = False
+    base = eng.render_frame(dt=0.0)
+    base_col = base.color_numpy()
+    # reference epsilon (0.005 in NDC depth) is too coarse to cull anything
+    # beyond its own 2-chunk minimum distance — verify faithful no-op
+    eng.enable_occlusion_culling = True
+    occ_ref = eng.render_frame(dt=0.0)
+    assert occ_ref.rendered_meshes == base.rendered_meshes
+    np.testing.assert_array_equal(base_col, occ_ref.color_numpy())
+    # with a workable epsilon the hidden chunk is culled, image unchanged
+    eng.occlusion_epsilon = 1e-4
+    occ = eng.render_frame(dt=0.0)
+    assert occ.rendered_meshes < base.rendered_meshes
+    np.testing.assert_array_equal(base_col, occ.color_numpy())
+
+
+def test_flythrough_runs():
+    eng = _small_engine()
+    path = [
+        CameraKey(np.array([60.0, 40.0, 60.0]), np.array([0.0, 0.0, 0.0])),
+        CameraKey(np.array([40.0, 35.0, 70.0]), np.array([10.0, 0.0, 0.0])),
+        CameraKey(np.array([20.0, 30.0, 80.0]), np.array([20.0, 0.0, 0.0])),
+    ]
+    results = run_flythrough(eng, path)
+    assert len(results) == 3
+    assert (results[-1].color_numpy() != SKY).sum() > 100
+
+
+def test_pool_slot_reuse_and_overflow_reporting():
+    pool = QuadPool(slots=4, qcap=16)
+    pool.insert((0, 0, 0), np.arange(10, dtype=np.uint32))
+    pool.insert((1, 0, 0), np.arange(30, dtype=np.uint32))  # overflows qcap
+    assert pool.overflow_drops == 14
+    assert pool.counts[pool.slot_of((1, 0, 0))] == 16
+    pool.remove((0, 0, 0))
+    pool.insert((2, 0, 0), None)  # uniform chunk: entry with zero quads
+    assert (2, 0, 0) in pool
+    assert pool.counts[pool.slot_of((2, 0, 0))] == 0
+    # slots are recycled
+    pool.insert((3, 0, 0), np.arange(4, dtype=np.uint32))
+    pool.insert((4, 0, 0), np.arange(4, dtype=np.uint32))
+    with pytest.raises(RuntimeError):
+        pool.insert((5, 0, 0), np.arange(4, dtype=np.uint32))
+
+
+def test_shading_toggle_runtime(engine):
+    """F-key analogue (main.rs:143-153)."""
+    base = engine.render_frame(dt=0.0).color_numpy()
+    engine.renderer.set_shading(False)
+    flat = engine.render_frame(dt=0.0).color_numpy()
+    engine.renderer.set_shading(True)
+    both = (base != SKY) & (flat != SKY)
+    assert (base[both] != flat[both]).any()
+    np.testing.assert_array_equal(base != SKY, flat != SKY)
