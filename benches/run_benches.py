@@ -1,0 +1,183 @@
+"""Micro/criterion-style benchmark suite — mirrors the reference's six
+cargo-bench targets (SURVEY.md section 6 harness inventory):
+
+- meshing:   uniform / terrain / dense / multi-chunk (benches/meshing.rs)
+- rendering: single chunk, framebuffer ops, 3x3x3 world (benches/rendering.rs)
+- world:     generation sizes, update, visibility query (benches/world.rs)
+- differential_projection: full MVP vs batched basis (benches/differential_projection.rs)
+- span_walker: quad batches at 1920x1080 (benches/span_walker.rs)
+- microbench: funnel counters per pattern (benches/microbench.rs)
+
+Usage:  python benches/run_benches.py [--device]
+Prints one line per case to stdout (name, time, derived rate).
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, ".")
+
+
+def timeit(name, fn, n=10, unit="", per=1):
+    fn()  # warm
+    t0 = time.perf_counter()
+    for _ in range(n):
+        out = fn()
+    dt = (time.perf_counter() - t0) / n
+    rate = f" ({per / dt:,.0f} {unit}/s)" if unit else ""
+    print(f"{name}: {dt * 1e3:.3f} ms{rate}")
+    return out
+
+
+def bench_meshing():
+    from differential_projection_voxel_renderer_tpu.meshing.greedy import mesh_chunk
+    from differential_projection_voxel_renderer_tpu.models.chunk import Chunk
+
+    print("== meshing (host, native greedy) ==")
+    terrain = Chunk.generate_terrain((0, 0, 0))
+    solid = Chunk.generate_test_solid((1, 0, 0))
+    rng = np.random.default_rng(0)
+    dense = Chunk.varied((2, 0, 0), np.where(
+        rng.random((32, 32, 32)) < 0.3, rng.integers(1, 4, (32, 32, 32)), 0
+    ).astype(np.uint8))
+    timeit("terrain chunk", lambda: mesh_chunk(terrain), n=50, unit="chunk", per=1)
+    timeit("solid chunk", lambda: mesh_chunk(solid), n=50, unit="chunk", per=1)
+    timeit("dense random chunk", lambda: mesh_chunk(dense), n=20, unit="chunk", per=1)
+    region = [Chunk.generate_terrain((x, 0, z)) for x in range(3) for z in range(3)]
+    timeit("3x3 region (9 chunks, neighbors)",
+           lambda: [mesh_chunk(c, region) for c in region], n=5,
+           unit="chunk", per=9)
+
+
+def bench_world():
+    from differential_projection_voxel_renderer_tpu.models.camera import Camera
+    from differential_projection_voxel_renderer_tpu.models.world import (
+        World, WorldConfig,
+    )
+
+    print("== world ==")
+    for vd in (5, 10):
+        def gen():
+            w = World(WorldConfig(view_distance=vd, max_chunks_per_frame=10**9))
+            w.update(np.zeros(3))
+            return w
+        w = timeit(f"generate view sphere vd={vd}", gen, n=2, unit="chunk",
+                   per=len(gen().chunks))
+    w = World(WorldConfig(view_distance=10))
+    w.update(np.zeros(3))
+    cam = Camera(np.zeros(3), 16 / 9)
+    fr = cam.extract_frustum()
+    timeit("visibility query (sphere+frustum)",
+           lambda: w.get_visible_chunks_frustum(np.zeros(3), fr), n=50)
+
+
+def bench_device(quick=False):
+    import jax
+    import jax.numpy as jnp
+
+    from differential_projection_voxel_renderer_tpu.meshing.greedy import mesh_chunk
+    from differential_projection_voxel_renderer_tpu.models.camera import Camera
+    from differential_projection_voxel_renderer_tpu.models.chunk import Chunk
+    from differential_projection_voxel_renderer_tpu.ops import meshing_jax as MJ
+    from differential_projection_voxel_renderer_tpu.rendering.pipeline import (
+        Renderer, make_repeated_step,
+    )
+    from differential_projection_voxel_renderer_tpu.utils.config import RenderConfig
+
+    print(f"== device ({jax.default_backend()}) ==")
+
+    # differential projection: batched basis vs per-corner MVP at 128k quads
+    from differential_projection_voxel_renderer_tpu.ops import projection as P
+
+    rng = np.random.default_rng(0)
+    m = 131072
+    quads = jnp.asarray(rng.integers(0, 2**32, m, dtype=np.uint64).astype(np.uint32))
+    slot = jnp.asarray(rng.integers(0, 256, m).astype(np.int32))
+    cam = Camera(np.array([16.0, 60.0, 90.0], np.float32), 16 / 9)
+    cam.look_at(np.array([0.0, 0.0, 0.0]))
+    vp = jnp.asarray(cam.view_projection_matrix())
+    tables = P.view_tables(vp, jnp.asarray(cam.position))
+    cpos = jnp.asarray(rng.integers(-6, 6, (256, 3)).astype(np.int32))
+    cclip = P.chunk_clip_origins(vp, cpos)
+    cw = tuple((cpos.astype(jnp.float32) * 32.0)[:, a] for a in range(3))
+    instream = jnp.ones(m, bool)
+
+    f = jax.jit(lambda q, s: P.project_and_cull(
+        q, s, instream, cclip, cw, tables, width=1280, height=720)["valid"].sum())
+    jax.block_until_ready(f(quads, slot))
+    t0 = time.perf_counter()
+    n = 20
+    for _ in range(n):
+        out = f(quads, slot)
+    jax.block_until_ready(out)
+    dt = (time.perf_counter() - t0) / n
+    print(f"project+cull 131k quads: {dt*1e3:.3f} ms "
+          f"({m/dt/1e9:.2f} Gquad/s, {m*4/dt/1e9:.2f} Gcorner/s)")
+
+    # device meshing throughput
+    chunks = [Chunk.generate_terrain((x, 0, z)) for x in range(4) for z in range(4)]
+    varied = [c for c in chunks if not c.is_uniform]
+    bbp = {tuple(c.position): c.dense() for c in varied}
+    planes = MJ.neighbor_planes_from_batch(bbp, [c.position for c in varied])
+    batch = jnp.asarray(np.stack([c.dense() for c in varied]))
+    planes = jnp.asarray(planes)
+    g = jax.jit(lambda b, p: MJ.mesh_chunks_device(b, p, max_steps=64, qcap=4096)[1].sum())
+    jax.block_until_ready(g(batch, planes))
+    t0 = time.perf_counter()
+    for _ in range(10):
+        out = g(batch, planes)
+    jax.block_until_ready(out)
+    dt = (time.perf_counter() - t0) / 10
+    print(f"device meshing {len(varied)} chunks: {dt*1e3:.3f} ms "
+          f"({len(varied)/dt:,.0f} chunk/s)")
+
+    # span-walker-style full frame (span mode) at 1920x1080
+    for mode, w, h in (("span 1920x1080", 1920, 1080), ("exact 1280x720", 1280, 720)):
+        cfg = RenderConfig(width=w, height=h, span_mode=mode.startswith("span"),
+                           gather_cap=32768, quads_cap=16384, tile_k_cap=4096)
+        r = Renderer(cfg)
+        pool = np.zeros((32, 4096), np.uint32)
+        counts = np.zeros(32, np.int32)
+        positions = np.zeros((32, 3), np.int32)
+        slot_i = 0
+        for c in varied[:16]:
+            q = mesh_chunk(c, varied)
+            if q is None:
+                continue
+            k = min(len(q), 4096)
+            pool[slot_i, :k] = q[:k]
+            counts[slot_i] = k
+            positions[slot_i] = c.position
+            slot_i += 1
+        k = 20
+        rep = make_repeated_step(r, k)
+        vps = np.repeat(cam.view_projection_matrix()[None], k, 0).astype(np.float32)
+        cams = np.repeat(cam.position[None], k, 0).astype(np.float32)
+        cams += np.random.default_rng(0).normal(0, 0.01, cams.shape).astype(np.float32)
+        vis = np.zeros(cfg.visible_chunks_cap, np.int32)
+        vis[:slot_i] = np.arange(slot_i)
+        args = (jnp.asarray(pool), jnp.asarray(counts), jnp.asarray(positions),
+                jnp.asarray(vis), jnp.asarray(slot_i, jnp.int32),
+                jnp.asarray(vps), jnp.asarray(cams))
+        out = jax.block_until_ready(rep(*args))
+        t0 = time.perf_counter()
+        out = jax.block_until_ready(rep(*args))
+        dt = (time.perf_counter() - t0) / k
+        print(f"frame ({mode}, {slot_i} chunks): {dt*1e3:.3f} ms "
+              f"({1/dt:,.0f} FPS)")
+
+
+if __name__ == "__main__":
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--device", action="store_true",
+                    help="include device (TPU/CPU-jnp) benches")
+    a = ap.parse_args()
+    bench_meshing()
+    bench_world()
+    if a.device:
+        bench_device()

@@ -221,6 +221,31 @@ def render_span(quads, chunk_world, vp, cam_pos, width, height, *, fb=None):
     return color, depth
 
 
+def clip_polygon_near(vertices: np.ndarray, eps: float = NEAR_W_EPS) -> np.ndarray:
+    """Sutherland-Hodgman clip of a convex clip-space polygon against the
+    near plane ``w >= eps`` (reference rasterizer.rs:704-742 /
+    :2560-2623).  ``vertices``: f64[N, 4]; returns f64[M, 4] (M may be 0).
+
+    The production TPU path needs no clipping (homogeneous rasterization
+    rejects w <= 0 per pixel); this is the oracle/parity implementation.
+    """
+    out = []
+    n = len(vertices)
+    if n == 0:
+        return np.zeros((0, 4))
+    prev = vertices[-1]
+    prev_in = prev[3] >= eps
+    for curr in vertices:
+        curr_in = curr[3] >= eps
+        if prev_in != curr_in:
+            t = (eps - prev[3]) / (curr[3] - prev[3])
+            out.append(prev + (curr - prev) * t)
+        if curr_in:
+            out.append(curr)
+        prev, prev_in = curr, curr_in
+    return np.asarray(out) if out else np.zeros((0, 4))
+
+
 def render_triangles(quads, chunk_world, vp, width, height, *,
                      colors=None, fb=None, cam_pos=None):
     """Reference-test-style barycentric triangle oracle
@@ -257,13 +282,18 @@ def render_triangles(quads, chunk_world, vp, width, height, *,
                else np.uint32(BLOCK_COLORS_ARGB[block]))
         quad_clip = clip[i]
         if (quad_clip[:, 3] <= NEAR_W_EPS).any():
-            continue  # oracle skips near-crossing quads entirely
+            # near-crossing: Sutherland-Hodgman clip to a convex polygon and
+            # triangulate the fan (rasterizer.rs:744-779)
+            quad_clip = clip_polygon_near(quad_clip)
+            if len(quad_clip) < 3:
+                continue
         ndc = quad_clip[:, :3] / quad_clip[:, 3:4]
         scr = np.stack(
             [(ndc[:, 0] + 1) * 0.5 * width, (1 - ndc[:, 1]) * 0.5 * height],
             axis=-1,
         )
-        for tri in ((0, 1, 2), (0, 2, 3)):
+        tris = [(0, t, t + 1) for t in range(1, len(quad_clip) - 1)]
+        for tri in tris:
             p = [scr[t] for t in tri]
             zs = [ndc[t, 2] for t in tri]
             area = edge(p[0], p[1], p[2])
