@@ -109,6 +109,7 @@ def main():
     # pure device throughput: N frames inside ONE jit dispatch (immune to
     # the relay round-trip noise of this environment)
     from differential_projection_voxel_renderer_tpu.rendering.pipeline import (
+        build_gather_indices,
         make_repeated_step,
     )
 
@@ -118,12 +119,15 @@ def main():
     vps = np.repeat(eng.camera.view_projection_matrix()[None], k, 0)
     cams = np.repeat(eng.camera.position[None], k, 0).astype(np.float32)
     cams += rng.normal(0, 0.01, cams.shape).astype(np.float32)  # defeat CSE
-    dev_counts, dev_positions = eng.pool.device_tables()
+    dev_positions = eng.pool.device_tables()
     vis = eng._last_visible_slots
-    nvis = eng._last_n_visible
+    chunk_of, within, total = build_gather_indices(
+        eng._last_counts_sel, eng.config.gather_cap
+    )
     import jax.numpy as jnp
-    rep_args = (eng.pool.quads, dev_counts, dev_positions,
-                jnp.asarray(vis), jnp.asarray(nvis, jnp.int32),
+    rep_args = (eng.pool.quads, dev_positions,
+                jnp.asarray(vis), jnp.asarray(chunk_of), jnp.asarray(within),
+                jnp.asarray(total, jnp.int32),
                 jnp.asarray(vps, jnp.float32), jnp.asarray(cams))
     out = jax.block_until_ready(rep(*rep_args))  # compile
     t0 = time.time()

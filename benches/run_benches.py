@@ -154,6 +154,10 @@ def bench_device(quick=False):
             counts[slot_i] = k
             positions[slot_i] = c.position
             slot_i += 1
+        from differential_projection_voxel_renderer_tpu.rendering.pipeline import (
+            build_gather_indices,
+        )
+
         k = 20
         rep = make_repeated_step(r, k)
         vps = np.repeat(cam.view_projection_matrix()[None], k, 0).astype(np.float32)
@@ -161,8 +165,12 @@ def bench_device(quick=False):
         cams += np.random.default_rng(0).normal(0, 0.01, cams.shape).astype(np.float32)
         vis = np.zeros(cfg.visible_chunks_cap, np.int32)
         vis[:slot_i] = np.arange(slot_i)
-        args = (jnp.asarray(pool), jnp.asarray(counts), jnp.asarray(positions),
-                jnp.asarray(vis), jnp.asarray(slot_i, jnp.int32),
+        counts_sel = np.zeros(cfg.visible_chunks_cap, np.int32)
+        counts_sel[:slot_i] = counts[:slot_i]
+        chunk_of, within, total = build_gather_indices(counts_sel, cfg.gather_cap)
+        args = (jnp.asarray(pool), jnp.asarray(positions),
+                jnp.asarray(vis), jnp.asarray(chunk_of), jnp.asarray(within),
+                jnp.asarray(total, jnp.int32),
                 jnp.asarray(vps), jnp.asarray(cams))
         out = jax.block_until_ready(rep(*args))
         t0 = time.perf_counter()

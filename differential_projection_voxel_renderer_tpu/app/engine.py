@@ -65,15 +65,12 @@ class QuadPool:
         self._dev_cache: tuple | None = None  # (counts, positions) on device
 
     def device_tables(self):
-        """Device copies of counts/positions, re-uploaded only after pool
-        mutations (the tables are tiny but a per-frame H2D hurts latency)."""
+        """Device copy of positions, re-uploaded only after pool mutations
+        (counts stay host-side — the gather indices are host-built)."""
         import jax.numpy as _jnp
 
         if self._dev_cache is None:
-            self._dev_cache = (
-                _jnp.asarray(self.counts),
-                _jnp.asarray(self.positions),
-            )
+            self._dev_cache = _jnp.asarray(self.positions)
         return self._dev_cache
 
     def __contains__(self, pos) -> bool:
@@ -245,19 +242,21 @@ class Engine:
 
         vcap = self.config.visible_chunks_cap
         visible_slots = np.zeros(vcap, np.int32)
+        counts_sel = np.zeros(vcap, np.int32)
         n = min(len(slots), vcap)
         if n:
             visible_slots[:n] = slots[:n]
+            counts_sel[:n] = self.pool.counts[slots[:n]]
         self._last_visible_slots = visible_slots
+        self._last_counts_sel = counts_sel
         self._last_n_visible = n
 
-        dev_counts, dev_positions = self.pool.device_tables()
+        dev_positions = self.pool.device_tables()
         color, depth, stats = self.renderer.render(
             self.pool.quads,
-            dev_counts,
             dev_positions,
             visible_slots,
-            n,
+            counts_sel,
             vp,
             cam.position,
         )

@@ -47,10 +47,11 @@ class FrameStats:
 
 def _render_step(
     quad_pool,        # uint32[P, QCAP]
-    pool_counts,      # int32[P]
     pool_positions,   # int32[P, 3]
     visible_slots,    # int32[VCAP] — host-culled, front-to-back
-    n_visible,        # int32[]
+    chunk_of,         # int32[GQ] — visible-chunk index per stream slot
+    within,           # int32[GQ] — quad index within the chunk
+    n_quads,          # int32[]   — total quads in the stream
     view_proj,        # f32[4, 4]
     cam_pos,          # f32[3]
     *,
@@ -67,78 +68,51 @@ def _render_step(
     interpret: bool,
     tile_k_cap: int = 8192,
 ):
-    vcap = visible_slots.shape[0]
+    del render_cap  # retained for config compatibility
     tables = proj_ops.view_tables(view_proj, cam_pos)
 
-    # ---- gather: ragged per-chunk quad lists -> one static stream
+    # ---- gather: host-precomputed (chunk_of, within) index arrays replace
+    # the in-graph searchsorted (the host knows every count; TPU gathers
+    # cost ~3 ns/element while np.repeat is free)
     sel = jnp.clip(visible_slots, 0, quad_pool.shape[0] - 1)
-    counts = jnp.where(
-        jnp.arange(vcap) < n_visible, pool_counts[sel], 0
-    ).astype(jnp.int32)
     positions = pool_positions[sel]
     chunk_clip = proj_ops.chunk_clip_origins(view_proj, positions)
     world = positions.astype(jnp.float32) * 32.0
     chunk_world = tuple(world[:, a] for a in range(3))
 
-    cum = jnp.cumsum(counts)
-    total = cum[-1]
-    i = jnp.arange(gather_cap, dtype=jnp.int32)
-    chunk_of = jnp.searchsorted(cum, i, side="right").astype(jnp.int32)
-    chunk_of_c = jnp.clip(chunk_of, 0, vcap - 1)
-    base = jnp.where(chunk_of_c > 0, cum[jnp.maximum(chunk_of_c - 1, 0)], 0)
-    within = jnp.clip(i - base, 0, quad_pool.shape[1] - 1)
-    in_stream = i < jnp.minimum(total, gather_cap)
-    quads = quad_pool[sel[chunk_of_c], within]
+    gq = chunk_of.shape[0]
+    in_stream = jnp.arange(gq, dtype=jnp.int32) < n_quads
+    quads = quad_pool[sel[chunk_of], within]
 
-    # ---- project + cull (stage A)
+    # ---- project + cull (stage A) — valid mask + screen bboxes
     proj_a = proj_ops.project_and_cull(
-        quads, chunk_of_c, in_stream, chunk_clip, chunk_world, tables,
+        quads, chunk_of, in_stream, chunk_clip, chunk_world, tables,
         width=width, height=height, span_mode=span_mode,
         backface_culling=backface_culling,
     )
-
-    # ---- compact survivors
-    count, overflow, (q_c, slot_c) = proj_ops.compact_stream(
-        proj_a["valid"], render_cap, (quads, chunk_of_c)
-    )
-
-    # ---- stage B on the compacted stream (recompute is cheap at 32k)
-    in_render = jnp.arange(render_cap, dtype=jnp.int32) < count
-    proj_b = proj_ops.project_and_cull(
-        q_c, slot_c, in_render, chunk_clip, chunk_world, tables,
-        width=width, height=height, span_mode=span_mode,
-        backface_culling=backface_culling,
-    )
+    count = proj_a["valid"].sum().astype(jnp.int32)
 
     if use_pallas:
-        # ---- bin to framebuffer tiles, then compute coefficients directly
-        # on the per-tile streams (recompute beats gathering 20 fields)
+        # ---- bin the surviving quads straight to framebuffer tiles (no
+        # intermediate compaction: invalid quads simply overlap no tile),
+        # then compute rasterizer coefficients on the per-tile streams
         tiles_y, tiles_x = height // tile_h, width // tile_w
-        tilebox = proj_ops.pack_tilebox(proj_b, tile_h=tile_h, tile_w=tile_w)
+        tilebox = proj_ops.pack_tilebox(proj_a, tile_h=tile_h, tile_w=tile_w)
+        tilebox = jnp.where(proj_a["valid"], tilebox, jnp.int32(0xFF))  # tx0>tx1
         items, tile_counts, bin_overflow = raster_ops.build_tile_lists(
-            tilebox, count, tiles_y=tiles_y, tiles_x=tiles_x, k_cap=tile_k_cap
+            tilebox, n_quads, tiles_y=tiles_y, tiles_x=tiles_x,
+            k_cap=tile_k_cap,
         )
         flat = items.reshape(-1)
-        q_b = q_c[flat]
-        slot_b = slot_c[flat]
-        in_bin = (
-            jnp.arange(tile_k_cap, dtype=jnp.int32)[None, :]
-            < tile_counts[:, None]
-        ).reshape(-1)
-        if span_mode:
-            proj_bb = proj_ops.project_and_cull(
-                q_b, slot_b, in_bin, chunk_clip, chunk_world, tables,
-                width=width, height=height, span_mode=True,
-                backface_culling=backface_culling,
-            )
-        else:
-            proj_bb = None
+        q_b = quads[flat]
+        slot_b = chunk_of[flat]
         coeffs = proj_ops.quad_coefficients(
-            q_b, slot_b, proj_bb, chunk_clip, tables, color_tables,
+            q_b, slot_b, _gather_proj(proj_a, flat) if span_mode else None,
+            chunk_clip, tables, color_tables,
             width=width, height=height, span_mode=span_mode,
         )
-        bb0 = (proj_b["bb_x0"] | (proj_b["bb_y0"] << 16))[flat]
-        bb1 = (proj_b["bb_x1"] | (proj_b["bb_y1"] << 16))[flat]
+        bb0 = (proj_a["bb_x0"] | (proj_a["bb_y0"] << 16))[flat]
+        bb1 = (proj_a["bb_x1"] | (proj_a["bb_y1"] << 16))[flat]
         coeffs["bb0"] = bb0
         coeffs["bb1"] = bb1
         f_binned, i_binned = raster_ops.pack_coeffs_rows(coeffs)
@@ -147,7 +121,20 @@ def _render_step(
             tile_h=tile_h, tile_w=tile_w, k_cap=tile_k_cap,
             interpret=interpret,
         )
+        overflow = jnp.int32(0)
     else:
+        # jnp path: compact first (keeps the full-frame loop short), then
+        # rasterize the survivors in stream order
+        rcap = min(gq, 65536)
+        count_c, overflow, (q_c, slot_c) = proj_ops.compact_stream(
+            proj_a["valid"], rcap, (quads, chunk_of)
+        )
+        in_render = jnp.arange(rcap, dtype=jnp.int32) < count_c
+        proj_b = proj_ops.project_and_cull(
+            q_c, slot_c, in_render, chunk_clip, chunk_world, tables,
+            width=width, height=height, span_mode=span_mode,
+            backface_culling=backface_culling,
+        )
         coeffs = proj_ops.quad_coefficients(
             q_c, slot_c, proj_b, chunk_clip, tables, color_tables,
             width=width, height=height, span_mode=span_mode,
@@ -156,13 +143,39 @@ def _render_step(
         coeffs["bb1"] = proj_b["bb_x1"] | (proj_b["bb_y1"] << 16)
         fcoef, icoef = raster_ops.pack_coeffs_quadmajor(coeffs)
         color, depth = raster_ops.rasterize_jnp(
-            fcoef, icoef, count, height=height, width=width,
+            fcoef, icoef, count_c, height=height, width=width,
         )
         bin_overflow = jnp.int32(0)
-    stats = jnp.stack(
-        [jnp.minimum(total, gather_cap), count, overflow, bin_overflow]
-    )
+    stats = jnp.stack([n_quads, count, overflow, bin_overflow])
     return color, depth, stats
+
+
+def _gather_proj(proj, flat):
+    """Gather the span-mode Stage-A fields onto the binned stream."""
+    keys = ("nx_min", "nx_max", "ny_min", "ny_max", "depth_near")
+    return {k: proj[k][flat] for k in keys}
+
+
+def build_gather_indices(counts_sel: np.ndarray, gather_cap: int):
+    """Host-side ragged flatten: per-visible-chunk quad counts ->
+    (chunk_of i32[gather_cap], within i32[gather_cap], total int).
+    Pure numpy (np.repeat); the device never runs a searchsorted."""
+    counts_sel = np.asarray(counts_sel, np.int64)
+    total = int(counts_sel.sum())
+    if total > gather_cap:
+        # truncate whole chunks from the back (reported via stats[0])
+        cum = np.cumsum(counts_sel)
+        counts_sel = np.where(cum <= gather_cap, counts_sel,
+                              np.maximum(gather_cap - (cum - counts_sel), 0))
+        total = int(counts_sel.sum())
+    chunk_of = np.zeros(gather_cap, np.int32)
+    within = np.zeros(gather_cap, np.int32)
+    if total:
+        co = np.repeat(np.arange(len(counts_sel), dtype=np.int32), counts_sel)
+        starts = np.repeat(np.cumsum(counts_sel) - counts_sel, counts_sel)
+        chunk_of[:total] = co
+        within[:total] = np.arange(total, dtype=np.int64) - starts
+    return chunk_of, within, total
 
 
 class Renderer:
@@ -214,13 +227,20 @@ class Renderer:
         self.config.enable_shading = enable
         self.__init__(self.config, self.atlas)
 
-    def render(self, quad_pool, pool_counts, pool_positions, visible_slots,
-               n_visible, view_proj, cam_pos):
-        """Returns (color int32[H, W] as ARGB bits, depth f32[H, W], stats)."""
+    def render(self, quad_pool, pool_positions, visible_slots,
+               counts_sel, view_proj, cam_pos):
+        """Returns (color int32[H, W] as ARGB bits, depth f32[H, W], stats).
+
+        ``counts_sel``: host numpy per-visible-chunk quad counts (aligned
+        with ``visible_slots``; zero-padded to the slot cap)."""
+        chunk_of, within, total = build_gather_indices(
+            counts_sel, self.config.gather_cap
+        )
         return self._step(
-            quad_pool, pool_counts, pool_positions,
+            quad_pool, pool_positions,
             jnp.asarray(visible_slots, jnp.int32),
-            jnp.asarray(n_visible, jnp.int32),
+            jnp.asarray(chunk_of), jnp.asarray(within),
+            jnp.asarray(total, jnp.int32),
             jnp.asarray(view_proj, jnp.float32),
             jnp.asarray(cam_pos, jnp.float32),
         )
@@ -235,12 +255,12 @@ def make_repeated_step(renderer: "Renderer", n_frames: int):
     use_pallas = cfg.resolve_use_pallas()
     tile_h, tile_w = renderer.tile
 
-    def run(quad_pool, pool_counts, pool_positions, visible_slots, n_visible,
-            vps, cams):
+    def run(quad_pool, pool_positions, visible_slots, chunk_of, within,
+            n_quads, vps, cams):
         def body(i, carry):
             color, depth, stats = _render_step(
-                quad_pool, pool_counts, pool_positions, visible_slots,
-                n_visible, vps[i], cams[i],
+                quad_pool, pool_positions, visible_slots,
+                chunk_of, within, n_quads, vps[i], cams[i],
                 color_tables=renderer._tables_np,
                 width=cfg.width, height=cfg.height,
                 tile_h=tile_h, tile_w=tile_w,

@@ -71,8 +71,10 @@ def test_sharded_matches_single_device(scene):
     r = Renderer(RenderConfig(width=W, height=H, use_pallas=False,
                               gather_cap=1024, quads_cap=512,
                               visible_chunks_cap=8))
-    c1, d1, _ = r.render(jnp.asarray(pool), jnp.asarray(counts),
-                         jnp.asarray(positions), visible[0], 1,
+    counts_sel = np.zeros(8, np.int32)
+    counts_sel[0] = counts[0]
+    c1, d1, _ = r.render(jnp.asarray(pool),
+                         jnp.asarray(positions), visible[0], counts_sel,
                          cam.view_projection_matrix(), cam.position)
     np.testing.assert_array_equal(color[0], np.asarray(c1))
     both = np.isfinite(np.asarray(depth[0])) & np.isfinite(np.asarray(d1))
