@@ -119,15 +119,14 @@ def main():
     vps = np.repeat(eng.camera.view_projection_matrix()[None], k, 0)
     cams = np.repeat(eng.camera.position[None], k, 0).astype(np.float32)
     cams += rng.normal(0, 0.01, cams.shape).astype(np.float32)  # defeat CSE
-    dev_positions = eng.pool.device_tables()
-    vis = eng._last_visible_slots
-    chunk_of, within, total = build_gather_indices(
-        eng._last_counts_sel, eng.config.gather_cap
+    slot_of, within, quad_world, total = build_gather_indices(
+        eng._last_counts_sel, eng._last_visible_slots,
+        eng._last_positions_sel, eng.config.gather_cap
     )
     import jax.numpy as jnp
-    rep_args = (eng.pool.quads, dev_positions,
-                jnp.asarray(vis), jnp.asarray(chunk_of), jnp.asarray(within),
-                jnp.asarray(total, jnp.int32),
+    rep_args = (eng.pool.quads,
+                jnp.asarray(slot_of), jnp.asarray(within),
+                jnp.asarray(quad_world), jnp.asarray(total, jnp.int32),
                 jnp.asarray(vps, jnp.float32), jnp.asarray(cams))
     out = jax.block_until_ready(rep(*rep_args))  # compile
     t0 = time.time()

@@ -107,8 +107,10 @@ def bench_device(quick=False):
     cw = tuple((cpos.astype(jnp.float32) * 32.0)[:, a] for a in range(3))
     instream = jnp.ones(m, bool)
 
+    wq = P.quad_world_from_slots(cw, slot)
     f = jax.jit(lambda q, s: P.project_and_cull(
-        q, s, instream, cclip, cw, tables, width=1280, height=720)["valid"].sum())
+        q, P.quad_world_from_slots(cw, s), instream, tables,
+        width=1280, height=720)["valid"].sum())
     jax.block_until_ready(f(quads, slot))
     t0 = time.perf_counter()
     n = 20
@@ -167,10 +169,14 @@ def bench_device(quick=False):
         vis[:slot_i] = np.arange(slot_i)
         counts_sel = np.zeros(cfg.visible_chunks_cap, np.int32)
         counts_sel[:slot_i] = counts[:slot_i]
-        chunk_of, within, total = build_gather_indices(counts_sel, cfg.gather_cap)
-        args = (jnp.asarray(pool), jnp.asarray(positions),
-                jnp.asarray(vis), jnp.asarray(chunk_of), jnp.asarray(within),
-                jnp.asarray(total, jnp.int32),
+        positions_sel = np.zeros((cfg.visible_chunks_cap, 3), np.int32)
+        positions_sel[:slot_i] = positions[:slot_i]
+        slot_of, within, quad_world, total = build_gather_indices(
+            counts_sel, vis, positions_sel, cfg.gather_cap
+        )
+        args = (jnp.asarray(pool),
+                jnp.asarray(slot_of), jnp.asarray(within),
+                jnp.asarray(quad_world), jnp.asarray(total, jnp.int32),
                 jnp.asarray(vps), jnp.asarray(cams))
         out = jax.block_until_ready(rep(*args))
         t0 = time.perf_counter()

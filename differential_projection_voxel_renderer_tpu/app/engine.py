@@ -243,20 +243,22 @@ class Engine:
         vcap = self.config.visible_chunks_cap
         visible_slots = np.zeros(vcap, np.int32)
         counts_sel = np.zeros(vcap, np.int32)
+        positions_sel = np.zeros((vcap, 3), np.int32)
         n = min(len(slots), vcap)
         if n:
             visible_slots[:n] = slots[:n]
             counts_sel[:n] = self.pool.counts[slots[:n]]
+            positions_sel[:n] = self.pool.positions[slots[:n]]
         self._last_visible_slots = visible_slots
         self._last_counts_sel = counts_sel
+        self._last_positions_sel = positions_sel
         self._last_n_visible = n
 
-        dev_positions = self.pool.device_tables()
         color, depth, stats = self.renderer.render(
             self.pool.quads,
-            dev_positions,
             visible_slots,
             counts_sel,
+            positions_sel,
             vp,
             cam.position,
         )

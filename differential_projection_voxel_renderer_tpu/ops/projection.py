@@ -106,11 +106,16 @@ def chunk_clip_origins(view_proj: jnp.ndarray, chunk_positions: jnp.ndarray):
 
 class _Basis:
     """Per-quad clip-space basis in SoA form: each of origin/tangent/
-    bitangent is 4 separate [M] arrays (ox..ow, tx..tw, bx..bw)."""
+    bitangent is 4 separate [M] arrays (ox..ow, tx..tw, bx..bw).
+
+    ``quad_world`` is a tuple of 3 [M] arrays: the quad's chunk world origin
+    per quad (host-expanded — gathers from per-chunk tables cost ~3 ns/elem
+    on TPU while the host's np.repeat is free).  The origin transform is
+    then pure elementwise math: o = vp @ (w + ap * n, 1)."""
 
     __slots__ = ("o", "t", "b")
 
-    def __init__(self, dec, chunk_slot, chunk_clip, vp):
+    def __init__(self, dec, quad_world, vp):
         face = dec["face"]
         t_axis = _select_axis(face, FACE_T_AXIS)
         b_axis = _select_axis(face, FACE_B_AXIS)
@@ -121,11 +126,21 @@ class _Basis:
         self.b = tuple(_select3(b_axis, col[r][0], col[r][1], col[r][2]) for r in range(4))
         n = tuple(_select3(n_axis, col[r][0], col[r][1], col[r][2]) for r in range(4))
         ap = dec["axis_pos"]
-        # chunk_clip is a tuple of 4 [V] arrays (see chunk_clip_origins)
-        self.o = tuple(chunk_clip[r][chunk_slot] + ap * n[r] for r in range(4))
+        wx, wy, wz = quad_world
+        self.o = tuple(
+            vp[r, 0] * wx + vp[r, 1] * wy + vp[r, 2] * wz + vp[r, 3] + ap * n[r]
+            for r in range(4)
+        )
 
     def corner(self, u, v, r):
         return self.o[r] + u * self.t[r] + v * self.b[r]
+
+
+def quad_world_from_slots(chunk_world, chunk_slot):
+    """Compat helper: per-quad world origins via gathers from per-chunk
+    tables (tests / the sharded jnp path; the production pipeline uploads
+    host-expanded arrays instead)."""
+    return tuple(chunk_world[a][chunk_slot] for a in range(3))
 
 
 def _select_axis(face, table_np):
@@ -138,10 +153,8 @@ def _select_axis(face, table_np):
 
 def project_and_cull(
     quads: jnp.ndarray,          # uint32[N]
-    chunk_slot: jnp.ndarray,     # int32[N] index into per-chunk arrays
+    quad_world,                  # tuple of 3 f32[N] chunk world origin/quad
     in_stream: jnp.ndarray,      # bool[N] — true where the stream has a quad
-    chunk_clip,                  # tuple of 4 f32[V] (chunk_clip_origins)
-    chunk_world,                 # tuple of 3 f32[V] chunk world origins
     tables: ViewTables,
     *,
     width: int,
@@ -165,7 +178,7 @@ def project_and_cull(
     dec = decode_quads(quads)
     face = dec["face"]
     vp = tables.view_proj
-    basis = _Basis(dec, chunk_slot, chunk_clip, vp)
+    basis = _Basis(dec, quad_world, vp)
     u0, u1, v0, v1 = dec["u0"], dec["u1"], dec["v0"], dec["v1"]
 
     eps = jnp.float32(NEAR_W_EPS)
@@ -209,8 +222,8 @@ def project_and_cull(
             front = sign * ncz < 0.0
         else:
             n_axis = _select_axis(face, FACE_N_AXIS)
-            cw = tuple(chunk_world[a][chunk_slot] for a in range(3))
-            plane = _select3(n_axis, cw[0], cw[1], cw[2]) + dec["axis_pos"]
+            plane = _select3(n_axis, quad_world[0], quad_world[1],
+                             quad_world[2]) + dec["axis_pos"]
             cam = _select3(n_axis, tables.cam_pos[0], tables.cam_pos[1],
                            tables.cam_pos[2])
             d = cam - plane
@@ -272,10 +285,9 @@ def compact_stream(valid: jnp.ndarray, cap: int, payloads: tuple[jnp.ndarray, ..
 
 
 def quad_coefficients(
-    quads: jnp.ndarray,        # uint32[M] (compacted)
-    chunk_slot: jnp.ndarray,   # int32[M]
-    proj: dict[str, jnp.ndarray],  # Stage-A fields on the compacted stream
-    chunk_clip,                # tuple of 4 f32[V]
+    quads: jnp.ndarray,        # uint32[M] (binned/compacted stream)
+    quad_world,                # tuple of 3 f32[M]
+    proj: dict[str, jnp.ndarray],  # Stage-A fields on the same stream
     tables: ViewTables,
     color_tables: dict[str, jnp.ndarray],
     *,
@@ -337,7 +349,7 @@ def quad_coefficients(
         coeffs["mask_lo"] = jnp.zeros((n,), jnp.int32)
         coeffs["mask_hi"] = jnp.zeros((n,), jnp.int32)
     else:
-        basis = _Basis(dec, chunk_slot, chunk_clip, vp)
+        basis = _Basis(dec, quad_world, vp)
         m00, m01, m02 = basis.t[0], basis.b[0], basis.o[0]
         m10, m11, m12 = basis.t[1], basis.b[1], basis.o[1]
         m20, m21, m22 = basis.t[3], basis.b[3], basis.o[3]

@@ -78,21 +78,23 @@ def _render_one_camera(pool, counts_all, positions, visible_slots, n_visible,
     within = jnp.clip(i - base, 0, pool.shape[1] - 1)
     in_stream = i < jnp.minimum(total, gather_cap)
     quads = pool[sel[chunk_of], within]
+    wq = proj_ops.quad_world_from_slots(chunk_world, chunk_of)
 
     proj_a = proj_ops.project_and_cull(
-        quads, chunk_of, in_stream, chunk_clip, chunk_world, tables,
+        quads, wq, in_stream, tables,
         width=width, height=height, span_mode=span_mode,
     )
-    count, _, (q_c, slot_c) = proj_ops.compact_stream(
-        proj_a["valid"], render_cap, (quads, chunk_of)
+    count, _, (q_c, wx_c, wy_c, wz_c) = proj_ops.compact_stream(
+        proj_a["valid"], render_cap, (quads, wq[0], wq[1], wq[2])
     )
+    wq_c = (wx_c, wy_c, wz_c)
     in_render = jnp.arange(render_cap, dtype=jnp.int32) < count
     proj_b = proj_ops.project_and_cull(
-        q_c, slot_c, in_render, chunk_clip, chunk_world, tables,
+        q_c, wq_c, in_render, tables,
         width=width, height=height, span_mode=span_mode,
     )
     coeffs = proj_ops.quad_coefficients(
-        q_c, slot_c, proj_b if span_mode else None, chunk_clip, tables,
+        q_c, wq_c, proj_b if span_mode else None, tables,
         color_tables, width=width, height=height, span_mode=span_mode,
     )
     coeffs["bb0"] = proj_b["bb_x0"] | (proj_b["bb_y0"] << 16)

@@ -47,10 +47,9 @@ class FrameStats:
 
 def _render_step(
     quad_pool,        # uint32[P, QCAP]
-    pool_positions,   # int32[P, 3]
-    visible_slots,    # int32[VCAP] — host-culled, front-to-back
-    chunk_of,         # int32[GQ] — visible-chunk index per stream slot
-    within,           # int32[GQ] — quad index within the chunk
+    pool_slot_of,     # int32[GQ] — pool slot per stream entry (host-built)
+    within,           # int32[GQ] — quad index within the chunk (host-built)
+    quad_world,       # f32[3, GQ] — chunk world origin per stream entry
     n_quads,          # int32[]   — total quads in the stream
     view_proj,        # f32[4, 4]
     cam_pos,          # f32[3]
@@ -71,22 +70,18 @@ def _render_step(
     del render_cap  # retained for config compatibility
     tables = proj_ops.view_tables(view_proj, cam_pos)
 
-    # ---- gather: host-precomputed (chunk_of, within) index arrays replace
-    # the in-graph searchsorted (the host knows every count; TPU gathers
-    # cost ~3 ns/element while np.repeat is free)
-    sel = jnp.clip(visible_slots, 0, quad_pool.shape[0] - 1)
-    positions = pool_positions[sel]
-    chunk_clip = proj_ops.chunk_clip_origins(view_proj, positions)
-    world = positions.astype(jnp.float32) * 32.0
-    chunk_world = tuple(world[:, a] for a in range(3))
-
-    gq = chunk_of.shape[0]
+    # ---- gather: host-precomputed (slot, within, world-origin) arrays
+    # replace both the in-graph searchsorted AND every per-quad gather from
+    # per-chunk tables (the host knows all counts and positions; np.repeat
+    # is free while TPU gathers cost ~3 ns/element)
+    gq = pool_slot_of.shape[0]
     in_stream = jnp.arange(gq, dtype=jnp.int32) < n_quads
-    quads = quad_pool[sel[chunk_of], within]
+    quads = quad_pool[pool_slot_of, within]
+    wq = (quad_world[0], quad_world[1], quad_world[2])
 
     # ---- project + cull (stage A) — valid mask + screen bboxes
     proj_a = proj_ops.project_and_cull(
-        quads, chunk_of, in_stream, chunk_clip, chunk_world, tables,
+        quads, wq, in_stream, tables,
         width=width, height=height, span_mode=span_mode,
         backface_culling=backface_culling,
     )
@@ -105,10 +100,10 @@ def _render_step(
         )
         flat = items.reshape(-1)
         q_b = quads[flat]
-        slot_b = chunk_of[flat]
+        wq_b = tuple(wq[a][flat] for a in range(3))
         coeffs = proj_ops.quad_coefficients(
-            q_b, slot_b, _gather_proj(proj_a, flat) if span_mode else None,
-            chunk_clip, tables, color_tables,
+            q_b, wq_b, _gather_proj(proj_a, flat) if span_mode else None,
+            tables, color_tables,
             width=width, height=height, span_mode=span_mode,
         )
         bb0 = (proj_a["bb_x0"] | (proj_a["bb_y0"] << 16))[flat]
@@ -126,17 +121,18 @@ def _render_step(
         # jnp path: compact first (keeps the full-frame loop short), then
         # rasterize the survivors in stream order
         rcap = min(gq, 65536)
-        count_c, overflow, (q_c, slot_c) = proj_ops.compact_stream(
-            proj_a["valid"], rcap, (quads, chunk_of)
+        count_c, overflow, (q_c, wx_c, wy_c, wz_c) = proj_ops.compact_stream(
+            proj_a["valid"], rcap, (quads, wq[0], wq[1], wq[2])
         )
+        wq_c = (wx_c, wy_c, wz_c)
         in_render = jnp.arange(rcap, dtype=jnp.int32) < count_c
         proj_b = proj_ops.project_and_cull(
-            q_c, slot_c, in_render, chunk_clip, chunk_world, tables,
+            q_c, wq_c, in_render, tables,
             width=width, height=height, span_mode=span_mode,
             backface_culling=backface_culling,
         )
         coeffs = proj_ops.quad_coefficients(
-            q_c, slot_c, proj_b, chunk_clip, tables, color_tables,
+            q_c, wq_c, proj_b, tables, color_tables,
             width=width, height=height, span_mode=span_mode,
         )
         coeffs["bb0"] = proj_b["bb_x0"] | (proj_b["bb_y0"] << 16)
@@ -156,11 +152,14 @@ def _gather_proj(proj, flat):
     return {k: proj[k][flat] for k in keys}
 
 
-def build_gather_indices(counts_sel: np.ndarray, gather_cap: int):
-    """Host-side ragged flatten: per-visible-chunk quad counts ->
-    (chunk_of i32[gather_cap], within i32[gather_cap], total int).
-    Pure numpy (np.repeat); the device never runs a searchsorted."""
+def build_gather_indices(counts_sel, slots_sel, positions_sel, gather_cap: int):
+    """Host-side ragged flatten: per-visible-chunk quad counts + pool slots
+    + chunk positions -> (pool_slot_of i32[GQ], within i32[GQ],
+    quad_world f32[3, GQ], total int).  Pure numpy (np.repeat); the device
+    never runs a searchsorted or a per-quad table gather."""
     counts_sel = np.asarray(counts_sel, np.int64)
+    slots_sel = np.asarray(slots_sel, np.int32)
+    positions_sel = np.asarray(positions_sel, np.float32) * 32.0
     total = int(counts_sel.sum())
     if total > gather_cap:
         # truncate whole chunks from the back (reported via stats[0])
@@ -168,14 +167,16 @@ def build_gather_indices(counts_sel: np.ndarray, gather_cap: int):
         counts_sel = np.where(cum <= gather_cap, counts_sel,
                               np.maximum(gather_cap - (cum - counts_sel), 0))
         total = int(counts_sel.sum())
-    chunk_of = np.zeros(gather_cap, np.int32)
+    pool_slot_of = np.zeros(gather_cap, np.int32)
     within = np.zeros(gather_cap, np.int32)
+    quad_world = np.zeros((3, gather_cap), np.float32)
     if total:
-        co = np.repeat(np.arange(len(counts_sel), dtype=np.int32), counts_sel)
+        pool_slot_of[:total] = np.repeat(slots_sel, counts_sel)
         starts = np.repeat(np.cumsum(counts_sel) - counts_sel, counts_sel)
-        chunk_of[:total] = co
         within[:total] = np.arange(total, dtype=np.int64) - starts
-    return chunk_of, within, total
+        for a in range(3):
+            quad_world[a, :total] = np.repeat(positions_sel[:, a], counts_sel)
+    return pool_slot_of, within, quad_world, total
 
 
 class Renderer:
@@ -227,19 +228,20 @@ class Renderer:
         self.config.enable_shading = enable
         self.__init__(self.config, self.atlas)
 
-    def render(self, quad_pool, pool_positions, visible_slots,
-               counts_sel, view_proj, cam_pos):
+    def render(self, quad_pool, visible_slots, counts_sel, positions_sel,
+               view_proj, cam_pos):
         """Returns (color int32[H, W] as ARGB bits, depth f32[H, W], stats).
 
-        ``counts_sel``: host numpy per-visible-chunk quad counts (aligned
-        with ``visible_slots``; zero-padded to the slot cap)."""
-        chunk_of, within, total = build_gather_indices(
-            counts_sel, self.config.gather_cap
+        ``visible_slots``/``counts_sel``/``positions_sel``: host numpy
+        per-visible-chunk pool slots, quad counts and chunk grid positions
+        (front-to-back, zero-padded)."""
+        slot_of, within, quad_world, total = build_gather_indices(
+            counts_sel, visible_slots, positions_sel, self.config.gather_cap
         )
         return self._step(
-            quad_pool, pool_positions,
-            jnp.asarray(visible_slots, jnp.int32),
-            jnp.asarray(chunk_of), jnp.asarray(within),
+            quad_pool,
+            jnp.asarray(slot_of), jnp.asarray(within),
+            jnp.asarray(quad_world),
             jnp.asarray(total, jnp.int32),
             jnp.asarray(view_proj, jnp.float32),
             jnp.asarray(cam_pos, jnp.float32),
@@ -255,12 +257,11 @@ def make_repeated_step(renderer: "Renderer", n_frames: int):
     use_pallas = cfg.resolve_use_pallas()
     tile_h, tile_w = renderer.tile
 
-    def run(quad_pool, pool_positions, visible_slots, chunk_of, within,
-            n_quads, vps, cams):
+    def run(quad_pool, slot_of, within, quad_world, n_quads, vps, cams):
         def body(i, carry):
             color, depth, stats = _render_step(
-                quad_pool, pool_positions, visible_slots,
-                chunk_of, within, n_quads, vps[i], cams[i],
+                quad_pool, slot_of, within, quad_world, n_quads,
+                vps[i], cams[i],
                 color_tables=renderer._tables_np,
                 width=cfg.width, height=cfg.height,
                 tile_h=tile_h, tile_w=tile_w,

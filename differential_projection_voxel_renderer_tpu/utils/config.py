@@ -69,8 +69,10 @@ GATHER_QUADS_CAP: int = 131072
 RENDER_QUADS_CAP: int = 65536
 
 # Default framebuffer tile shape for the Pallas rasterizer.  Lane dim must be
-# a multiple of 128; sublane dim a multiple of 8 (f32 tiling).
-TILE_H: int = 120   # 720 / 6, multiple of 8
+# a multiple of 128; sublane dim a multiple of 8 (f32 tiling).  Narrow bands
+# spread skewed quad distributions (dense horizon rows) across many tiles,
+# keeping per-tile bin lists short.
+TILE_H: int = 40    # 720 / 18, multiple of 8
 TILE_W: int = 256   # multiple of 128
 
 
@@ -111,7 +113,7 @@ class RenderConfig:
     gather_cap: int = GATHER_QUADS_CAP
     quads_cap: int = RENDER_QUADS_CAP
     # per-framebuffer-tile binned quad capacity (multiple of 256)
-    tile_k_cap: int = 16384
+    tile_k_cap: int = 2048
     visible_chunks_cap: int = VISIBLE_CHUNKS_CAP
     tile_h: int = TILE_H
     tile_w: int = TILE_W

@@ -73,8 +73,9 @@ def test_sharded_matches_single_device(scene):
                               visible_chunks_cap=8))
     counts_sel = np.zeros(8, np.int32)
     counts_sel[0] = counts[0]
+    positions_sel = np.zeros((8, 3), np.int32)
     c1, d1, _ = r.render(jnp.asarray(pool),
-                         jnp.asarray(positions), visible[0], counts_sel,
+                         visible[0], counts_sel, positions_sel,
                          cam.view_projection_matrix(), cam.position)
     np.testing.assert_array_equal(color[0], np.asarray(c1))
     both = np.isfinite(np.asarray(depth[0])) & np.isfinite(np.asarray(d1))

@@ -39,11 +39,9 @@ def test_differential_equals_full_mvp_all_faces():
     vp = cam.view_projection_matrix()
     for face in range(6):
         quads = _random_quads(rng, 100, face=face)
-        chunk_pos = np.array([[0, 0, 0]], np.int32)
-        chunk_clip = P.chunk_clip_origins(jnp.asarray(vp), jnp.asarray(chunk_pos))
         dec = P.decode_quads(jnp.asarray(quads))
-        basis = P._Basis(dec, jnp.zeros(100, jnp.int32), chunk_clip,
-                         jnp.asarray(vp))
+        wq = tuple(jnp.zeros(100, jnp.float32) for _ in range(3))
+        basis = P._Basis(dec, wq, jnp.asarray(vp))
         # differential projection of corner (u1, v1)
         diff = np.stack(
             [np.asarray(basis.corner(dec["u1"], dec["v1"], r)) for r in range(4)],
@@ -83,11 +81,9 @@ def test_backface_culling_plane_side():
         cam.look_at(np.array([16.0, 16.0, 16.1]))
         vp = jnp.asarray(cam.view_projection_matrix())
         tables = P.view_tables(vp, jnp.asarray(cam.position))
-        chunk_clip = P.chunk_clip_origins(vp, chunk_pos)
-        cw = tuple(jnp.zeros(1, jnp.float32) for _ in range(3))
+        wq = tuple(jnp.zeros(1, jnp.float32) for _ in range(3))
         out = P.project_and_cull(
-            q, jnp.zeros(1, jnp.int32), jnp.ones(1, bool),
-            chunk_clip, cw, tables,
+            q, wq, jnp.ones(1, bool), tables,
             width=128, height=128,
         )
         assert bool(out["valid"][0]) == expect, (cam_y, expect)
@@ -99,17 +95,15 @@ def test_frustum_culls_offscreen_quads():
     tables = P.view_tables(vp, jnp.asarray(cam.position))
     # one chunk at origin (visible), one far to the side (offscreen)
     chunk_pos = jnp.asarray([[0, 0, 0], [100, 0, 0]], jnp.int32)
-    chunk_clip = P.chunk_clip_origins(vp, chunk_pos)
     world = chunk_pos.astype(jnp.float32) * 32.0
-    chunk_world = tuple(world[:, a] for a in range(3))
+    wq = tuple(world[:, a] for a in range(3))
     q = jnp.asarray(
         np.concatenate(
             [pack_quads([0], [0], [32], [32], [3], [16], [4])] * 2  # +Z faces
         )
     )
     out = P.project_and_cull(
-        q, jnp.asarray([0, 1], jnp.int32), jnp.ones(2, bool),
-        chunk_clip, chunk_world, tables, width=128, height=128,
+        q, wq, jnp.ones(2, bool), tables, width=128, height=128,
     )
     assert bool(out["valid"][0])
     assert not bool(out["valid"][1])
@@ -122,14 +116,11 @@ def test_near_crossing_quads_conservatively_kept():
     cam.look_at(np.array([16.0, 16.0, -100.0]))
     vp = jnp.asarray(cam.view_projection_matrix())
     tables = P.view_tables(vp, jnp.asarray(cam.position))
-    chunk_pos = jnp.zeros((1, 3), jnp.int32)
-    chunk_clip = P.chunk_clip_origins(vp, chunk_pos)
     # +Y face right under the camera, spanning behind and in front
     q = jnp.asarray(pack_quads([0], [0], [32], [32], [3], [9], [2]))
-    cw = tuple(jnp.zeros(1, jnp.float32) for _ in range(3))
+    wq = tuple(jnp.zeros(1, jnp.float32) for _ in range(3))
     out = P.project_and_cull(
-        q, jnp.zeros(1, jnp.int32), jnp.ones(1, bool),
-        chunk_clip, cw, tables,
+        q, wq, jnp.ones(1, bool), tables,
         width=128, height=128,
     )
     assert bool(out["any_behind"][0])

@@ -63,18 +63,19 @@ def _render_args(renderer, quads, cam, n_chunks=1):
     qcap = 4096
     pool = np.zeros((4, qcap), np.uint32)
     counts_sel = np.zeros(cfg.visible_chunks_cap, np.int32)
-    positions = np.zeros((4, 3), np.int32)
+    positions_sel = np.zeros((cfg.visible_chunks_cap, 3), np.int32)
     pool[0, : len(quads)] = quads
     counts_sel[0] = len(quads)
     visible = np.zeros(cfg.visible_chunks_cap, np.int32)
     vp = cam.view_projection_matrix()
-    chunk_of, within, total = build_gather_indices(counts_sel, cfg.gather_cap)
+    slot_of, within, quad_world, total = build_gather_indices(
+        counts_sel, visible, positions_sel, cfg.gather_cap
+    )
     return (
         jnp.asarray(pool),
-        jnp.asarray(positions),
-        jnp.asarray(visible),
-        jnp.asarray(chunk_of),
+        jnp.asarray(slot_of),
         jnp.asarray(within),
+        jnp.asarray(quad_world),
         jnp.asarray(total, jnp.int32),
         jnp.asarray(vp, jnp.float32),
         jnp.asarray(cam.position, jnp.float32),
@@ -254,19 +255,20 @@ def test_multi_chunk_scene():
     renderer = Renderer(RenderConfig(width=W, height=H, use_pallas=False))
     qcap = 4096
     pool = np.zeros((4, qcap), np.uint32)
-    positions = np.zeros((4, 3), np.int32)
     pool[0, : len(qa)] = qa
-    positions[0] = [0, 0, 0]
     pool[1, : len(qb)] = qb
-    positions[1] = [1, 0, 0]
-    visible = np.zeros(renderer.config.visible_chunks_cap, np.int32)
+    vcap = renderer.config.visible_chunks_cap
+    visible = np.zeros(vcap, np.int32)
     visible[1] = 1
-    counts_sel = np.zeros(renderer.config.visible_chunks_cap, np.int32)
+    counts_sel = np.zeros(vcap, np.int32)
     counts_sel[0] = len(qa)
     counts_sel[1] = len(qb)
+    positions_sel = np.zeros((vcap, 3), np.int32)
+    positions_sel[1] = [1, 0, 0]
     color, depth, stats = renderer.render(
-        jnp.asarray(pool), jnp.asarray(positions),
-        visible, counts_sel, cam.view_projection_matrix(), cam.position,
+        jnp.asarray(pool),
+        visible, counts_sel, positions_sel,
+        cam.view_projection_matrix(), cam.position,
     )
     color = np.asarray(color).view(np.uint32)
     assert (color != SKY).sum() > 1000
