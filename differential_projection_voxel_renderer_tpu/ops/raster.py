@@ -173,24 +173,34 @@ def rasterize_jnp(fcoef, icoef, count, *, height: int, width: int,
 # ---------------------------------------------------------------------------
 
 
-@functools.partial(jax.jit, static_argnames=("tiles_y", "tiles_x", "k_cap"))
-def build_tile_lists(tilebox, count, *, tiles_y: int, tiles_x: int, k_cap: int):
-    """Compact per-tile quad index lists from packed tile boxes.
+@functools.partial(jax.jit, static_argnames=("tiles_y", "tiles_x", "item_cap"))
+def build_tile_lists(tilebox, count, *, tiles_y: int, tiles_x: int,
+                     item_cap: int):
+    """Bin quads to tiles as ONE flat item stream with 256-aligned per-tile
+    segments (work downstream is proportional to real items, immune to the
+    extreme per-tile skew of perspective terrain — a dense horizon tile can
+    hold 200x the median count).
 
-    Returns (items i32[T, k_cap], counts i32[T], overflow i32).  Lists keep
-    ascending quad order, so per-pixel blend order matches the unbinned
-    stream exactly.  Compaction is cumsum + batched searchsorted — no
-    scatter, fully vectorized (TPU scatters serialize; binary search is 15
-    rounds of vectorized gathers).
+    Returns (items i32[item_cap] — quad index per stream slot,
+             starts i32[T] — segment start per tile (multiple of BLOCK_Q),
+             counts i32[T] — real items per tile,
+             overflow i32 — items dropped because item_cap was exhausted).
+
+    Per-tile item order is ascending quad index, so per-pixel blend order
+    matches the unbinned stream exactly.  Construction is scatter-free:
+    a dense [T, M] overlap matrix, a stable argsort per tile, then the flat
+    stream indexes (tile, rank) pairs via a binary search over the 256-
+    aligned segment table.
     """
     m = tilebox.shape[0]
+    n_tiles = tiles_y * tiles_x
     q = jnp.arange(m, dtype=jnp.int32)
     in_count = q < count
     tx0 = tilebox & 0xFF
     tx1 = (tilebox >> 8) & 0xFF
     ty0 = (tilebox >> 16) & 0xFF
     ty1 = (tilebox >> 24) & 0xFF
-    t = jnp.arange(tiles_y * tiles_x, dtype=jnp.int32)
+    t = jnp.arange(n_tiles, dtype=jnp.int32)
     ty = (t // tiles_x)[:, None]
     tx = (t % tiles_x)[:, None]
     overlap = (
@@ -203,11 +213,27 @@ def build_tile_lists(tilebox, count, *, tiles_y: int, tiles_x: int, k_cap: int):
     counts = overlap.sum(axis=1).astype(jnp.int32)
     # stable argsort on !overlap: set positions first, ascending quad order
     order = jnp.argsort(~overlap, axis=1, stable=True)
-    items = order[:, :k_cap].astype(jnp.int32)
-    valid = jnp.arange(k_cap, dtype=jnp.int32)[None, :] < counts[:, None]
-    items = jnp.where(valid, items, 0)
-    overflow = jnp.maximum(counts - k_cap, 0).sum().astype(jnp.int32)
-    return items, jnp.minimum(counts, k_cap).astype(jnp.int32), overflow
+
+    # 256-aligned segment layout over the flat stream, with per-tile
+    # truncation when item_cap runs out (reported, never silent)
+    seg = ((counts + BLOCK_Q - 1) // BLOCK_Q) * BLOCK_Q
+    starts = jnp.concatenate([jnp.zeros(1, jnp.int32), jnp.cumsum(seg)[:-1]])
+    starts = starts.astype(jnp.int32)
+    room = jnp.maximum(item_cap - starts, 0)
+    kept = jnp.minimum(counts, room).astype(jnp.int32)
+    overflow = (counts - kept).sum().astype(jnp.int32)
+    starts = jnp.minimum(starts, item_cap)  # clamp for the kernel
+
+    ends = starts + kept
+    p = jnp.arange(item_cap, dtype=jnp.int32)
+    # which tile owns stream slot p (segments are sorted by construction)
+    t_of_p = jnp.searchsorted(ends, p, side="right").astype(jnp.int32)
+    t_of_p = jnp.minimum(t_of_p, n_tiles - 1)
+    j = p - starts[t_of_p]
+    valid_p = (j >= 0) & (j < kept[t_of_p])
+    j = jnp.clip(j, 0, m - 1)
+    items = jnp.where(valid_p, order[t_of_p, j].astype(jnp.int32), 0)
+    return items, starts, kept, overflow
 
 
 # ---------------------------------------------------------------------------
@@ -220,9 +246,9 @@ PIECE_H = 8
 PIECE_W = 128
 
 
-def _raster_kernel(counts_ref, f_hbm, i_hbm, color_ref, depth_ref,
+def _raster_kernel(starts_ref, counts_ref, f_hbm, i_hbm, color_ref, depth_ref,
                    f_smem, i_smem, f_sem, i_sem,
-                   *, height, width, tile_h, tile_w, tiles_x, k_cap):
+                   *, height, width, tile_h, tile_w, tiles_x):
     t = pl.program_id(0)
     ti = t // tiles_x  # tile row
     tj = t % tiles_x   # tile col
@@ -234,7 +260,7 @@ def _raster_kernel(counts_ref, f_hbm, i_hbm, color_ref, depth_ref,
 
     count = counts_ref[t]
     nblocks = (count + BLOCK_Q - 1) // BLOCK_Q
-    base = t * k_cap
+    base = starts_ref[t]
 
     nf, ni = len(F_FIELDS), len(I_FIELDS)
 
@@ -319,30 +345,28 @@ def _raster_kernel(counts_ref, f_hbm, i_hbm, color_ref, depth_ref,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("height", "width", "tile_h", "tile_w", "k_cap", "interpret"),
+    static_argnames=("height", "width", "tile_h", "tile_w", "interpret"),
 )
-def rasterize_pallas(f_binned, i_binned, tile_counts, *, height: int,
-                     width: int, tile_h: int, tile_w: int, k_cap: int = 8192,
+def rasterize_pallas(f_binned, i_binned, tile_starts, tile_counts, *,
+                     height: int, width: int, tile_h: int, tile_w: int,
                      interpret: bool = False):
-    """Binned, streamed, tiled Pallas rasterizer.
+    """Binned, streamed, tiled Pallas rasterizer over the flat item stream.
 
-    ``f_binned`` f32[16, T*k_cap] / ``i_binned`` i32[4, T*k_cap] hold the
-    per-tile quad records in blocked SoA layout (see pack_coeffs_rows);
-    ``tile_counts`` i32[T].  ``height % tile_h == 0`` and
-    ``width % tile_w == 0`` required.  Returns (color, depth).
+    ``f_binned`` f32[16, ITEM_CAP] / ``i_binned`` i32[8, ITEM_CAP] hold the
+    quad records in blocked SoA layout (see pack_coeffs_rows);
+    ``tile_starts``/``tile_counts`` i32[T] delimit each tile's segment
+    (starts are BLOCK_Q-aligned).  Returns (color, depth).
     """
     assert height % tile_h == 0 and width % tile_w == 0
     tiles_y, tiles_x = height // tile_h, width // tile_w
     n_tiles = tiles_y * tiles_x
-    assert k_cap % BLOCK_Q == 0
-    counts = tile_counts
 
     kernel = functools.partial(
         _raster_kernel, height=height, width=width, tile_h=tile_h,
-        tile_w=tile_w, tiles_x=tiles_x, k_cap=k_cap,
+        tile_w=tile_w, tiles_x=tiles_x,
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,  # per-tile counts -> SMEM
+        num_scalar_prefetch=2,  # per-tile starts + counts -> SMEM
         grid=(n_tiles,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.ANY),  # f_binned stays in HBM
@@ -369,7 +393,7 @@ def rasterize_pallas(f_binned, i_binned, tile_counts, *, height: int,
             jax.ShapeDtypeStruct((height, width), jnp.float32),
         ],
         interpret=interpret,
-    )(counts, f_binned, i_binned)
+    )(tile_starts, tile_counts, f_binned, i_binned)
     return color, depth
 
 

@@ -94,11 +94,10 @@ def _render_step(
         tiles_y, tiles_x = height // tile_h, width // tile_w
         tilebox = proj_ops.pack_tilebox(proj_a, tile_h=tile_h, tile_w=tile_w)
         tilebox = jnp.where(proj_a["valid"], tilebox, jnp.int32(0xFF))  # tx0>tx1
-        items, tile_counts, bin_overflow = raster_ops.build_tile_lists(
+        flat, tile_starts, tile_counts, bin_overflow = raster_ops.build_tile_lists(
             tilebox, n_quads, tiles_y=tiles_y, tiles_x=tiles_x,
-            k_cap=tile_k_cap,
+            item_cap=tile_k_cap,
         )
-        flat = items.reshape(-1)
         q_b = quads[flat]
         wq_b = tuple(wq[a][flat] for a in range(3))
         coeffs = proj_ops.quad_coefficients(
@@ -112,8 +111,9 @@ def _render_step(
         coeffs["bb1"] = bb1
         f_binned, i_binned = raster_ops.pack_coeffs_rows(coeffs)
         color, depth = raster_ops.rasterize_pallas(
-            f_binned, i_binned, tile_counts, height=height, width=width,
-            tile_h=tile_h, tile_w=tile_w, k_cap=tile_k_cap,
+            f_binned, i_binned, tile_starts, tile_counts,
+            height=height, width=width,
+            tile_h=tile_h, tile_w=tile_w,
             interpret=interpret,
         )
         overflow = jnp.int32(0)

@@ -112,8 +112,10 @@ class RenderConfig:
     span_mode: bool = False
     gather_cap: int = GATHER_QUADS_CAP
     quads_cap: int = RENDER_QUADS_CAP
-    # per-framebuffer-tile binned quad capacity (multiple of 256)
-    tile_k_cap: int = 2048
+    # flat binned item stream capacity (quad-tile pairs; 256-aligned
+    # per-tile segments) — ~1.3 tiles per quad on average, so this bounds
+    # roughly tile_k_cap / 1.3 visible quads
+    tile_k_cap: int = 98304
     visible_chunks_cap: int = VISIBLE_CHUNKS_CAP
     tile_h: int = TILE_H
     tile_w: int = TILE_W
