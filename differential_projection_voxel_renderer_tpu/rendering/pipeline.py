@@ -109,6 +109,7 @@ def _render_step(
         bb1 = (proj_a["bb_x1"] | (proj_a["bb_y1"] << 16))[flat]
         coeffs["bb0"] = bb0
         coeffs["bb1"] = bb1
+        coeffs["qid"] = flat
         f_binned, i_binned = raster_ops.pack_coeffs_rows(coeffs)
         color, depth = raster_ops.rasterize_pallas(
             f_binned, i_binned, tile_starts, tile_counts,
@@ -121,8 +122,9 @@ def _render_step(
         # jnp path: compact first (keeps the full-frame loop short), then
         # rasterize the survivors in stream order
         rcap = min(gq, 65536)
-        count_c, overflow, (q_c, wx_c, wy_c, wz_c) = proj_ops.compact_stream(
-            proj_a["valid"], rcap, (quads, wq[0], wq[1], wq[2])
+        qid_src = jnp.arange(gq, dtype=jnp.int32)
+        count_c, overflow, (q_c, wx_c, wy_c, wz_c, qid_c) = proj_ops.compact_stream(
+            proj_a["valid"], rcap, (quads, wq[0], wq[1], wq[2], qid_src)
         )
         wq_c = (wx_c, wy_c, wz_c)
         in_render = jnp.arange(rcap, dtype=jnp.int32) < count_c
@@ -137,6 +139,7 @@ def _render_step(
         )
         coeffs["bb0"] = proj_b["bb_x0"] | (proj_b["bb_y0"] << 16)
         coeffs["bb1"] = proj_b["bb_x1"] | (proj_b["bb_y1"] << 16)
+        coeffs["qid"] = qid_c
         fcoef, icoef = raster_ops.pack_coeffs_quadmajor(coeffs)
         color, depth = raster_ops.rasterize_jnp(
             fcoef, icoef, count_c, height=height, width=width,

@@ -115,7 +115,7 @@ class RenderConfig:
     # flat binned item stream capacity (quad-tile pairs; 256-aligned
     # per-tile segments) — ~1.3 tiles per quad on average, so this bounds
     # roughly tile_k_cap / 1.3 visible quads
-    tile_k_cap: int = 98304
+    tile_k_cap: int = 65536
     visible_chunks_cap: int = VISIBLE_CHUNKS_CAP
     tile_h: int = TILE_H
     tile_w: int = TILE_W
