@@ -51,6 +51,10 @@ class World:
         # camera chunk at which the view sphere was last found complete;
         # skips the O(candidates) generation scan on static frames
         self._filled_at: tuple[int, int, int] | None = None
+        # monotonically increasing mutation counter (chunk set changes);
+        # callers key caches off it (the engine skips remesh scans /
+        # cache retention when nothing changed)
+        self.version = 0
 
     # -------------------------------------------------------------- access
     def get_or_generate_chunk(self, chunk_pos) -> Chunk:
@@ -146,6 +150,7 @@ class World:
 
     def _invalidate_cache(self) -> None:
         self._pos_cache = None
+        self.version += 1
 
     def get_visible_chunks(self, camera_position) -> list[Chunk]:
         """Sphere-only visibility (src/world.rs:103-114), vectorized."""

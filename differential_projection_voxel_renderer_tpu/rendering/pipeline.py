@@ -231,6 +231,27 @@ class Renderer:
         self.config.enable_shading = enable
         self.__init__(self.config, self.atlas)
 
+    def prepare_uploads(self, visible_slots, counts_sel, positions_sel):
+        """Build + upload the per-frame gather arrays (host np.repeat, one
+        H2D).  Cacheable by the caller while the draw list is unchanged."""
+        slot_of, within, quad_world, total = build_gather_indices(
+            counts_sel, visible_slots, positions_sel, self.config.gather_cap
+        )
+        return (
+            jnp.asarray(slot_of),
+            jnp.asarray(within),
+            jnp.asarray(quad_world),
+            jnp.asarray(total, jnp.int32),
+        )
+
+    def render_prepared(self, quad_pool, uploads, view_proj, cam_pos):
+        slot_of, within, quad_world, total = uploads
+        return self._step(
+            quad_pool, slot_of, within, quad_world, total,
+            jnp.asarray(view_proj, jnp.float32),
+            jnp.asarray(cam_pos, jnp.float32),
+        )
+
     def render(self, quad_pool, visible_slots, counts_sel, positions_sel,
                view_proj, cam_pos):
         """Returns (color int32[H, W] as ARGB bits, depth f32[H, W], stats).
@@ -238,17 +259,8 @@ class Renderer:
         ``visible_slots``/``counts_sel``/``positions_sel``: host numpy
         per-visible-chunk pool slots, quad counts and chunk grid positions
         (front-to-back, zero-padded)."""
-        slot_of, within, quad_world, total = build_gather_indices(
-            counts_sel, visible_slots, positions_sel, self.config.gather_cap
-        )
-        return self._step(
-            quad_pool,
-            jnp.asarray(slot_of), jnp.asarray(within),
-            jnp.asarray(quad_world),
-            jnp.asarray(total, jnp.int32),
-            jnp.asarray(view_proj, jnp.float32),
-            jnp.asarray(cam_pos, jnp.float32),
-        )
+        uploads = self.prepare_uploads(visible_slots, counts_sel, positions_sel)
+        return self.render_prepared(quad_pool, uploads, view_proj, cam_pos)
 
 
 def make_repeated_step(renderer: "Renderer", n_frames: int):
