@@ -54,8 +54,10 @@ from ..utils.config import SKY_COLOR
 
 F_FIELDS = (
     "a00", "a01", "a02", "a10", "a11", "a12", "a20", "a21", "a22",
-    "z0", "z1", "z2", "u0", "u1", "v0", "v1",
+    "z0", "z1", "z2", "u0", "u1", "v0", "v1", "zmin",
 )
+N_BLEND_FIELDS = 16  # fields consumed by the per-pixel blend (zmin is the
+                     # early-z key, read before anything else)
 # ``pieces`` packs the tile-local sub-block range the quad's bbox covers
 # (by0 | bx0<<4 | nby<<8 | nbx<<12 — precomputed on the XLA side so the
 # kernel spends no scalar ops on bbox/tile intersection); ``qid`` is the
@@ -169,7 +171,7 @@ def rasterize_jnp(fcoef, icoef, count, *, height: int, width: int,
 
     def body(k, carry):
         color, depth = carry
-        fro = tuple(fcoef[k, i] for i in range(len(F_FIELDS)))
+        fro = tuple(fcoef[k, i] for i in range(N_BLEND_FIELDS))
         iro = tuple(icoef[k, i] for i in range(4))
         return _blend_one_quad(nx, ny, fro, iro, color, depth)
 
@@ -283,7 +285,7 @@ PIECE_W = 128
 
 
 def _raster_kernel(starts_ref, counts_ref, f_hbm, i_hbm, color_ref, depth_ref,
-                   f_smem, i_smem, f_sem, i_sem,
+                   f_smem, i_smem, pmax_ref, f_sem, i_sem,
                    *, height, width, tile_h, tile_w, tiles_x):
     t = pl.program_id(0)
     ti = t // tiles_x  # tile row
@@ -293,6 +295,14 @@ def _raster_kernel(starts_ref, counts_ref, f_hbm, i_hbm, color_ref, depth_ref,
     # fused clear: depth = +inf, color = sky (main.rs:393)
     color_ref[:] = jnp.full((tile_h, tile_w), SKY_I32, jnp.int32)
     depth_ref[:] = jnp.full((tile_h, tile_w), jnp.inf, jnp.float32)
+    n_px = tile_w // PIECE_W
+    n_pieces = (tile_h // PIECE_H) * n_px
+
+    def clear_pmax(i, _):
+        pmax_ref[i] = jnp.float32(jnp.inf)
+        return 0
+
+    jax.lax.fori_loop(0, n_pieces, clear_pmax, 0)
 
     count = counts_ref[t]
     base = starts_ref[t]  # NOT block-aligned: segments are packed tight
@@ -354,20 +364,32 @@ def _raster_kernel(starts_ref, counts_ref, f_hbm, i_hbm, color_ref, depth_ref,
             return 0
 
         def _do_quad(k):
-            fro = tuple(f_smem[slot * nf + i, k] for i in range(nf))
-            iro = tuple(i_smem[slot * ni_pad + i, k] for i in range(ni))
             # covered sub-block range, precomputed on the XLA side (the
             # reference's per-scanline span bounds, rasterizer.rs:1401-1413,
             # in 8x128 granularity)
-            desc = iro[4]
+            desc = i_smem[slot * ni_pad + 4, k]
             by0 = desc & 0xF
             bx0 = (desc >> 4) & 0xF
             nby = (desc >> 8) & 0xF
             nbx = (desc >> 12) & 0xF
+            one = (nby == 1) & (nbx == 1)
+            # hierarchical early-z (the reference's Hi-Z intent,
+            # hiz_buffer.rs:90-138, per 8x128 piece): skip the quad after two
+            # scalar loads when its nearest depth is beyond the piece's
+            # farthest drawn pixel.  Conservative: removes only blends that
+            # could not change any pixel, so the output is bit-identical.
+            zmin = f_smem[slot * nf + 16, k]
+            occluded = one & (zmin > pmax_ref[by0 * n_px + bx0])
 
-            def piece_body(p, _):
-                py = by0 + p // nbx
-                px = bx0 + p % nbx
+            @pl.when(~occluded)
+            def _():
+                _do_quad_full(k, by0, bx0, nby, nbx, one)
+
+        def _do_quad_full(k, by0, bx0, nby, nbx, one):
+            fro = tuple(f_smem[slot * nf + i, k] for i in range(N_BLEND_FIELDS))
+            iro = tuple(i_smem[slot * ni_pad + i, k] for i in range(4))
+
+            def do_piece(py, px):
                 yoff = pl.multiple_of(py * PIECE_H, PIECE_H)
                 xoff = pl.multiple_of(px * PIECE_W, PIECE_W)
                 nx, ny = _pixel_ndc(height, width,
@@ -375,12 +397,22 @@ def _raster_kernel(starts_ref, counts_ref, f_hbm, i_hbm, color_ref, depth_ref,
                                     PIECE_H, PIECE_W)
                 sub_c = color_ref[pl.ds(yoff, PIECE_H), pl.ds(xoff, PIECE_W)]
                 sub_d = depth_ref[pl.ds(yoff, PIECE_H), pl.ds(xoff, PIECE_W)]
-                c2, d2 = _blend_one_quad(nx, ny, fro, iro[:4], sub_c, sub_d)
+                c2, d2 = _blend_one_quad(nx, ny, fro, iro, sub_c, sub_d)
                 color_ref[pl.ds(yoff, PIECE_H), pl.ds(xoff, PIECE_W)] = c2
                 depth_ref[pl.ds(yoff, PIECE_H), pl.ds(xoff, PIECE_W)] = d2
-                return 0
+                pmax_ref[py * n_px + px] = jnp.max(d2)
 
-            jax.lax.fori_loop(0, nby * nbx, piece_body, 0)
+            @pl.when(one)  # straight-line fast path (most quads: one piece)
+            def _():
+                do_piece(by0, bx0)
+
+            @pl.when(~one)
+            def _():
+                def piece_body(p, _):
+                    do_piece(by0 + p // nbx, bx0 + p % nbx)
+                    return 0
+
+                jax.lax.fori_loop(0, nby * nbx, piece_body, 0)
 
         jax.lax.fori_loop(k_lo // 8, (k_hi + 7) // 8, octet_body, 0)
         return 0
@@ -426,6 +458,7 @@ def rasterize_pallas(f_binned, i_binned, tile_starts, tile_counts, *,
         scratch_shapes=[
             pltpu.SMEM((2 * len(F_FIELDS), BLOCK_Q), jnp.float32),
             pltpu.SMEM((2 * 8, BLOCK_Q), jnp.int32),
+            pltpu.SMEM((64,), jnp.float32),  # per-piece max drawn depth
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
         ],
