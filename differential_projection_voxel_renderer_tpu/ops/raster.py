@@ -54,10 +54,13 @@ from ..utils.config import SKY_COLOR
 
 F_FIELDS = (
     "a00", "a01", "a02", "a10", "a11", "a12", "a20", "a21", "a22",
-    "z0", "z1", "z2", "u0", "u1", "v0", "v1", "zmin",
+    "z0", "z1", "z2", "u0", "u1", "v0", "v1",
 )
-N_BLEND_FIELDS = 16  # fields consumed by the per-pixel blend (zmin is the
-                     # early-z key, read before anything else)
+N_BLEND_FIELDS = 16  # all float fields feed the per-pixel blend
+# (A per-piece early-z scheme — track max drawn depth per 8x128 piece in
+# SMEM and skip quads whose nearest depth lies beyond it — was measured
+# here and LOST ~40%: the cross-lane max reduction after every blend costs
+# more than the skipped blends save at vd12 overdraw levels.)
 # ``pieces`` packs the tile-local sub-block range the quad's bbox covers
 # (by0 | bx0<<4 | nby<<8 | nbx<<12 — precomputed on the XLA side so the
 # kernel spends no scalar ops on bbox/tile intersection); ``qid`` is the
@@ -83,7 +86,10 @@ def pack_coeffs_rows(coeffs: dict[str, jnp.ndarray]):
     pathological downstream ops — measured.)  The int block is padded to 8
     rows so SMEM double-buffer slices stay tiling-aligned (sublane 8).
     """
-    f = jnp.stack([coeffs[k].astype(jnp.float32) for k in F_FIELDS], axis=0)
+    floats = [coeffs[k].astype(jnp.float32) for k in F_FIELDS]
+    fzero = jnp.zeros_like(floats[0])
+    f_rows = -len(floats) % 8 + len(floats)  # pad to the 8-sublane tile
+    f = jnp.stack(floats + [fzero] * (f_rows - len(floats)), axis=0)
     ints = [coeffs[k].astype(jnp.int32) for k in I_FIELDS]
     zero = jnp.zeros_like(ints[0])
     i = jnp.stack(ints + [zero] * (8 - len(I_FIELDS)), axis=0)
@@ -285,7 +291,7 @@ PIECE_W = 128
 
 
 def _raster_kernel(starts_ref, counts_ref, f_hbm, i_hbm, color_ref, depth_ref,
-                   f_smem, i_smem, pmax_ref, f_sem, i_sem,
+                   f_smem, i_smem, f_sem, i_sem,
                    *, height, width, tile_h, tile_w, tiles_x):
     t = pl.program_id(0)
     ti = t // tiles_x  # tile row
@@ -295,14 +301,6 @@ def _raster_kernel(starts_ref, counts_ref, f_hbm, i_hbm, color_ref, depth_ref,
     # fused clear: depth = +inf, color = sky (main.rs:393)
     color_ref[:] = jnp.full((tile_h, tile_w), SKY_I32, jnp.int32)
     depth_ref[:] = jnp.full((tile_h, tile_w), jnp.inf, jnp.float32)
-    n_px = tile_w // PIECE_W
-    n_pieces = (tile_h // PIECE_H) * n_px
-
-    def clear_pmax(i, _):
-        pmax_ref[i] = jnp.float32(jnp.inf)
-        return 0
-
-    jax.lax.fori_loop(0, n_pieces, clear_pmax, 0)
 
     count = counts_ref[t]
     base = starts_ref[t]  # NOT block-aligned: segments are packed tight
@@ -310,7 +308,8 @@ def _raster_kernel(starts_ref, counts_ref, f_hbm, i_hbm, color_ref, depth_ref,
     last_blk = (base + jnp.maximum(count, 1) - 1) // BLOCK_Q
     nblocks = jnp.where(count > 0, last_blk - first_blk + 1, 0)
 
-    nf, ni = len(F_FIELDS), len(I_FIELDS)
+    nf = len(F_FIELDS) + (-len(F_FIELDS) % 8)  # sublane-padded row count
+    ni = len(I_FIELDS)
 
     ni_pad = 8  # int rows padded to the sublane tile (see pack_coeffs_rows)
 
@@ -373,17 +372,7 @@ def _raster_kernel(starts_ref, counts_ref, f_hbm, i_hbm, color_ref, depth_ref,
             nby = (desc >> 8) & 0xF
             nbx = (desc >> 12) & 0xF
             one = (nby == 1) & (nbx == 1)
-            # hierarchical early-z (the reference's Hi-Z intent,
-            # hiz_buffer.rs:90-138, per 8x128 piece): skip the quad after two
-            # scalar loads when its nearest depth is beyond the piece's
-            # farthest drawn pixel.  Conservative: removes only blends that
-            # could not change any pixel, so the output is bit-identical.
-            zmin = f_smem[slot * nf + 16, k]
-            occluded = one & (zmin > pmax_ref[by0 * n_px + bx0])
-
-            @pl.when(~occluded)
-            def _():
-                _do_quad_full(k, by0, bx0, nby, nbx, one)
+            _do_quad_full(k, by0, bx0, nby, nbx, one)
 
         def _do_quad_full(k, by0, bx0, nby, nbx, one):
             fro = tuple(f_smem[slot * nf + i, k] for i in range(N_BLEND_FIELDS))
@@ -400,7 +389,6 @@ def _raster_kernel(starts_ref, counts_ref, f_hbm, i_hbm, color_ref, depth_ref,
                 c2, d2 = _blend_one_quad(nx, ny, fro, iro, sub_c, sub_d)
                 color_ref[pl.ds(yoff, PIECE_H), pl.ds(xoff, PIECE_W)] = c2
                 depth_ref[pl.ds(yoff, PIECE_H), pl.ds(xoff, PIECE_W)] = d2
-                pmax_ref[py * n_px + px] = jnp.max(d2)
 
             @pl.when(one)  # straight-line fast path (most quads: one piece)
             def _():
@@ -456,9 +444,9 @@ def rasterize_pallas(f_binned, i_binned, tile_starts, tile_counts, *,
                          memory_space=pltpu.VMEM),
         ],
         scratch_shapes=[
-            pltpu.SMEM((2 * len(F_FIELDS), BLOCK_Q), jnp.float32),
+            pltpu.SMEM((2 * (len(F_FIELDS) + (-len(F_FIELDS) % 8)), BLOCK_Q),
+                       jnp.float32),
             pltpu.SMEM((2 * 8, BLOCK_Q), jnp.int32),
-            pltpu.SMEM((64,), jnp.float32),  # per-piece max drawn depth
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
         ],

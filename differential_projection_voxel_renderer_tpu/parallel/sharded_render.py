@@ -100,7 +100,6 @@ def _render_one_camera(pool, counts_all, positions, visible_slots, n_visible,
     )
     coeffs["pieces"] = jnp.zeros_like(qid_c)  # jnp path ignores pieces
     coeffs["qid"] = qid_c
-    coeffs["zmin"] = proj_b["depth_near"]
     fcoef, icoef = raster_ops.pack_coeffs_quadmajor(coeffs)
     color, depth = raster_ops.rasterize_jnp(
         fcoef, icoef, count, height=height, width=width,

@@ -121,7 +121,6 @@ def _render_step(
         nbx = lx1 // raster_ops.PIECE_W - bx0 + 1
         coeffs["pieces"] = by0 | (bx0 << 4) | (nby << 8) | (nbx << 12)
         coeffs["qid"] = flat
-        coeffs["zmin"] = proj_a["depth_near"][flat]
         f_binned, i_binned = raster_ops.pack_coeffs_rows(coeffs)
         color, depth = raster_ops.rasterize_pallas(
             f_binned, i_binned, tile_starts, tile_counts,
@@ -151,7 +150,6 @@ def _render_step(
         )
         coeffs["pieces"] = jnp.zeros_like(qid_c)  # unused by the jnp path
         coeffs["qid"] = qid_c
-        coeffs["zmin"] = proj_b["depth_near"]
         fcoef, icoef = raster_ops.pack_coeffs_quadmajor(coeffs)
         color, depth = raster_ops.rasterize_jnp(
             fcoef, icoef, count_c, height=height, width=width,
