@@ -88,10 +88,35 @@ def _render_step(
     count = proj_a["valid"].sum().astype(jnp.int32)
 
     if use_pallas:
-        # ---- bin the surviving quads straight to framebuffer tiles (no
-        # intermediate compaction: invalid quads simply overlap no tile),
-        # then compute rasterizer coefficients on the per-tile streams
+        # ---- rasterizer records for the WHOLE gathered stream first (all
+        # elementwise / small-table math), stacked into two row-major record
+        # arrays; after binning only two lane-axis row-gathers reorder them.
+        # (Measured on v5e: a [R, N][:, idx] multi-row gather costs about as
+        # much as ONE flat gather, while R separate flat gathers cost R x —
+        # the previous per-field post-binning gathers were ~3 ms/frame.)
         tiles_y, tiles_x = height // tile_h, width // tile_w
+        coeffs = proj_ops.quad_coefficients(
+            quads, wq, proj_a if span_mode else None,
+            tables, color_tables,
+            width=width, height=height, span_mode=span_mode,
+        )
+        f_full = jnp.stack(
+            [coeffs[k].astype(jnp.float32) for k in raster_ops.F_FIELDS]
+        )
+        # screen bbox rides along packed into two int rows (x0|x1, y0|y1) so
+        # the tile-local piece descriptor needs no extra gathers
+        bbx = proj_a["bb_x0"] | (proj_a["bb_x1"] << 16)
+        bby = proj_a["bb_y0"] | (proj_a["bb_y1"] << 16)
+        i_full = jnp.stack([
+            coeffs["color_even"].astype(jnp.int32),
+            coeffs["color_odd"].astype(jnp.int32),
+            coeffs["mask_lo"].astype(jnp.int32),
+            coeffs["mask_hi"].astype(jnp.int32),
+            bbx, bby,
+        ])
+
+        # ---- bin the surviving quads straight to framebuffer tiles (no
+        # intermediate compaction: invalid quads simply overlap no tile)
         tilebox = proj_ops.pack_tilebox(proj_a, tile_h=tile_h, tile_w=tile_w)
         tilebox = jnp.where(proj_a["valid"], tilebox, jnp.int32(0xFF))  # tx0>tx1
         flat, t_of_item, tile_starts, tile_counts, bin_overflow = (
@@ -100,28 +125,25 @@ def _render_step(
                 item_cap=tile_k_cap,
             )
         )
-        q_b = quads[flat]
-        wq_b = tuple(wq[a][flat] for a in range(3))
-        coeffs = proj_ops.quad_coefficients(
-            q_b, wq_b, _gather_proj(proj_a, flat) if span_mode else None,
-            tables, color_tables,
-            width=width, height=height, span_mode=span_mode,
-        )
+        f_binned = f_full[:, flat]
+        ig = i_full[:, flat]
         # tile-local covered piece range per item (elementwise; saves the
         # kernel ~40 scalar cycles per quad-tile pair)
         tpx0 = (t_of_item % tiles_x) * tile_w
         tpy0 = (t_of_item // tiles_x) * tile_h
-        lx0 = jnp.clip(proj_a["bb_x0"][flat] - tpx0, 0, tile_w - 1)
-        ly0 = jnp.clip(proj_a["bb_y0"][flat] - tpy0, 0, tile_h - 1)
-        lx1 = jnp.clip(proj_a["bb_x1"][flat] - tpx0, 0, tile_w - 1)
-        ly1 = jnp.clip(proj_a["bb_y1"][flat] - tpy0, 0, tile_h - 1)
+        lx0 = jnp.clip((ig[4] & 0xFFFF) - tpx0, 0, tile_w - 1)
+        lx1 = jnp.clip((ig[4] >> 16) - tpx0, 0, tile_w - 1)
+        ly0 = jnp.clip((ig[5] & 0xFFFF) - tpy0, 0, tile_h - 1)
+        ly1 = jnp.clip((ig[5] >> 16) - tpy0, 0, tile_h - 1)
         by0 = ly0 // raster_ops.PIECE_H
         bx0 = lx0 // raster_ops.PIECE_W
         nby = ly1 // raster_ops.PIECE_H - by0 + 1
         nbx = lx1 // raster_ops.PIECE_W - bx0 + 1
-        coeffs["pieces"] = by0 | (bx0 << 4) | (nby << 8) | (nbx << 12)
-        coeffs["qid"] = flat
-        f_binned, i_binned = raster_ops.pack_coeffs_rows(coeffs)
+        pieces = by0 | (bx0 << 4) | (nby << 8) | (nbx << 12)
+        i_binned = jnp.concatenate([
+            ig[:4], pieces[None], flat[None],
+            jnp.zeros((2, flat.shape[0]), jnp.int32),
+        ])
         color, depth = raster_ops.rasterize_pallas(
             f_binned, i_binned, tile_starts, tile_counts,
             height=height, width=width,
@@ -157,12 +179,6 @@ def _render_step(
         bin_overflow = jnp.int32(0)
     stats = jnp.stack([n_quads, count, overflow, bin_overflow])
     return color, depth, stats
-
-
-def _gather_proj(proj, flat):
-    """Gather the span-mode Stage-A fields onto the binned stream."""
-    keys = ("nx_min", "nx_max", "ny_min", "ny_max", "depth_near")
-    return {k: proj[k][flat] for k in keys}
 
 
 def build_gather_indices(counts_sel, slots_sel, positions_sel, gather_cap: int):
