@@ -67,7 +67,6 @@ def _render_step(
     interpret: bool,
     tile_k_cap: int = 8192,
 ):
-    del render_cap  # retained for config compatibility
     tables = proj_ops.view_tables(view_proj, cam_pos)
 
     # ---- gather: host-precomputed (slot, within, world-origin) arrays
@@ -88,16 +87,46 @@ def _render_step(
     count = proj_a["valid"].sum().astype(jnp.int32)
 
     if use_pallas:
-        # ---- rasterizer records for the WHOLE gathered stream first (all
-        # elementwise / small-table math), stacked into two row-major record
-        # arrays; after binning only two lane-axis row-gathers reorder them.
-        # (Measured on v5e: a [R, N][:, idx] multi-row gather costs about as
-        # much as ONE flat gather, while R separate flat gathers cost R x —
-        # the previous per-field post-binning gathers were ~3 ms/frame.)
+        # ---- compact the survivors FIRST with one multi-row gather (the
+        # sort-key count and the coefficient math then scale with the
+        # render cap, not the gather cap).  All per-quad state crosses the
+        # compaction as rows of one f32 array (ints bitcast), because on
+        # TPU a [R, N][:, idx] gather costs ~one flat gather while R
+        # separate flat gathers cost R x (measured).
         tiles_y, tiles_x = height // tile_h, width // tile_w
+        rc = min(gq, render_cap)
+        bcast = jax.lax.bitcast_convert_type
+        bbx = proj_a["bb_x0"] | (proj_a["bb_x1"] << 16)
+        bby = proj_a["bb_y0"] | (proj_a["bb_y1"] << 16)
+        pre_rows = [bcast(quads, jnp.float32), wq[0], wq[1], wq[2],
+                    bcast(bbx, jnp.float32), bcast(bby, jnp.float32)]
+        if span_mode:
+            pre_rows += [proj_a[k] for k in
+                         ("nx_min", "nx_max", "ny_min", "ny_max",
+                          "depth_near")]
+        # compaction indices via one flat sort (a searchsorted of rc
+        # targets lowers to a per-target binary-search loop — measured
+        # ~7 ms at this size; the sort is ~0.5 ms)
+        n_valid = proj_a["valid"].sum().astype(jnp.int32)
+        count_c = jnp.minimum(n_valid, rc)
+        stream_q = jnp.arange(gq, dtype=jnp.int32)
+        idx = jnp.sort(
+            jnp.where(proj_a["valid"], stream_q, jnp.int32(2**30))
+        )[:rc]
+        idx = jnp.minimum(idx, gq - 1)
+        pre_c = jnp.stack(pre_rows)[:, idx]
+        overflow = jnp.maximum(n_valid - rc, 0)
+        quads_c = bcast(pre_c[0], jnp.uint32)
+        wq_c = (pre_c[1], pre_c[2], pre_c[3])
+        bbx_c = bcast(pre_c[4], jnp.int32)
+        bby_c = bcast(pre_c[5], jnp.int32)
+        proj_c = ({k: pre_c[6 + j] for j, k in
+                   enumerate(("nx_min", "nx_max", "ny_min", "ny_max",
+                              "depth_near"))}
+                  if span_mode else None)
+
         coeffs = proj_ops.quad_coefficients(
-            quads, wq, proj_a if span_mode else None,
-            tables, color_tables,
+            quads_c, wq_c, proj_c, tables, color_tables,
             width=width, height=height, span_mode=span_mode,
         )
         f_full = jnp.stack(
@@ -105,23 +134,23 @@ def _render_step(
         )
         # screen bbox rides along packed into two int rows (x0|x1, y0|y1) so
         # the tile-local piece descriptor needs no extra gathers
-        bbx = proj_a["bb_x0"] | (proj_a["bb_x1"] << 16)
-        bby = proj_a["bb_y0"] | (proj_a["bb_y1"] << 16)
         i_full = jnp.stack([
             coeffs["color_even"].astype(jnp.int32),
             coeffs["color_odd"].astype(jnp.int32),
             coeffs["mask_lo"].astype(jnp.int32),
             coeffs["mask_hi"].astype(jnp.int32),
-            bbx, bby,
+            bbx_c, bby_c,
         ])
 
-        # ---- bin the surviving quads straight to framebuffer tiles (no
-        # intermediate compaction: invalid quads simply overlap no tile)
-        tilebox = proj_ops.pack_tilebox(proj_a, tile_h=tile_h, tile_w=tile_w)
-        tilebox = jnp.where(proj_a["valid"], tilebox, jnp.int32(0xFF))  # tx0>tx1
+        # ---- bin the compacted quads straight to framebuffer tiles
+        tilebox = proj_ops.pack_tilebox(
+            {"bb_x0": bbx_c & 0xFFFF, "bb_x1": bbx_c >> 16,
+             "bb_y0": bby_c & 0xFFFF, "bb_y1": bby_c >> 16},
+            tile_h=tile_h, tile_w=tile_w,
+        )
         flat, t_of_item, tile_starts, tile_counts, bin_overflow = (
             raster_ops.build_tile_lists(
-                tilebox, n_quads, tiles_y=tiles_y, tiles_x=tiles_x,
+                tilebox, count_c, tiles_y=tiles_y, tiles_x=tiles_x,
                 item_cap=tile_k_cap,
             )
         )
@@ -150,7 +179,6 @@ def _render_step(
             tile_h=tile_h, tile_w=tile_w,
             interpret=interpret,
         )
-        overflow = jnp.int32(0)
     else:
         # jnp path: compact first (keeps the full-frame loop short), then
         # rasterize the survivors in stream order
