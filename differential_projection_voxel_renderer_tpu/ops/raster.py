@@ -114,9 +114,12 @@ def _pixel_ndc(height: int, width: int, y0, x0, th: int, tw: int):
     return nx, ny
 
 
-def _blend_one_quad(nx, ny, fro, iro, color, depth):
-    """Shared per-quad pixel math. ``fro``/``iro`` are per-quad scalars in
-    F_FIELDS / I_FIELDS[:4] order; returns updated (color, depth)."""
+def _eval_one_quad(nx, ny, fro, iro):
+    """Shared per-quad pixel math: coverage / planar depth / texel color at
+    pixel NDC (nx, ny).  ``fro``/``iro`` are per-quad values in F_FIELDS /
+    I_FIELDS[:4] order, broadcastable against nx — scalars in the jnp path,
+    [8, 1] vregs in the octet kernel (identical f32 arithmetic either
+    way)."""
     (a00, a01, a02, a10, a11, a12, a20, a21, a22,
      z0, z1, z2, u0, u1, v0, v1) = fro
     color_even, color_odd, mask_lo, mask_hi = iro
@@ -147,7 +150,14 @@ def _blend_one_quad(nx, ny, fro, iro, color, depth):
         jnp.broadcast_to(word, shift.shape), shift
     ) & 1
     quad_color = jnp.where(bit != 0, color_odd, color_even)
+    return cover, z, quad_color
 
+
+def _blend_one_quad(nx, ny, fro, iro, color, depth):
+    """Sequential depth blend: strict less, ties keep first-drawn
+    (framebuffer.rs:325) — equivalent to a lexicographic min over
+    (depth, stream index), which is what the octet kernel computes."""
+    cover, z, quad_color = _eval_one_quad(nx, ny, fro, iro)
     ok = cover & (z < depth)
     return jnp.where(ok, quad_color, color), jnp.where(ok, z, depth)
 
@@ -189,9 +199,10 @@ def rasterize_jnp(fcoef, icoef, count, *, height: int, width: int,
 # ---------------------------------------------------------------------------
 
 
-@functools.partial(jax.jit, static_argnames=("tiles_y", "tiles_x", "item_cap"))
+@functools.partial(jax.jit, static_argnames=("tiles_y", "tiles_x",
+                                               "item_cap", "tile_h"))
 def build_tile_lists(tilebox, count, *, tiles_y: int, tiles_x: int,
-                     item_cap: int):
+                     item_cap: int, bb_y0=None, tile_h: int | None = None):
     """Bin quads to tiles as ONE flat item stream of (tile, quad) pairs,
     ordered by (tile, ascending quad) — so per-tile blend order matches the
     unbinned stream exactly, and downstream work is proportional to real
@@ -208,6 +219,13 @@ def build_tile_lists(tilebox, count, *, tiles_y: int, tiles_x: int,
     - one ascending sort of all keys yields every tile's item segment;
       segment boundaries come from a binary search of the tile prefixes.
 
+    When ``bb_y0``/``tile_h`` are given, items within a tile are ordered
+    by the quad's first covered tile-local pixel ROW (then stream order):
+    the octet kernel batches 8 consecutive items per inner step and only
+    walks rows min..max over the batch, so row-coherent neighbours make
+    that range tight.  (Blending is a lexicographic min over (depth,
+    stream index) — commutative — so within-tile order is free to choose.)
+
     Returns (items i32[item_cap] — quad index per stream slot,
              starts i32[T], counts i32[T] — per-tile segments (NOT aligned),
              overflow i32 — dropped items).
@@ -215,7 +233,12 @@ def build_tile_lists(tilebox, count, *, tiles_y: int, tiles_x: int,
     m = tilebox.shape[0]
     shift = max(1, (m - 1).bit_length())
     n_tiles = tiles_y * tiles_x
-    assert n_tiles << shift < 2**31, "tile/quad key would overflow int32"
+    row_bits = 0
+    if bb_y0 is not None:
+        assert tile_h is not None and tile_h <= 16
+        row_bits = 4
+    shift_t = shift + row_bits
+    assert n_tiles << shift_t < 2**31, "tile/quad key would overflow int32"
     big_cap = 512
     maxkey = jnp.int32(2**31 - 1)
 
@@ -229,6 +252,11 @@ def build_tile_lists(tilebox, count, *, tiles_y: int, tiles_x: int,
     small = nonempty & (tx1 - tx0 <= 1) & (ty1 - ty0 <= 1)
     is_big = nonempty & ~small
 
+    def rybits(ty, y0s):
+        if bb_y0 is None:
+            return 0
+        return jnp.clip(y0s - ty * tile_h, 0, tile_h - 1) << shift
+
     keys = []
     for dy in (0, 1):
         for dx in (0, 1):
@@ -236,7 +264,8 @@ def build_tile_lists(tilebox, count, *, tiles_y: int, tiles_x: int,
             ty = ty0 + dy
             ok = small & (tx <= tx1) & (ty <= ty1)
             tid = ty * tiles_x + tx
-            keys.append(jnp.where(ok, (tid << shift) | q, maxkey))
+            keys.append(jnp.where(
+                ok, (tid << shift_t) | rybits(ty, bb_y0) | q, maxkey))
 
     # compact big quads (few hundred at most) and expand over the full grid
     csum = jnp.cumsum(is_big.astype(jnp.int32))
@@ -256,14 +285,16 @@ def build_tile_lists(tilebox, count, *, tiles_y: int, tiles_x: int,
         (txg >= btx0[None, :]) & (txg <= btx1[None, :])
         & (tyg >= bty0[None, :]) & (tyg <= bty1[None, :])
     )
+    bry = 0 if bb_y0 is None else rybits(tyg, jnp.where(bvalid, bb_y0[src], 0)[None, :])
     keys.append(
-        jnp.where(okb, (t[:, None] << shift) | src[None, :], maxkey).reshape(-1)
+        jnp.where(okb, (t[:, None] << shift_t) | bry | src[None, :],
+                  maxkey).reshape(-1)
     )
     big_dropped = jnp.maximum(n_big - big_cap, 0)
 
     skeys = jnp.sort(jnp.concatenate(keys))
     bounds = jnp.searchsorted(
-        skeys, (jnp.arange(n_tiles + 1, dtype=jnp.int32) << shift),
+        skeys, (jnp.arange(n_tiles + 1, dtype=jnp.int32) << shift_t),
         side="left",
     ).astype(jnp.int32)
     starts = bounds[:-1]
@@ -276,7 +307,7 @@ def build_tile_lists(tilebox, count, *, tiles_y: int, tiles_x: int,
     mask = jnp.arange(item_cap, dtype=jnp.int32) < jnp.minimum(total, item_cap)
     head = skeys[:item_cap]
     items = jnp.where(mask, head & ((1 << shift) - 1), 0)
-    t_of_item = jnp.where(mask, head >> shift, 0).astype(jnp.int32)
+    t_of_item = jnp.where(mask, head >> shift_t, 0).astype(jnp.int32)
     return items, t_of_item, kept_start, counts, overflow
 
 
@@ -290,139 +321,160 @@ PIECE_H = 8
 PIECE_W = 128
 
 
-def _raster_kernel(starts_ref, counts_ref, f_hbm, i_hbm, color_ref, depth_ref,
-                   f_smem, i_smem, f_sem, i_sem,
-                   *, height, width, tile_h, tile_w, tiles_x):
-    t = pl.program_id(0)
-    ti = t // tiles_x  # tile row
-    tj = t % tiles_x   # tile col
-    tile_py0 = ti * tile_h
-    tile_px0 = tj * tile_w
-    # fused clear: depth = +inf, color = sky (main.rs:393)
-    color_ref[:] = jnp.full((tile_h, tile_w), SKY_I32, jnp.int32)
-    depth_ref[:] = jnp.full((tile_h, tile_w), jnp.inf, jnp.float32)
+REC_FIELDS = F_FIELDS + ("color_even", "color_odd", "mask_lo", "mask_hi",
+                         "qid")
+REC_QID = len(REC_FIELDS) - 1
 
+
+def _raster_kernel(starts_ref, counts_ref, rows_ref, rec_hbm,
+                   color_ref, depth_ref, rec_vmem, sem,
+                   *, height, width, tile_h, tile_w, tiles_x):
+    """Octet rasterizer: per 16x128 framebuffer tile (VREG-resident
+    accumulator, 2 sublane-groups), the tile's item stream is DMA'd
+    HBM -> VMEM in double-buffered 256-record blocks and processed 8 quads
+    at a time — quad in the SUBLANE axis, pixel x in the LANE axis.  Each
+    covered pixel row evaluates all 8 quads at once ([8, 128] vregs whose
+    per-quad coefficients are [8, 1] vector loads — the previous kernel's
+    ~22 SMEM scalar loads per quad were its measured bottleneck), reduces
+    them to the lexicographic (depth, stream-index) minimum with a 3-stage
+    sublane butterfly (pltpu.roll), and merges into the accumulator row.
+
+    Lexicographic min == the sequential first-drawn-wins blend of
+    rasterize_jnp (framebuffer.rs:325 semantics), and is order-independent,
+    which is what lets the binner order items by covered row: the per-octet
+    covered row range [min, max] is precomputed on the XLA side per aligned
+    group of 8 items and prefetched to SMEM (``rows_ref``), so the row loop
+    only walks rows the octet can actually touch."""
+    t = pl.program_id(0)
+    py0 = (t // tiles_x) * tile_h
+    px0 = (t % tiles_x) * tile_w
     count = counts_ref[t]
-    base = starts_ref[t]  # NOT block-aligned: segments are packed tight
+    base = starts_ref[t]
     first_blk = base // BLOCK_Q
     last_blk = (base + jnp.maximum(count, 1) - 1) // BLOCK_Q
     nblocks = jnp.where(count > 0, last_blk - first_blk + 1, 0)
+    n_sub = tile_h // 8
 
-    nf = len(F_FIELDS) + (-len(F_FIELDS) % 8)  # sublane-padded row count
-    ni = len(I_FIELDS)
-
-    ni_pad = 8  # int rows padded to the sublane tile (see pack_coeffs_rows)
-
-    def dmas(slot, b):
+    def dma(slot, b):
         off = pl.multiple_of((first_blk + b) * BLOCK_Q, BLOCK_Q)
-        return (
-            pltpu.make_async_copy(
-                f_hbm.at[:, pl.ds(off, BLOCK_Q)],
-                f_smem.at[pl.ds(slot * nf, nf), :],
-                f_sem.at[slot]
-            ),
-            pltpu.make_async_copy(
-                i_hbm.at[:, pl.ds(off, BLOCK_Q)],
-                i_smem.at[pl.ds(slot * ni_pad, ni_pad), :],
-                i_sem.at[slot]
-            ),
+        return pltpu.make_async_copy(
+            rec_hbm.at[pl.ds(off, BLOCK_Q), :],
+            rec_vmem.at[pl.ds(slot * BLOCK_Q, BLOCK_Q), :],
+            sem.at[slot],
         )
 
     @pl.when(nblocks > 0)
     def _():
-        df, di = dmas(0, 0)
-        df.start()
-        di.start()
+        dma(0, 0).start()
 
-    def block_body(b, _):
+    sub = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1)
+    wf = jnp.float32(width)
+    hf = jnp.float32(height)
+    px = jnp.float32(px0) + lane.astype(jnp.float32)
+    nxv = (2.0 * (px + 0.5) - wf) / wf  # matches _pixel_ndc bit-for-bit
+
+    inff = jnp.full((8, 128), jnp.inf, jnp.float32)
+    skyv = jnp.full((8, 128), SKY_I32, jnp.int32)
+    kinf = jnp.full((8, 128), jnp.int32(2**31 - 1), jnp.int32)
+    acc0 = tuple([inff, skyv, kinf] * n_sub)
+
+    def block_body(b, acc):
         slot = b % 2
 
         @pl.when(b + 1 < nblocks)
         def _():
-            df, di = dmas((b + 1) % 2, b + 1)
-            df.start()
-            di.start()
+            dma((b + 1) % 2, b + 1).start()
 
-        df, di = dmas(slot, b)
-        df.wait()
-        di.wait()
+        dma(slot, b).wait()
         blk0 = (first_blk + b) * BLOCK_Q
         k_lo = jnp.maximum(base - blk0, 0)
         k_hi = jnp.minimum(base + count - blk0, BLOCK_Q)
+        gbase = blk0 // 8  # global octet index of this block's first octet
 
-        def octet_body(o, _):
-            def lane_body(u, _):
-                k = o * 8 + u
+        def octet_body(o, acc):
+            g8 = pl.multiple_of(o * 8, 8)
+            r0 = pl.multiple_of(slot * BLOCK_Q + g8, 8)
+            recs = [rec_vmem[pl.ds(r0, 8), j:j + 1]
+                    for j in range(len(REC_FIELDS))]
+            fro = tuple(jax.lax.bitcast_convert_type(r, jnp.float32)
+                        for r in recs[:N_BLEND_FIELDS])
+            iro = tuple(recs[N_BLEND_FIELDS:N_BLEND_FIELDS + 4])
+            kq0 = recs[REC_QID]  # compacted-stream index: the tie-break key
+            kv = g8 + jax.lax.broadcasted_iota(jnp.int32, (8, 1), 0)
+            kmask = (kv >= k_lo) & (kv < k_hi)
+            rb = rows_ref[gbase + o]
+            ry0 = rb & 0xFF
+            ry1 = rb >> 8
 
-                @pl.when((k >= k_lo) & (k < k_hi))
-                def _():
-                    _do_quad(k)
-                return 0
+            def eval_row(y):
+                py = (py0 + y).astype(jnp.float32)
+                ny = 1.0 - 2.0 * (py + 0.5) / hf
+                cover, z, c = _eval_one_quad(nxv, ny, fro, iro)
+                d = jnp.where(cover & kmask & (z == z), z, jnp.inf)
+                kq = jnp.where(d < jnp.inf,
+                               jnp.broadcast_to(kq0, (8, 128)), kinf)
+                for shift in (4, 2, 1):
+                    d2 = pltpu.roll(d, shift, 0)
+                    c2 = pltpu.roll(c, shift, 0)
+                    k2 = pltpu.roll(kq, shift, 0)
+                    lt = (d2 < d) | ((d2 == d) & (k2 < kq))
+                    d = jnp.where(lt, d2, d)
+                    c = jnp.where(lt, c2, c)
+                    kq = jnp.where(lt, k2, kq)
+                return d, c, kq
 
-            jax.lax.fori_loop(0, 8, lane_body, 0, unroll=8)
-            return 0
+            def merge(acc, y, d, c, kq):
+                out = []
+                for i in range(n_sub):
+                    ad, ac, ak = acc[3 * i], acc[3 * i + 1], acc[3 * i + 2]
+                    upd = ((sub == y - 8 * i)
+                           & ((d < ad) | ((d == ad) & (kq < ak))))
+                    out += [jnp.where(upd, d, ad), jnp.where(upd, c, ac),
+                            jnp.where(upd, kq, ak)]
+                return tuple(out)
 
-        def _do_quad(k):
-            # covered sub-block range, precomputed on the XLA side (the
-            # reference's per-scanline span bounds, rasterizer.rs:1401-1413,
-            # in 8x128 granularity)
-            desc = i_smem[slot * ni_pad + 4, k]
-            by0 = desc & 0xF
-            bx0 = (desc >> 4) & 0xF
-            nby = (desc >> 8) & 0xF
-            nbx = (desc >> 12) & 0xF
-            one = (nby == 1) & (nbx == 1)
-            _do_quad_full(k, by0, bx0, nby, nbx, one)
+            # 4 rows per iteration: the per-row eval+reduce is one long
+            # serial dependency chain (latency-bound — measured 175 ns/row
+            # alone), so interleaving 4 independent rows recovers ~2.5x
+            def rows4_body(j, acc):
+                y = ry0 + 4 * j
+                evs = [eval_row(y + u) for u in range(4)]
+                for u, (d, c, kq) in enumerate(evs):
+                    live = y + u <= ry1
+                    d = jnp.where(live, d, jnp.inf)
+                    acc = merge(acc, y + u, d, c, kq)
+                return acc
 
-        def _do_quad_full(k, by0, bx0, nby, nbx, one):
-            fro = tuple(f_smem[slot * nf + i, k] for i in range(N_BLEND_FIELDS))
-            iro = tuple(i_smem[slot * ni_pad + i, k] for i in range(4))
+            return jax.lax.fori_loop(0, (ry1 - ry0 + 4) // 4, rows4_body,
+                                     acc)
 
-            def do_piece(py, px):
-                yoff = pl.multiple_of(py * PIECE_H, PIECE_H)
-                xoff = pl.multiple_of(px * PIECE_W, PIECE_W)
-                nx, ny = _pixel_ndc(height, width,
-                                    tile_py0 + yoff, tile_px0 + xoff,
-                                    PIECE_H, PIECE_W)
-                sub_c = color_ref[pl.ds(yoff, PIECE_H), pl.ds(xoff, PIECE_W)]
-                sub_d = depth_ref[pl.ds(yoff, PIECE_H), pl.ds(xoff, PIECE_W)]
-                c2, d2 = _blend_one_quad(nx, ny, fro, iro, sub_c, sub_d)
-                color_ref[pl.ds(yoff, PIECE_H), pl.ds(xoff, PIECE_W)] = c2
-                depth_ref[pl.ds(yoff, PIECE_H), pl.ds(xoff, PIECE_W)] = d2
+        return jax.lax.fori_loop(k_lo // 8, (k_hi + 7) // 8, octet_body, acc)
 
-            @pl.when(one)  # straight-line fast path (most quads: one piece)
-            def _():
-                do_piece(by0, bx0)
-
-            @pl.when(~one)
-            def _():
-                def piece_body(p, _):
-                    do_piece(by0 + p // nbx, bx0 + p % nbx)
-                    return 0
-
-                jax.lax.fori_loop(0, nby * nbx, piece_body, 0)
-
-        jax.lax.fori_loop(k_lo // 8, (k_hi + 7) // 8, octet_body, 0)
-        return 0
-
-    jax.lax.fori_loop(0, nblocks, block_body, 0)
+    acc = jax.lax.fori_loop(0, nblocks, block_body, acc0)
+    for i in range(n_sub):
+        depth_ref[pl.ds(i * 8, 8), :] = acc[3 * i]
+        color_ref[pl.ds(i * 8, 8), :] = acc[3 * i + 1]
 
 
 @functools.partial(
     jax.jit,
     static_argnames=("height", "width", "tile_h", "tile_w", "interpret"),
 )
-def rasterize_pallas(f_binned, i_binned, tile_starts, tile_counts, *,
+def rasterize_pallas(records, tile_starts, tile_counts, octet_rows, *,
                      height: int, width: int, tile_h: int, tile_w: int,
                      interpret: bool = False):
     """Binned, streamed, tiled Pallas rasterizer over the flat item stream.
 
-    ``f_binned`` f32[16, ITEM_CAP] / ``i_binned`` i32[8, ITEM_CAP] hold the
-    quad records in blocked SoA layout (see pack_coeffs_rows);
-    ``tile_starts``/``tile_counts`` i32[T] delimit each tile's segment
-    (starts are BLOCK_Q-aligned).  Returns (color, depth).
-    """
+    ``records`` i32[ITEM_CAP, 128] — one quad record per row (floats
+    bitcast, lanes len(REC_FIELDS).. zero: Mosaic requires DMA slices
+    aligned to the 128-lane tile), in binned item order; ``tile_starts``/``tile_counts``
+    i32[T] delimit each tile's segment (NOT aligned); ``octet_rows``
+    i32[ITEM_CAP // 8] — covered tile-local row range (ry0 | ry1 << 8) per
+    aligned group of 8 items.  Returns (color, depth)."""
     assert height % tile_h == 0 and width % tile_w == 0
+    assert tile_w == 128 and tile_h % 8 == 0
+    assert records.shape[0] % BLOCK_Q == 0 and records.shape[1] == 128
     tiles_y, tiles_x = height // tile_h, width // tile_w
     n_tiles = tiles_y * tiles_x
 
@@ -431,23 +483,21 @@ def rasterize_pallas(f_binned, i_binned, tile_starts, tile_counts, *,
         tile_w=tile_w, tiles_x=tiles_x,
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,  # per-tile starts + counts -> SMEM
+        num_scalar_prefetch=3,  # per-tile starts + counts, per-octet rows
         grid=(n_tiles,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),  # f_binned stays in HBM
-            pl.BlockSpec(memory_space=pltpu.ANY),  # i_binned stays in HBM
+            pl.BlockSpec(memory_space=pltpu.ANY),  # records stay in HBM
         ],
         out_specs=[
-            pl.BlockSpec((tile_h, tile_w), lambda t, *_: (t // (width // tile_w), t % (width // tile_w)),
+            pl.BlockSpec((tile_h, tile_w),
+                         lambda t, *_: (t // (width // 128), t % (width // 128)),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((tile_h, tile_w), lambda t, *_: (t // (width // tile_w), t % (width // tile_w)),
+            pl.BlockSpec((tile_h, tile_w),
+                         lambda t, *_: (t // (width // 128), t % (width // 128)),
                          memory_space=pltpu.VMEM),
         ],
         scratch_shapes=[
-            pltpu.SMEM((2 * (len(F_FIELDS) + (-len(F_FIELDS) % 8)), BLOCK_Q),
-                       jnp.float32),
-            pltpu.SMEM((2 * 8, BLOCK_Q), jnp.int32),
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.VMEM((2 * BLOCK_Q, 128), jnp.int32),
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
@@ -459,28 +509,25 @@ def rasterize_pallas(f_binned, i_binned, tile_starts, tile_counts, *,
             jax.ShapeDtypeStruct((height, width), jnp.float32),
         ],
         interpret=interpret,
-    )(tile_starts, tile_counts, f_binned, i_binned)
+    )(tile_starts, tile_counts, octet_rows, records)
     return color, depth
 
 
 def pick_tile(height: int, width: int) -> tuple[int, int]:
-    """Choose a VMEM-friendly tile: lane dim multiple of 128, sublane
-    multiple of 8, both dividing the framebuffer."""
-    tw = 0
-    for cand in (256, 128, 384, 512):
-        if width % cand == 0:
-            tw = cand
-            break
-    if tw == 0:
+    """Choose a tile for the octet kernel: width exactly one lane group
+    (128), height 16 (two sublane groups — the measured sweet spot between
+    per-(quad, tile) item duplication and big-quad expansion) when it
+    divides the framebuffer, else 8."""
+    if width % 128:
         raise ValueError(f"width {width} must be divisible by 128")
     th = 0
-    for cand in (120, 128, 64, 96, 112, 104, 88, 80, 72, 56, 48, 40, 32, 24, 16, 8):
+    for cand in (16, 8):
         if height % cand == 0:
             th = cand
             break
     if th == 0:
         raise ValueError(f"height {height} must be divisible by 8")
-    return th, tw
+    return th, 128
 
 
 # NOTE on record layout (measured on v5e): streaming records into SMEM and

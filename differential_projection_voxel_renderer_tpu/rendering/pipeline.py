@@ -132,14 +132,14 @@ def _render_step(
         f_full = jnp.stack(
             [coeffs[k].astype(jnp.float32) for k in raster_ops.F_FIELDS]
         )
-        # screen bbox rides along packed into two int rows (x0|x1, y0|y1) so
-        # the tile-local piece descriptor needs no extra gathers
+        # the screen-row range rides along packed into an int row (y0|y1<<16)
+        # so the per-octet row bounds need no extra gathers
         i_full = jnp.stack([
             coeffs["color_even"].astype(jnp.int32),
             coeffs["color_odd"].astype(jnp.int32),
             coeffs["mask_lo"].astype(jnp.int32),
             coeffs["mask_hi"].astype(jnp.int32),
-            bbx_c, bby_c,
+            bby_c,
         ])
 
         # ---- bin the compacted quads straight to framebuffer tiles
@@ -152,29 +152,28 @@ def _render_step(
             raster_ops.build_tile_lists(
                 tilebox, count_c, tiles_y=tiles_y, tiles_x=tiles_x,
                 item_cap=tile_k_cap,
+                bb_y0=bby_c & 0xFFFF, tile_h=tile_h,
             )
         )
         f_binned = f_full[:, flat]
         ig = i_full[:, flat]
-        # tile-local covered piece range per item (elementwise; saves the
-        # kernel ~40 scalar cycles per quad-tile pair)
-        tpx0 = (t_of_item % tiles_x) * tile_w
+        # covered tile-local pixel-row range per item -> per-octet row
+        # bounds for the kernel's row loop (aligned groups of 8 items)
         tpy0 = (t_of_item // tiles_x) * tile_h
-        lx0 = jnp.clip((ig[4] & 0xFFFF) - tpx0, 0, tile_w - 1)
-        lx1 = jnp.clip((ig[4] >> 16) - tpx0, 0, tile_w - 1)
-        ly0 = jnp.clip((ig[5] & 0xFFFF) - tpy0, 0, tile_h - 1)
-        ly1 = jnp.clip((ig[5] >> 16) - tpy0, 0, tile_h - 1)
-        by0 = ly0 // raster_ops.PIECE_H
-        bx0 = lx0 // raster_ops.PIECE_W
-        nby = ly1 // raster_ops.PIECE_H - by0 + 1
-        nbx = lx1 // raster_ops.PIECE_W - bx0 + 1
-        pieces = by0 | (bx0 << 4) | (nby << 8) | (nbx << 12)
-        i_binned = jnp.concatenate([
-            ig[:4], pieces[None], flat[None],
-            jnp.zeros((2, flat.shape[0]), jnp.int32),
-        ])
+        ly0 = jnp.clip((ig[4] & 0xFFFF) - tpy0, 0, tile_h - 1)
+        ly1 = jnp.clip((ig[4] >> 16) - tpy0, 0, tile_h - 1)
+        n_oct = flat.shape[0] // 8
+        octet_rows = (jnp.min(ly0.reshape(n_oct, 8), axis=1)
+                      | (jnp.max(ly1.reshape(n_oct, 8), axis=1) << 8))
+        n_rec = len(raster_ops.REC_FIELDS)
+        records = jnp.concatenate([
+            jax.lax.bitcast_convert_type(f_binned, jnp.int32),
+            ig[:4], flat[None],
+        ]).T  # [ITEM_CAP, 21] — one quad record per row (floats bitcast)
+        # lane dim must be a full 128-lane tile for the HBM->VMEM DMA
+        records = jnp.pad(records, ((0, 0), (0, 128 - n_rec)))
         color, depth = raster_ops.rasterize_pallas(
-            f_binned, i_binned, tile_starts, tile_counts,
+            records, tile_starts, tile_counts, octet_rows,
             height=height, width=width,
             tile_h=tile_h, tile_w=tile_w,
             interpret=interpret,

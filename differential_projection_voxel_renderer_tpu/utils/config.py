@@ -72,8 +72,8 @@ RENDER_QUADS_CAP: int = 65536
 # a multiple of 128; sublane dim a multiple of 8 (f32 tiling).  Narrow bands
 # spread skewed quad distributions (dense horizon rows) across many tiles,
 # keeping per-tile bin lists short.
-TILE_H: int = 40    # 720 / 18, multiple of 8
-TILE_W: int = 256   # multiple of 128
+TILE_H: int = 16    # two sublane groups; see ops/raster.py pick_tile
+TILE_W: int = 128   # exactly one lane group (octet-kernel requirement)
 
 
 def _default_use_pallas() -> bool:
@@ -114,8 +114,8 @@ class RenderConfig:
     quads_cap: int = RENDER_QUADS_CAP
     # flat binned item stream capacity (quad-tile pairs; 256-aligned
     # per-tile segments) — ~1.3 tiles per quad on average, so this bounds
-    # roughly tile_k_cap / 1.3 visible quads
-    tile_k_cap: int = 65536
+    # item stream cap: ~1.7 items per visible quad at 16x128 tiles
+    tile_k_cap: int = 98304
     visible_chunks_cap: int = VISIBLE_CHUNKS_CAP
     tile_h: int = TILE_H
     tile_w: int = TILE_W
