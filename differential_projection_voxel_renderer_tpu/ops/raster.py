@@ -200,9 +200,9 @@ def rasterize_jnp(fcoef, icoef, count, *, height: int, width: int,
 
 
 @functools.partial(jax.jit, static_argnames=("tiles_y", "tiles_x",
-                                               "item_cap", "tile_h"))
+                                               "item_cap"))
 def build_tile_lists(tilebox, count, *, tiles_y: int, tiles_x: int,
-                     item_cap: int, bb_y0=None, tile_h: int | None = None):
+                     item_cap: int, order6=None, order6_dy1=None):
     """Bin quads to tiles as ONE flat item stream of (tile, quad) pairs,
     ordered by (tile, ascending quad) — so per-tile blend order matches the
     unbinned stream exactly, and downstream work is proportional to real
@@ -219,12 +219,15 @@ def build_tile_lists(tilebox, count, *, tiles_y: int, tiles_x: int,
     - one ascending sort of all keys yields every tile's item segment;
       segment boundaries come from a binary search of the tile prefixes.
 
-    When ``bb_y0``/``tile_h`` are given, items within a tile are ordered
-    by the quad's first covered tile-local pixel ROW (then stream order):
-    the octet kernel batches 8 consecutive items per inner step and only
-    walks rows min..max over the batch, so row-coherent neighbours make
-    that range tight.  (Blending is a lexicographic min over (depth,
-    stream index) — commutative — so within-tile order is free to choose.)
+    When ``order6`` is given (i32[m], values 0..63), items within a tile
+    are ordered by it (then stream order).  The production pipeline packs
+    log-quantized near depth (4 bits) with the covered-row band (2 bits):
+    approximately front-to-back — what makes the kernel's exact occlusion
+    break effective — and row-coherent — what keeps octet row spans tight.
+    ``order6_dy1`` (optional) is used instead for a quad's SECOND covered
+    tile row, where its row band restarts at 0.
+    (Blending is a lexicographic min over (depth, stream index) —
+    commutative — so within-tile order is free to choose.)
 
     Returns (items i32[item_cap] — quad index per stream slot,
              starts i32[T], counts i32[T] — per-tile segments (NOT aligned),
@@ -233,11 +236,8 @@ def build_tile_lists(tilebox, count, *, tiles_y: int, tiles_x: int,
     m = tilebox.shape[0]
     shift = max(1, (m - 1).bit_length())
     n_tiles = tiles_y * tiles_x
-    row_bits = 0
-    if bb_y0 is not None:
-        assert tile_h is not None and tile_h <= 16
-        row_bits = 4
-    shift_t = shift + row_bits
+    order_bits = 0 if order6 is None else 6
+    shift_t = shift + order_bits
     assert n_tiles << shift_t < 2**31, "tile/quad key would overflow int32"
     big_cap = 512
     maxkey = jnp.int32(2**31 - 1)
@@ -252,11 +252,6 @@ def build_tile_lists(tilebox, count, *, tiles_y: int, tiles_x: int,
     small = nonempty & (tx1 - tx0 <= 1) & (ty1 - ty0 <= 1)
     is_big = nonempty & ~small
 
-    def rybits(ty, y0s):
-        if bb_y0 is None:
-            return 0
-        return jnp.clip(y0s - ty * tile_h, 0, tile_h - 1) << shift
-
     keys = []
     for dy in (0, 1):
         for dx in (0, 1):
@@ -264,8 +259,10 @@ def build_tile_lists(tilebox, count, *, tiles_y: int, tiles_x: int,
             ty = ty0 + dy
             ok = small & (tx <= tx1) & (ty <= ty1)
             tid = ty * tiles_x + tx
+            src6 = order6 if (dy == 0 or order6_dy1 is None) else order6_dy1
+            obits = 0 if src6 is None else (src6 << shift)
             keys.append(jnp.where(
-                ok, (tid << shift_t) | rybits(ty, bb_y0) | q, maxkey))
+                ok, (tid << shift_t) | obits | q, maxkey))
 
     # compact big quads (few hundred at most) and expand over the full grid
     csum = jnp.cumsum(is_big.astype(jnp.int32))
@@ -285,9 +282,10 @@ def build_tile_lists(tilebox, count, *, tiles_y: int, tiles_x: int,
         (txg >= btx0[None, :]) & (txg <= btx1[None, :])
         & (tyg >= bty0[None, :]) & (tyg <= bty1[None, :])
     )
-    bry = 0 if bb_y0 is None else rybits(tyg, jnp.where(bvalid, bb_y0[src], 0)[None, :])
+    bob = 0 if order6 is None else \
+        (jnp.where(bvalid, order6[src], 0) << shift)[None, :]
     keys.append(
-        jnp.where(okb, (t[:, None] << shift_t) | bry | src[None, :],
+        jnp.where(okb, (t[:, None] << shift_t) | bob | src[None, :],
                   maxkey).reshape(-1)
     )
     big_dropped = jnp.maximum(n_big - big_cap, 0)
@@ -326,7 +324,7 @@ REC_FIELDS = F_FIELDS + ("color_even", "color_odd", "mask_lo", "mask_hi",
 REC_QID = len(REC_FIELDS) - 1
 
 
-def _raster_kernel(starts_ref, counts_ref, rows_ref, rec_hbm,
+def _raster_kernel(starts_ref, counts_ref, rows_ref, zmin_ref, rec_hbm,
                    color_ref, depth_ref, rec_vmem, sem,
                    *, height, width, tile_h, tile_w, tiles_x):
     """Octet rasterizer: per 16x128 framebuffer tile (VREG-resident
@@ -341,10 +339,15 @@ def _raster_kernel(starts_ref, counts_ref, rows_ref, rec_hbm,
 
     Lexicographic min == the sequential first-drawn-wins blend of
     rasterize_jnp (framebuffer.rs:325 semantics), and is order-independent,
-    which is what lets the binner order items by covered row: the per-octet
-    covered row range [min, max] is precomputed on the XLA side per aligned
-    group of 8 items and prefetched to SMEM (``rows_ref``), so the row loop
-    only walks rows the octet can actually touch."""
+    which is what lets the binner order items front-to-back (by quantized
+    near depth).  The per-octet covered row range [min, max] (``rows_ref``)
+    and the segmented suffix-min of near depth over the rest of the tile's
+    items (``zmin_ref``) are precomputed on the XLA side per aligned group
+    of 8 items and prefetched to SMEM: the row loop only walks rows the
+    octet can touch, and once every pixel of the tile holds a depth nearer
+    than everything remaining, the rest of the stream is skipped — the
+    reference's Hi-Z early-out (hiz_buffer.rs:90-138) made EXACT: only
+    provably-losing blends are dropped, so the output is bit-identical."""
     t = pl.program_id(0)
     py0 = (t // tiles_x) * tile_h
     px0 = (t % tiles_x) * tile_w
@@ -376,10 +379,10 @@ def _raster_kernel(starts_ref, counts_ref, rows_ref, rec_hbm,
 
     inff = jnp.full((8, 128), jnp.inf, jnp.float32)
     skyv = jnp.full((8, 128), SKY_I32, jnp.int32)
-    kinf = jnp.full((8, 128), jnp.int32(2**31 - 1), jnp.int32)
-    acc0 = tuple([inff, skyv, kinf] * n_sub)
+    acc0 = tuple([inff, skyv] * n_sub)
 
-    def block_body(b, acc):
+    def block_body(b, carry):
+        acc, dmax = carry
         slot = b % 2
 
         @pl.when(b + 1 < nblocks)
@@ -396,13 +399,18 @@ def _raster_kernel(starts_ref, counts_ref, rows_ref, rec_hbm,
             g8 = pl.multiple_of(o * 8, 8)
             r0 = pl.multiple_of(slot * BLOCK_Q + g8, 8)
             recs = [rec_vmem[pl.ds(r0, 8), j:j + 1]
-                    for j in range(len(REC_FIELDS))]
-            fro = tuple(jax.lax.bitcast_convert_type(r, jnp.float32)
-                        for r in recs[:N_BLEND_FIELDS])
+                    for j in range(N_BLEND_FIELDS + 4)]
+            fro = list(jax.lax.bitcast_convert_type(r, jnp.float32)
+                       for r in recs[:N_BLEND_FIELDS])
             iro = tuple(recs[N_BLEND_FIELDS:N_BLEND_FIELDS + 4])
-            kq0 = recs[REC_QID]  # compacted-stream index: the tie-break key
+            # out-of-segment items (the octet may straddle tile segments)
+            # are killed by folding the mask into the coverage bounds once
+            # per octet instead of a per-row mask op
             kv = g8 + jax.lax.broadcasted_iota(jnp.int32, (8, 1), 0)
             kmask = (kv >= k_lo) & (kv < k_hi)
+            fro[12] = jnp.where(kmask, fro[12], jnp.float32(jnp.inf))
+            fro[13] = jnp.where(kmask, fro[13], jnp.float32(-jnp.inf))
+            fro = tuple(fro)
             rb = rows_ref[gbase + o]
             ry0 = rb & 0xFF
             ry1 = rb >> 8
@@ -411,27 +419,24 @@ def _raster_kernel(starts_ref, counts_ref, rows_ref, rec_hbm,
                 py = (py0 + y).astype(jnp.float32)
                 ny = 1.0 - 2.0 * (py + 0.5) / hf
                 cover, z, c = _eval_one_quad(nxv, ny, fro, iro)
-                d = jnp.where(cover & kmask & (z == z), z, jnp.inf)
-                kq = jnp.where(d < jnp.inf,
-                               jnp.broadcast_to(kq0, (8, 128)), kinf)
+                d = jnp.where(cover & (z == z), z, jnp.inf)
+                # butterfly min over the 8 sublanes (= quads); depth ties
+                # resolve by roll order — deterministic for a fixed
+                # binning, and ties are exact-equal depths only
                 for shift in (4, 2, 1):
                     d2 = pltpu.roll(d, shift, 0)
                     c2 = pltpu.roll(c, shift, 0)
-                    k2 = pltpu.roll(kq, shift, 0)
-                    lt = (d2 < d) | ((d2 == d) & (k2 < kq))
+                    lt = d2 < d
                     d = jnp.where(lt, d2, d)
                     c = jnp.where(lt, c2, c)
-                    kq = jnp.where(lt, k2, kq)
-                return d, c, kq
+                return d, c
 
-            def merge(acc, y, d, c, kq):
+            def merge(acc, y, d, c):
                 out = []
                 for i in range(n_sub):
-                    ad, ac, ak = acc[3 * i], acc[3 * i + 1], acc[3 * i + 2]
-                    upd = ((sub == y - 8 * i)
-                           & ((d < ad) | ((d == ad) & (kq < ak))))
-                    out += [jnp.where(upd, d, ad), jnp.where(upd, c, ac),
-                            jnp.where(upd, kq, ak)]
+                    ad, ac = acc[2 * i], acc[2 * i + 1]
+                    upd = (sub == y - 8 * i) & (d < ad)
+                    out += [jnp.where(upd, d, ad), jnp.where(upd, c, ac)]
                 return tuple(out)
 
             # 4 rows per iteration: the per-row eval+reduce is one long
@@ -440,28 +445,58 @@ def _raster_kernel(starts_ref, counts_ref, rows_ref, rec_hbm,
             def rows4_body(j, acc):
                 y = ry0 + 4 * j
                 evs = [eval_row(y + u) for u in range(4)]
-                for u, (d, c, kq) in enumerate(evs):
+                for u, (d, c) in enumerate(evs):
                     live = y + u <= ry1
                     d = jnp.where(live, d, jnp.inf)
-                    acc = merge(acc, y + u, d, c, kq)
+                    acc = merge(acc, y + u, d, c)
                 return acc
 
             return jax.lax.fori_loop(0, (ry1 - ry0 + 4) // 4, rows4_body,
                                      acc)
 
-        return jax.lax.fori_loop(k_lo // 8, (k_hi + 7) // 8, octet_body, acc)
+        # exact occlusion break: items are sorted front-to-back per tile,
+        # so once the nearest depth among ALL remaining items (suffix-min,
+        # zmin_ref) lies strictly beyond the farthest accumulated pixel
+        # (+inf while any pixel is undrawn), nothing left can blend.  The
+        # head octet may contain the previous tile's items (suffix not
+        # applicable) and is always processed.
+        o_hi = (k_hi + 7) // 8
 
-    acc = jax.lax.fori_loop(0, nblocks, block_body, acc0)
+        def w_cond(st):
+            o, dmax, _ = st
+            return (o < o_hi) & ((o * 8 < k_lo)
+                                 | (zmin_ref[gbase + o] <= dmax))
+
+        def w_body(st):
+            o, dmax, acc = st
+            acc = octet_body(o, acc)
+            # farthest accumulated pixel, refreshed every 4th octet (the
+            # full cross-lane reduce serializes against the blend chain —
+            # a stale dmax is merely conservative)
+            dmax = jax.lax.cond(
+                (o & 3) == 3,
+                lambda a: jnp.max(jnp.maximum(a[0], a[2]) if n_sub == 2
+                                  else a[0]),
+                lambda a: dmax, acc)
+            return o + 1, dmax, acc
+
+        _, dmax, acc = jax.lax.while_loop(w_cond, w_body,
+                                          (k_lo // 8, dmax, acc))
+        return acc, dmax
+
+    acc, _ = jax.lax.fori_loop(0, nblocks, block_body,
+                               (acc0, jnp.float32(jnp.inf)))
     for i in range(n_sub):
-        depth_ref[pl.ds(i * 8, 8), :] = acc[3 * i]
-        color_ref[pl.ds(i * 8, 8), :] = acc[3 * i + 1]
+        depth_ref[pl.ds(i * 8, 8), :] = acc[2 * i]
+        color_ref[pl.ds(i * 8, 8), :] = acc[2 * i + 1]
 
 
 @functools.partial(
     jax.jit,
     static_argnames=("height", "width", "tile_h", "tile_w", "interpret"),
 )
-def rasterize_pallas(records, tile_starts, tile_counts, octet_rows, *,
+def rasterize_pallas(records, tile_starts, tile_counts, octet_rows,
+                     octet_zmin, *,
                      height: int, width: int, tile_h: int, tile_w: int,
                      interpret: bool = False):
     """Binned, streamed, tiled Pallas rasterizer over the flat item stream.
@@ -471,7 +506,9 @@ def rasterize_pallas(records, tile_starts, tile_counts, octet_rows, *,
     aligned to the 128-lane tile), in binned item order; ``tile_starts``/``tile_counts``
     i32[T] delimit each tile's segment (NOT aligned); ``octet_rows``
     i32[ITEM_CAP // 8] — covered tile-local row range (ry0 | ry1 << 8) per
-    aligned group of 8 items.  Returns (color, depth)."""
+    aligned group of 8 items; ``octet_zmin`` f32[ITEM_CAP // 8] — the
+    suffix-min of near depth from each group to the end of its tile's
+    segment (drives the exact occlusion break).  Returns (color, depth)."""
     assert height % tile_h == 0 and width % tile_w == 0
     assert tile_w == 128 and tile_h % 8 == 0
     assert records.shape[0] % BLOCK_Q == 0 and records.shape[1] == 128
@@ -483,7 +520,7 @@ def rasterize_pallas(records, tile_starts, tile_counts, octet_rows, *,
         tile_w=tile_w, tiles_x=tiles_x,
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,  # per-tile starts + counts, per-octet rows
+        num_scalar_prefetch=4,  # tile starts + counts, octet rows + zmin
         grid=(n_tiles,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.ANY),  # records stay in HBM
@@ -509,7 +546,7 @@ def rasterize_pallas(records, tile_starts, tile_counts, octet_rows, *,
             jax.ShapeDtypeStruct((height, width), jnp.float32),
         ],
         interpret=interpret,
-    )(tile_starts, tile_counts, octet_rows, records)
+    )(tile_starts, tile_counts, octet_rows, octet_zmin, records)
     return color, depth
 
 

@@ -99,11 +99,11 @@ def _render_step(
         bbx = proj_a["bb_x0"] | (proj_a["bb_x1"] << 16)
         bby = proj_a["bb_y0"] | (proj_a["bb_y1"] << 16)
         pre_rows = [bcast(quads, jnp.float32), wq[0], wq[1], wq[2],
-                    bcast(bbx, jnp.float32), bcast(bby, jnp.float32)]
+                    bcast(bbx, jnp.float32), bcast(bby, jnp.float32),
+                    proj_a["depth_near"]]
         if span_mode:
             pre_rows += [proj_a[k] for k in
-                         ("nx_min", "nx_max", "ny_min", "ny_max",
-                          "depth_near")]
+                         ("nx_min", "nx_max", "ny_min", "ny_max")]
         # compaction indices via one flat sort (a searchsorted of rc
         # targets lowers to a per-target binary-search loop — measured
         # ~7 ms at this size; the sort is ~0.5 ms)
@@ -120,9 +120,10 @@ def _render_step(
         wq_c = (pre_c[1], pre_c[2], pre_c[3])
         bbx_c = bcast(pre_c[4], jnp.int32)
         bby_c = bcast(pre_c[5], jnp.int32)
-        proj_c = ({k: pre_c[6 + j] for j, k in
-                   enumerate(("nx_min", "nx_max", "ny_min", "ny_max",
-                              "depth_near"))}
+        dn_c = pre_c[6]
+        proj_c = (dict({k: pre_c[7 + j] for j, k in
+                        enumerate(("nx_min", "nx_max", "ny_min", "ny_max"))},
+                       depth_near=dn_c)
                   if span_mode else None)
 
         coeffs = proj_ops.quad_coefficients(
@@ -132,14 +133,16 @@ def _render_step(
         f_full = jnp.stack(
             [coeffs[k].astype(jnp.float32) for k in raster_ops.F_FIELDS]
         )
-        # the screen-row range rides along packed into an int row (y0|y1<<16)
-        # so the per-octet row bounds need no extra gathers
+        # the screen-row range (y0|y1<<16) and near depth ride along as
+        # int rows so per-octet row bounds / suffix-min need no extra
+        # gathers
         i_full = jnp.stack([
             coeffs["color_even"].astype(jnp.int32),
             coeffs["color_odd"].astype(jnp.int32),
             coeffs["mask_lo"].astype(jnp.int32),
             coeffs["mask_hi"].astype(jnp.int32),
             bby_c,
+            jax.lax.bitcast_convert_type(dn_c, jnp.int32),
         ])
 
         # ---- bin the compacted quads straight to framebuffer tiles
@@ -148,11 +151,21 @@ def _render_step(
              "bb_y0": bby_c & 0xFFFF, "bb_y1": bby_c >> 16},
             tile_h=tile_h, tile_w=tile_w,
         )
+        # within-tile order: log-quantized near depth (4 bits — drives
+        # how early the occlusion break fires) then the covered 4-row
+        # band (2 bits — keeps octet row spans tight); suffix-min keeps
+        # the break EXACT regardless of this key's quality
+        dq4 = jnp.clip(
+            (-jnp.log2(jnp.maximum(1.0 - dn_c, 1e-9)))
+            .astype(jnp.int32), 0, 15)
+        ty0_c = (bby_c & 0xFFFF) // tile_h
+        band = (jnp.clip((bby_c & 0xFFFF) - ty0_c * tile_h,
+                         0, tile_h - 1) >> 2)
         flat, t_of_item, tile_starts, tile_counts, bin_overflow = (
             raster_ops.build_tile_lists(
                 tilebox, count_c, tiles_y=tiles_y, tiles_x=tiles_x,
                 item_cap=tile_k_cap,
-                bb_y0=bby_c & 0xFFFF, tile_h=tile_h,
+                order6=(dq4 << 2) | band, order6_dy1=dq4 << 2,
             )
         )
         f_binned = f_full[:, flat]
@@ -165,6 +178,19 @@ def _render_step(
         n_oct = flat.shape[0] // 8
         octet_rows = (jnp.min(ly0.reshape(n_oct, 8), axis=1)
                       | (jnp.max(ly1.reshape(n_oct, 8), axis=1) << 8))
+        # suffix-min of near depth to the end of each tile's segment
+        # (segmented by tile id; padding slots forced to +inf) — the
+        # kernel's exact occlusion break key
+        n_kept = tile_starts[-1] + tile_counts[-1]
+        dn_i = jnp.where(jnp.arange(flat.shape[0]) < n_kept,
+                         jax.lax.bitcast_convert_type(ig[5], jnp.float32),
+                         jnp.inf)
+        def _segmin(a, b):
+            return (b[0], jnp.where(a[0] == b[0],
+                                    jnp.minimum(a[1], b[1]), b[1]))
+        seg_r, dn_r = jax.lax.associative_scan(
+            _segmin, (t_of_item[::-1], dn_i[::-1]))
+        octet_zmin = dn_r[::-1].reshape(n_oct, 8)[:, 0]
         n_rec = len(raster_ops.REC_FIELDS)
         records = jnp.concatenate([
             jax.lax.bitcast_convert_type(f_binned, jnp.int32),
@@ -173,7 +199,7 @@ def _render_step(
         # lane dim must be a full 128-lane tile for the HBM->VMEM DMA
         records = jnp.pad(records, ((0, 0), (0, 128 - n_rec)))
         color, depth = raster_ops.rasterize_pallas(
-            records, tile_starts, tile_counts, octet_rows,
+            records, tile_starts, tile_counts, octet_rows, octet_zmin,
             height=height, width=width,
             tile_h=tile_h, tile_w=tile_w,
             interpret=interpret,
