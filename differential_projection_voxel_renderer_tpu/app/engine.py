@@ -152,6 +152,12 @@ class Engine:
         self.enable_occlusion_culling = False  # 'O' toggle default (main.rs:112)
         # reference epsilon (occlusion.rs:138); see ops/occlusion.py note
         self.occlusion_epsilon = 0.005
+        # per-second FPS print + slow-frame warning (main.rs:324-335,
+        # 599-605); off by default so tests/benches stay quiet
+        self.log_fps = False
+        self.slow_frame_ms = 16.0
+        self._fps_frames = 0
+        self._fps_t0 = time.perf_counter()
         self._neighbor_offsets = [
             (1, 0, 0), (-1, 0, 0), (0, 1, 0), (0, -1, 0), (0, 0, 1), (0, 0, -1)
         ]
@@ -199,6 +205,7 @@ class Engine:
 
     # --------------------------------------------------------------- frame
     def render_frame(self, dt: float = 0.016) -> FrameResult:
+        frame_t0 = time.perf_counter()
         cam = self.camera
         self.controller.update_camera(cam, dt)
         self.world.update(cam.position)
@@ -290,4 +297,18 @@ class Engine:
         color, depth, stats = self.renderer.render_prepared(
             self.pool.quads, uploads, vp, cam.position
         )
+        if self.log_fps:
+            self._fps_frames += 1
+            now = time.perf_counter()
+            frame_ms = (now - frame_t0) * 1000.0
+            if frame_ms > self.slow_frame_ms:
+                print(f"slow frame: {frame_ms:.1f} ms "
+                      f"(visible={n})")
+            if now - self._fps_t0 >= 1.0:
+                fps = self._fps_frames / (now - self._fps_t0)
+                print(f"FPS: {fps:.1f} | chunks: {self.world.chunk_count()} "
+                      f"| rendered meshes: {n}")
+                self._fps_frames = 0
+                self._fps_t0 = now
+
         return FrameResult(color, depth, stats, n, n_visible_meshes)

@@ -3,26 +3,24 @@
 The compute heart of the renderer.  Replaces the reference's scanline span
 walker + AVX2 blend fills (src/rendering/span_walker.rs:283-392, 524-586 —
 ``fill_span_simd_branchless``: load depth+color, compare, blendv,
-unconditional store) with the TPU-native equivalent: for each framebuffer
-tile resident in VMEM, stream the tile's binned quads and evaluate coverage
-/ depth / texel for EVERY pixel of the tile at once on the VPU, then
-``jnp.where``-blend depth and color.  A 120x256 tile is 60 VPU vregs — the
-whole framebuffer tile IS the "register framebuffer" the reference emulates
-8 pixels at a time.
+unconditional store) with the TPU-native equivalent: a Pallas grid over
+16x128 framebuffer tiles whose color/depth accumulators live in vector
+registers, blending 8 quads at a time — quads in the sublane axis, pixel x
+in the lane axis (the "octet kernel", see ``_raster_kernel``).
 
 Pipeline structure (mirrors the reference frame, main.rs:528-597, redesigned
 for the TPU memory system):
 
-1. ``build_tile_lists`` — bin quads to framebuffer tiles as a dense overlap
-   matrix + scatter-free compaction (cumsum + batched searchsorted; the
-   "dense [tiles x quads] mask" plan from SURVEY.md section 5).  Replaces
-   Rayon stripe binning.
-2. gather the per-tile quad streams into contiguous HBM buffers (XLA
-   gather), ordered front-to-back per tile (= original stream order).
-3. ``_raster_kernel`` — Pallas grid over tiles; per tile the quad stream is
-   DMA'd HBM -> SMEM in double-buffered blocks (Mosaic requires static lane
-   indices in VMEM, so per-quad scalars live in SMEM), and each quad is
-   blended into the VMEM-resident tile.
+1. ``build_tile_lists`` — bin quads to tiles as ONE flat sorted item
+   stream (radix-friendly keys; replaces Rayon stripe binning), ordered
+   approximately front-to-back within each tile.
+2. gather the per-item records into a contiguous HBM buffer with one
+   multi-row gather (separate per-field gathers measured R x slower).
+3. ``_raster_kernel`` — per tile, stream the records HBM -> VMEM in
+   double-buffered 256-record blocks; per octet of 8 items evaluate whole
+   [8, 128] pixel rows, reduce across sublanes to the depth minimum, and
+   merge into the register-resident tile; an exact per-tile occlusion
+   break ends the stream once nothing left can win.
 
 Two implementations with identical per-pixel arithmetic:
 
@@ -57,43 +55,12 @@ F_FIELDS = (
     "z0", "z1", "z2", "u0", "u1", "v0", "v1",
 )
 N_BLEND_FIELDS = 16  # all float fields feed the per-pixel blend
-# (A per-piece early-z scheme — track max drawn depth per 8x128 piece in
-# SMEM and skip quads whose nearest depth lies beyond it — was measured
-# here and LOST ~40%: the cross-lane max reduction after every blend costs
-# more than the skipped blends save at vd12 overdraw levels.)
-# ``pieces`` packs the tile-local sub-block range the quad's bbox covers
-# (by0 | bx0<<4 | nby<<8 | nbx<<12 — precomputed on the XLA side so the
-# kernel spends no scalar ops on bbox/tile intersection); ``qid`` is the
-# quad's stream identity (drives the rotating-buffer assignment so
-# tie-breaking is independent of binning layout).
-I_FIELDS = ("color_even", "color_odd", "mask_lo", "mask_hi", "pieces", "qid")
+I_FIELDS = ("color_even", "color_odd", "mask_lo", "mask_hi")
 
 SKY_I32 = np.uint32(SKY_COLOR).astype(np.int32)
 
-# Quads streamed per DMA block (HBM -> SMEM); lane-aligned.
+# Items streamed per DMA block (HBM -> VMEM); sublane-tile aligned.
 BLOCK_Q = 256
-
-# (A rotating multi-buffer accumulation scheme was measured here and LOST:
-# the extra VMEM traffic cost more than the shortened read-modify-write
-# dependency chain bought.  Single-buffer sequential blending also keeps
-# the reference's exact first-drawn-wins tie semantics.)
-
-
-def pack_coeffs_rows(coeffs: dict[str, jnp.ndarray]):
-    """SoA dict -> (f32[16, N], i32[8, N]) blocked layout: the quad stream
-    stays on the (unpadded) lane dimension; a quad's record is one column.
-    (A quad-major [N, 16] layout pads 16 -> 128 lanes: 8x the memory and
-    pathological downstream ops — measured.)  The int block is padded to 8
-    rows so SMEM double-buffer slices stay tiling-aligned (sublane 8).
-    """
-    floats = [coeffs[k].astype(jnp.float32) for k in F_FIELDS]
-    fzero = jnp.zeros_like(floats[0])
-    f_rows = -len(floats) % 8 + len(floats)  # pad to the 8-sublane tile
-    f = jnp.stack(floats + [fzero] * (f_rows - len(floats)), axis=0)
-    ints = [coeffs[k].astype(jnp.int32) for k in I_FIELDS]
-    zero = jnp.zeros_like(ints[0])
-    i = jnp.stack(ints + [zero] * (8 - len(I_FIELDS)), axis=0)
-    return f, i
 
 
 def pack_coeffs_quadmajor(coeffs: dict[str, jnp.ndarray]):
@@ -319,9 +286,7 @@ PIECE_H = 8
 PIECE_W = 128
 
 
-REC_FIELDS = F_FIELDS + ("color_even", "color_odd", "mask_lo", "mask_hi",
-                         "qid")
-REC_QID = len(REC_FIELDS) - 1
+REC_FIELDS = F_FIELDS + I_FIELDS
 
 
 def _raster_kernel(starts_ref, counts_ref, rows_ref, zmin_ref, rec_hbm,

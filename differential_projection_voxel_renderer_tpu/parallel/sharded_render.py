@@ -84,9 +84,8 @@ def _render_one_camera(pool, counts_all, positions, visible_slots, n_visible,
         quads, wq, in_stream, tables,
         width=width, height=height, span_mode=span_mode,
     )
-    qid_src = jnp.arange(gather_cap, dtype=jnp.int32)
-    count, _, (q_c, wx_c, wy_c, wz_c, qid_c) = proj_ops.compact_stream(
-        proj_a["valid"], render_cap, (quads, wq[0], wq[1], wq[2], qid_src)
+    count, _, (q_c, wx_c, wy_c, wz_c) = proj_ops.compact_stream(
+        proj_a["valid"], render_cap, (quads, wq[0], wq[1], wq[2])
     )
     wq_c = (wx_c, wy_c, wz_c)
     in_render = jnp.arange(render_cap, dtype=jnp.int32) < count
@@ -98,8 +97,6 @@ def _render_one_camera(pool, counts_all, positions, visible_slots, n_visible,
         q_c, wq_c, proj_b if span_mode else None, tables,
         color_tables, width=width, height=height, span_mode=span_mode,
     )
-    coeffs["pieces"] = jnp.zeros_like(qid_c)  # jnp path ignores pieces
-    coeffs["qid"] = qid_c
     fcoef, icoef = raster_ops.pack_coeffs_quadmajor(coeffs)
     color, depth = raster_ops.rasterize_jnp(
         fcoef, icoef, count, height=height, width=width,

@@ -194,8 +194,8 @@ def _render_step(
         n_rec = len(raster_ops.REC_FIELDS)
         records = jnp.concatenate([
             jax.lax.bitcast_convert_type(f_binned, jnp.int32),
-            ig[:4], flat[None],
-        ]).T  # [ITEM_CAP, 21] — one quad record per row (floats bitcast)
+            ig[:4],
+        ]).T  # [ITEM_CAP, 20] — one quad record per row (floats bitcast)
         # lane dim must be a full 128-lane tile for the HBM->VMEM DMA
         records = jnp.pad(records, ((0, 0), (0, 128 - n_rec)))
         color, depth = raster_ops.rasterize_pallas(
@@ -208,9 +208,8 @@ def _render_step(
         # jnp path: compact first (keeps the full-frame loop short), then
         # rasterize the survivors in stream order
         rcap = min(gq, 65536)
-        qid_src = jnp.arange(gq, dtype=jnp.int32)
-        count_c, overflow, (q_c, wx_c, wy_c, wz_c, qid_c) = proj_ops.compact_stream(
-            proj_a["valid"], rcap, (quads, wq[0], wq[1], wq[2], qid_src)
+        count_c, overflow, (q_c, wx_c, wy_c, wz_c) = proj_ops.compact_stream(
+            proj_a["valid"], rcap, (quads, wq[0], wq[1], wq[2])
         )
         wq_c = (wx_c, wy_c, wz_c)
         in_render = jnp.arange(rcap, dtype=jnp.int32) < count_c
@@ -223,8 +222,6 @@ def _render_step(
             q_c, wq_c, proj_b, tables, color_tables,
             width=width, height=height, span_mode=span_mode,
         )
-        coeffs["pieces"] = jnp.zeros_like(qid_c)  # unused by the jnp path
-        coeffs["qid"] = qid_c
         fcoef, icoef = raster_ops.pack_coeffs_quadmajor(coeffs)
         color, depth = raster_ops.rasterize_jnp(
             fcoef, icoef, count_c, height=height, width=width,

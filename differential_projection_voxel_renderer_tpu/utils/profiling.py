@@ -12,9 +12,14 @@ Reference: src/perf/ — three tiers (SURVEY.md section 5 "Tracing"):
                                            back in the render step's stats
                                            vector instead of atomics)
 3. Linux perf-event hardware counters (perf/profiling.rs:169-278)
-                                        -> trace(): jax.profiler traces, the
-                                           TPU-native hardware-counter story
-                                           (view in TensorBoard/xprof)
+                                        -> PerfCounters: the same CPU
+                                           counters via a ctypes
+                                           perf_event_open wrapper (host-
+                                           side code: meshing, culling,
+                                           binning prep); trace(): a
+                                           jax.profiler trace is the
+                                           device-side equivalent (view in
+                                           TensorBoard/xprof)
 """
 
 from __future__ import annotations
@@ -151,3 +156,110 @@ def trace(log_dir: str = "/tmp/dpvr_trace"):
         yield log_dir
     finally:
         jax.profiler.stop_trace()
+
+
+# ---------------------------------------------------------------------------
+# Hardware counters (Linux perf_event) — perf/profiling.rs:169-278
+# ---------------------------------------------------------------------------
+
+_PERF_TYPE_HARDWARE = 0
+_HW_EVENTS = {  # perf_event.h PERF_COUNT_HW_*
+    "cycles": 0,
+    "instructions": 1,
+    "cache_references": 2,
+    "cache_misses": 3,
+    "branches": 4,
+    "branch_misses": 5,
+}
+
+
+class PerfCounters:
+    """CPU hardware counters for the host-side stages (meshing, culling,
+    gather-index prep) via the raw ``perf_event_open`` syscall — the
+    reference's `perf-event` crate wrapper (profiling.rs:169-278): cycles,
+    instructions, cache refs/misses, branches/misses, with an IPC /
+    hit-rate report.  Degrades gracefully (``available`` False) where the
+    kernel forbids it (containers, perf_event_paranoid)."""
+
+    def __init__(self, events=("cycles", "instructions",
+                               "cache_references", "cache_misses",
+                               "branches", "branch_misses")):
+        import ctypes
+        import platform
+        import struct
+
+        self._fds: dict[str, int] = {}
+        self._os = os
+        self.available = False
+        if platform.system() != "Linux":
+            return
+        libc = ctypes.CDLL(None, use_errno=True)
+        # struct perf_event_attr (only the leading fields matter; the rest
+        # is zeroed; size = PERF_ATTR_SIZE_VER0 = 64)
+        for name in events:
+            config = _HW_EVENTS[name]
+            attr = struct.pack(
+                "IIQQQQQ",
+                _PERF_TYPE_HARDWARE,   # type
+                128,                   # size (PERF_ATTR_SIZE_VER3 incl.
+                                       # the flags word we need)
+                config,                # config
+                0,                     # sample_period
+                0,                     # sample_type
+                0,                     # read_format
+                1 << 0 | 1 << 5,       # flags: disabled | exclude_kernel
+            )
+            attr = attr + b"\x00" * (128 - len(attr))
+            buf = ctypes.create_string_buffer(attr, 128)
+            fd = libc.syscall(298,  # __NR_perf_event_open (x86_64)
+                              buf, 0, -1, -1, 0)
+            if fd < 0:
+                continue
+            self._fds[name] = fd
+        self.available = bool(self._fds)
+
+    def enable(self):
+        import fcntl
+        for fd in self._fds.values():
+            fcntl.ioctl(fd, 0x2401, 0)  # PERF_EVENT_IOC_RESET
+            fcntl.ioctl(fd, 0x2400, 0)  # PERF_EVENT_IOC_ENABLE
+
+    def disable(self):
+        import fcntl
+        for fd in self._fds.values():
+            fcntl.ioctl(fd, 0x2402, 0)  # PERF_EVENT_IOC_DISABLE
+
+    def read(self) -> dict[str, int]:
+        out = {}
+        for name, fd in self._fds.items():
+            data = self._os.read(fd, 8)
+            out[name] = int.from_bytes(data, "little")
+        return out
+
+    def report(self) -> str:
+        """IPC + cache/branch hit-rate summary (profiling.rs:236-278)."""
+        c = self.read()
+        lines = [f"{k}: {v:,}" for k, v in c.items()]
+        if c.get("cycles") and c.get("instructions"):
+            lines.append(f"IPC: {c['instructions'] / c['cycles']:.2f}")
+        if c.get("cache_references"):
+            hr = 1.0 - c.get("cache_misses", 0) / c["cache_references"]
+            lines.append(f"cache hit rate: {hr:.1%}")
+        if c.get("branches"):
+            hr = 1.0 - c.get("branch_misses", 0) / c["branches"]
+            lines.append(f"branch hit rate: {hr:.1%}")
+        return "\n".join(lines)
+
+    def close(self):
+        for fd in self._fds.values():
+            self._os.close(fd)
+        self._fds.clear()
+        self.available = False
+
+    def __enter__(self):
+        self.enable()
+        return self
+
+    def __exit__(self, *exc):
+        self.disable()
+        return False

@@ -106,3 +106,22 @@ def test_clip_polygon_near():
     assert len(clipped) == 4
     assert (clipped[:, 3] >= eps - 1e-12).all()
     assert np.isclose(clipped[:, 3].min(), eps)
+
+
+def test_hardware_counters_graceful():
+    """PerfCounters (perf/profiling.rs:169-278 analog) must either work or
+    degrade cleanly where perf_event_open is forbidden (containers)."""
+    from differential_projection_voxel_renderer_tpu.utils.profiling import (
+        PerfCounters,
+    )
+
+    pc = PerfCounters()
+    if not pc.available:
+        assert pc.read() == {}
+        return
+    with pc:
+        sum(i * i for i in range(10000))
+    rep = pc.report()
+    assert "cycles" in rep or len(rep) >= 0
+    pc.close()
+    assert not pc.available

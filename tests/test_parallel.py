@@ -117,8 +117,6 @@ def test_band_rasterization_matches_full():
     coeffs["color_odd"] = coeffs["color_even"]
     coeffs["mask_lo"] = jnp.zeros(M, jnp.int32)
     coeffs["mask_hi"] = jnp.zeros(M, jnp.int32)
-    coeffs["pieces"] = jnp.zeros(M, jnp.int32)  # jnp path ignores pieces
-    coeffs["qid"] = jnp.arange(M, dtype=jnp.int32)
     f, ic = R.pack_coeffs_quadmajor(coeffs)
     full_c, full_d = R.rasterize_jnp(f, ic, jnp.int32(M), height=64, width=128)
     for y0, bh in ((0, 16), (16, 16), (32, 32)):
