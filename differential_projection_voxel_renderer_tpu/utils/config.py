@@ -63,10 +63,13 @@ QUADS_PER_CHUNK_CAP: int = 4096
 VISIBLE_CHUNKS_CAP: int = 512
 
 # Max quads gathered from visible chunk meshes per frame (pre-cull).
-GATHER_QUADS_CAP: int = 131072
+GATHER_QUADS_CAP: int = 131072  # must stay a power of two: the
+# compaction sorts a GATHER_QUADS_CAP-long key array, and a 98304-long
+# sort measured ~5 ms slower than 131072 (XLA TPU sort wants pow2)
 
 # Max quads rasterized per frame after culling + compaction.
-RENDER_QUADS_CAP: int = 65536
+RENDER_QUADS_CAP: int = 49152  # post-cull cap; sized ~1.3x the vd12
+# steady-state survivor count (37k); overflow is counted in stats[2]
 
 # Default framebuffer tile shape for the Pallas rasterizer.  Lane dim must be
 # a multiple of 128; sublane dim a multiple of 8 (f32 tiling).  Narrow bands
