@@ -109,7 +109,6 @@ def main():
     # pure device throughput: N frames inside ONE jit dispatch (immune to
     # the relay round-trip noise of this environment)
     from differential_projection_voxel_renderer_tpu.rendering.pipeline import (
-        build_gather_indices,
         make_repeated_step,
     )
 
@@ -119,14 +118,12 @@ def main():
     vps = np.repeat(eng.camera.view_projection_matrix()[None], k, 0)
     cams = np.repeat(eng.camera.position[None], k, 0).astype(np.float32)
     cams += rng.normal(0, 0.01, cams.shape).astype(np.float32)  # defeat CSE
-    slot_of, within, quad_world, total = build_gather_indices(
-        eng._last_counts_sel, eng._last_visible_slots,
-        eng._last_positions_sel, eng.config.gather_cap
+    quads, quad_world, total = eng.renderer.prepare_uploads(
+        eng.pool.quads, eng._last_visible_slots, eng._last_counts_sel,
+        eng._last_positions_sel
     )
     import jax.numpy as jnp
-    rep_args = (eng.pool.quads,
-                jnp.asarray(slot_of), jnp.asarray(within),
-                jnp.asarray(quad_world), jnp.asarray(total, jnp.int32),
+    rep_args = (quads, quad_world, total,
                 jnp.asarray(vps, jnp.float32), jnp.asarray(cams))
     out = jax.block_until_ready(rep(*rep_args))  # compile
     t0 = time.time()

@@ -156,10 +156,6 @@ def bench_device(quick=False):
             counts[slot_i] = k
             positions[slot_i] = c.position
             slot_i += 1
-        from differential_projection_voxel_renderer_tpu.rendering.pipeline import (
-            build_gather_indices,
-        )
-
         k = 20
         rep = make_repeated_step(r, k)
         vps = np.repeat(cam.view_projection_matrix()[None], k, 0).astype(np.float32)
@@ -171,12 +167,9 @@ def bench_device(quick=False):
         counts_sel[:slot_i] = counts[:slot_i]
         positions_sel = np.zeros((cfg.visible_chunks_cap, 3), np.int32)
         positions_sel[:slot_i] = positions[:slot_i]
-        slot_of, within, quad_world, total = build_gather_indices(
-            counts_sel, vis, positions_sel, cfg.gather_cap
-        )
-        args = (jnp.asarray(pool),
-                jnp.asarray(slot_of), jnp.asarray(within),
-                jnp.asarray(quad_world), jnp.asarray(total, jnp.int32),
+        quads_s, quad_world, total = r.prepare_uploads(
+            jnp.asarray(pool), vis, counts_sel, positions_sel)
+        args = (quads_s, quad_world, total,
                 jnp.asarray(vps), jnp.asarray(cams))
         out = jax.block_until_ready(rep(*args))
         t0 = time.perf_counter()

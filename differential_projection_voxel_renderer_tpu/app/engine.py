@@ -290,12 +290,12 @@ class Engine:
             uploads = self._upload_cache[1]
         else:
             uploads = self.renderer.prepare_uploads(
-                visible_slots, counts_sel, positions_sel
+                self.pool.quads, visible_slots, counts_sel, positions_sel
             )
             self._upload_cache = (sig, uploads)
 
         color, depth, stats = self.renderer.render_prepared(
-            self.pool.quads, uploads, vp, cam.position
+            uploads, vp, cam.position
         )
         if self.log_fps:
             self._fps_frames += 1

@@ -290,7 +290,7 @@ REC_FIELDS = F_FIELDS + I_FIELDS
 
 
 def _raster_kernel(starts_ref, counts_ref, rows_ref, zmin_ref, rec_hbm,
-                   color_ref, depth_ref, rec_vmem, sem,
+                   color_ref, depth_ref, rec_vmem, rec_t, sem,
                    *, height, width, tile_h, tile_w, tiles_x):
     """Octet rasterizer: per 16x128 framebuffer tile (VREG-resident
     accumulator, 2 sublane-groups), the tile's item stream is DMA'd
@@ -326,8 +326,8 @@ def _raster_kernel(starts_ref, counts_ref, rows_ref, zmin_ref, rec_hbm,
     def dma(slot, b):
         off = pl.multiple_of((first_blk + b) * BLOCK_Q, BLOCK_Q)
         return pltpu.make_async_copy(
-            rec_hbm.at[pl.ds(off, BLOCK_Q), :],
-            rec_vmem.at[pl.ds(slot * BLOCK_Q, BLOCK_Q), :],
+            rec_hbm.at[:, pl.ds(off, BLOCK_Q)],
+            rec_vmem.at[:, pl.ds(slot * BLOCK_Q, BLOCK_Q)],
             sem.at[slot],
         )
 
@@ -355,6 +355,12 @@ def _raster_kernel(starts_ref, counts_ref, rows_ref, zmin_ref, rec_hbm,
             dma((b + 1) % 2, b + 1).start()
 
         dma(slot, b).wait()
+        # records arrive field-major [24, 256] (narrow DMA, no XLA-side
+        # transpose); one in-kernel transpose per block makes each item a
+        # row so per-octet coefficients are aligned [8, 1] vector loads
+        rec_t[:] = jnp.transpose(
+            rec_vmem[:, pl.ds(pl.multiple_of(slot * BLOCK_Q, BLOCK_Q),
+                              BLOCK_Q)])
         blk0 = (first_blk + b) * BLOCK_Q
         k_lo = jnp.maximum(base - blk0, 0)
         k_hi = jnp.minimum(base + count - blk0, BLOCK_Q)
@@ -362,8 +368,7 @@ def _raster_kernel(starts_ref, counts_ref, rows_ref, zmin_ref, rec_hbm,
 
         def octet_body(o, acc):
             g8 = pl.multiple_of(o * 8, 8)
-            r0 = pl.multiple_of(slot * BLOCK_Q + g8, 8)
-            recs = [rec_vmem[pl.ds(r0, 8), j:j + 1]
+            recs = [rec_t[pl.ds(g8, 8), j:j + 1]
                     for j in range(N_BLEND_FIELDS + 4)]
             fro = list(jax.lax.bitcast_convert_type(r, jnp.float32)
                        for r in recs[:N_BLEND_FIELDS])
@@ -466,9 +471,9 @@ def rasterize_pallas(records, tile_starts, tile_counts, octet_rows,
                      interpret: bool = False):
     """Binned, streamed, tiled Pallas rasterizer over the flat item stream.
 
-    ``records`` i32[ITEM_CAP, 128] — one quad record per row (floats
-    bitcast, lanes len(REC_FIELDS).. zero: Mosaic requires DMA slices
-    aligned to the 128-lane tile), in binned item order; ``tile_starts``/``tile_counts``
+    ``records`` i32[24, ITEM_CAP] — field-major quad records (floats
+    bitcast, rows len(REC_FIELDS).. zero-padded to the sublane tile), in
+    binned item order; ``tile_starts``/``tile_counts``
     i32[T] delimit each tile's segment (NOT aligned); ``octet_rows``
     i32[ITEM_CAP // 8] — covered tile-local row range (ry0 | ry1 << 8) per
     aligned group of 8 items; ``octet_zmin`` f32[ITEM_CAP // 8] — the
@@ -476,7 +481,7 @@ def rasterize_pallas(records, tile_starts, tile_counts, octet_rows,
     segment (drives the exact occlusion break).  Returns (color, depth)."""
     assert height % tile_h == 0 and width % tile_w == 0
     assert tile_w == 128 and tile_h % 8 == 0
-    assert records.shape[0] % BLOCK_Q == 0 and records.shape[1] == 128
+    assert records.shape[1] % BLOCK_Q == 0 and records.shape[0] == 24
     tiles_y, tiles_x = height // tile_h, width // tile_w
     n_tiles = tiles_y * tiles_x
 
@@ -499,7 +504,8 @@ def rasterize_pallas(records, tile_starts, tile_counts, octet_rows,
                          memory_space=pltpu.VMEM),
         ],
         scratch_shapes=[
-            pltpu.VMEM((2 * BLOCK_Q, 128), jnp.int32),
+            pltpu.VMEM((24, 2 * BLOCK_Q), jnp.int32),
+            pltpu.VMEM((BLOCK_Q, 24), jnp.int32),
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )

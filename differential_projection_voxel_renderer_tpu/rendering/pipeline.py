@@ -46,9 +46,7 @@ class FrameStats:
 
 
 def _render_step(
-    quad_pool,        # uint32[P, QCAP]
-    pool_slot_of,     # int32[GQ] — pool slot per stream entry (host-built)
-    within,           # int32[GQ] — quad index within the chunk (host-built)
+    quads,            # uint32[GQ] — the gathered visible-quad stream
     quad_world,       # f32[3, GQ] — chunk world origin per stream entry
     n_quads,          # int32[]   — total quads in the stream
     view_proj,        # f32[4, 4]
@@ -69,13 +67,12 @@ def _render_step(
 ):
     tables = proj_ops.view_tables(view_proj, cam_pos)
 
-    # ---- gather: host-precomputed (slot, within, world-origin) arrays
-    # replace both the in-graph searchsorted AND every per-quad gather from
-    # per-chunk tables (the host knows all counts and positions; np.repeat
-    # is free while TPU gathers cost ~3 ns/element)
-    gq = pool_slot_of.shape[0]
+    # The quad stream arrives pre-gathered: flattening the visible chunks'
+    # pool rows depends only on the draw list, not the camera, so it lives
+    # in prepare_uploads (device gather, cached across frames) — ~2 ms of
+    # per-frame gathers in the steady state otherwise.
+    gq = quads.shape[0]
     in_stream = jnp.arange(gq, dtype=jnp.int32) < n_quads
-    quads = quad_pool[pool_slot_of, within]
     wq = (quad_world[0], quad_world[1], quad_world[2])
 
     # ---- project + cull (stage A) — valid mask + screen bboxes
@@ -191,13 +188,14 @@ def _render_step(
         seg_r, dn_r = jax.lax.associative_scan(
             _segmin, (t_of_item[::-1], dn_i[::-1]))
         octet_zmin = dn_r[::-1].reshape(n_oct, 8)[:, 0]
-        n_rec = len(raster_ops.REC_FIELDS)
+        # field-major records [24, ITEM_CAP] (floats bitcast; rows padded
+        # to the sublane tile) — the kernel transposes per 256-item block
         records = jnp.concatenate([
             jax.lax.bitcast_convert_type(f_binned, jnp.int32),
             ig[:4],
-        ]).T  # [ITEM_CAP, 20] — one quad record per row (floats bitcast)
-        # lane dim must be a full 128-lane tile for the HBM->VMEM DMA
-        records = jnp.pad(records, ((0, 0), (0, 128 - n_rec)))
+            jnp.zeros((24 - len(raster_ops.REC_FIELDS), flat.shape[0]),
+                      jnp.int32),
+        ])
         color, depth = raster_ops.rasterize_pallas(
             records, tile_starts, tile_counts, octet_rows, octet_zmin,
             height=height, width=width,
@@ -235,7 +233,8 @@ def build_gather_indices(counts_sel, slots_sel, positions_sel, gather_cap: int):
     """Host-side ragged flatten: per-visible-chunk quad counts + pool slots
     + chunk positions -> (pool_slot_of i32[GQ], within i32[GQ],
     quad_world f32[3, GQ], total int).  Pure numpy (np.repeat); the device
-    never runs a searchsorted or a per-quad table gather."""
+    never runs a searchsorted, and the pool gather these indices feed runs
+    once per draw-list change (prepare_uploads), not per frame."""
     counts_sel = np.asarray(counts_sel, np.int64)
     slots_sel = np.asarray(slots_sel, np.int32)
     positions_sel = np.asarray(positions_sel, np.float32) * 32.0
@@ -256,6 +255,13 @@ def build_gather_indices(counts_sel, slots_sel, positions_sel, gather_cap: int):
         for a in range(3):
             quad_world[a, :total] = np.repeat(positions_sel[:, a], counts_sel)
     return pool_slot_of, within, quad_world, total
+
+
+@jax.jit
+def _gather_stream(quad_pool, slot_of, within):
+    """Flatten visible pool rows -> one quad stream (runs on draw-list
+    change only; see prepare_uploads)."""
+    return quad_pool[slot_of, within]
 
 
 class Renderer:
@@ -307,23 +313,27 @@ class Renderer:
         self.config.enable_shading = enable
         self.__init__(self.config, self.atlas)
 
-    def prepare_uploads(self, visible_slots, counts_sel, positions_sel):
-        """Build + upload the per-frame gather arrays (host np.repeat, one
-        H2D).  Cacheable by the caller while the draw list is unchanged."""
+    def prepare_uploads(self, quad_pool, visible_slots, counts_sel,
+                        positions_sel):
+        """Draw-list-dependent device state: host np.repeat gather indices
+        (one H2D) + one device gather flattening the visible pool rows
+        into the quad stream.  Cacheable by the caller while the draw list
+        is unchanged — the camera-dependent step never re-gathers."""
         slot_of, within, quad_world, total = build_gather_indices(
             counts_sel, visible_slots, positions_sel, self.config.gather_cap
         )
+        quads = _gather_stream(quad_pool, jnp.asarray(slot_of),
+                               jnp.asarray(within))
         return (
-            jnp.asarray(slot_of),
-            jnp.asarray(within),
+            quads,
             jnp.asarray(quad_world),
             jnp.asarray(total, jnp.int32),
         )
 
-    def render_prepared(self, quad_pool, uploads, view_proj, cam_pos):
-        slot_of, within, quad_world, total = uploads
+    def render_prepared(self, uploads, view_proj, cam_pos):
+        quads, quad_world, total = uploads
         return self._step(
-            quad_pool, slot_of, within, quad_world, total,
+            quads, quad_world, total,
             jnp.asarray(view_proj, jnp.float32),
             jnp.asarray(cam_pos, jnp.float32),
         )
@@ -335,8 +345,9 @@ class Renderer:
         ``visible_slots``/``counts_sel``/``positions_sel``: host numpy
         per-visible-chunk pool slots, quad counts and chunk grid positions
         (front-to-back, zero-padded)."""
-        uploads = self.prepare_uploads(visible_slots, counts_sel, positions_sel)
-        return self.render_prepared(quad_pool, uploads, view_proj, cam_pos)
+        uploads = self.prepare_uploads(quad_pool, visible_slots, counts_sel,
+                                       positions_sel)
+        return self.render_prepared(uploads, view_proj, cam_pos)
 
 
 def make_repeated_step(renderer: "Renderer", n_frames: int):
@@ -348,10 +359,10 @@ def make_repeated_step(renderer: "Renderer", n_frames: int):
     use_pallas = cfg.resolve_use_pallas()
     tile_h, tile_w = renderer.tile
 
-    def run(quad_pool, slot_of, within, quad_world, n_quads, vps, cams):
+    def run(quads, quad_world, n_quads, vps, cams):
         def body(i, carry):
             color, depth, stats = _render_step(
-                quad_pool, slot_of, within, quad_world, n_quads,
+                quads, quad_world, n_quads,
                 vps[i], cams[i],
                 color_tables=renderer._tables_np,
                 width=cfg.width, height=cfg.height,

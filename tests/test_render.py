@@ -71,10 +71,9 @@ def _render_args(renderer, quads, cam, n_chunks=1):
     slot_of, within, quad_world, total = build_gather_indices(
         counts_sel, visible, positions_sel, cfg.gather_cap
     )
+    stream = pool[slot_of, within]  # the prepare_uploads gather, on host
     return (
-        jnp.asarray(pool),
-        jnp.asarray(slot_of),
-        jnp.asarray(within),
+        jnp.asarray(stream),
         jnp.asarray(quad_world),
         jnp.asarray(total, jnp.int32),
         jnp.asarray(vp, jnp.float32),
