@@ -366,8 +366,12 @@ def _raster_kernel(starts_ref, counts_ref, rows_ref, zmin_ref, rec_hbm,
         k_hi = jnp.minimum(base + count - blk0, BLOCK_Q)
         gbase = blk0 // 8  # global octet index of this block's first octet
 
-        def octet_body(o, acc):
-            g8 = pl.multiple_of(o * 8, 8)
+        def load_octet(o):
+            # clamp the load offset into the block (the second octet of a
+            # pair may fall past it; its coverage is killed by the segment
+            # mask below, computed from the UNclamped index)
+            oc = jnp.minimum(o, BLOCK_Q // 8 - 1)
+            g8 = pl.multiple_of(oc * 8, 8)
             recs = [rec_t[pl.ds(g8, 8), j:j + 1]
                     for j in range(N_BLEND_FIELDS + 4)]
             fro = list(jax.lax.bitcast_convert_type(r, jnp.float32)
@@ -376,53 +380,59 @@ def _raster_kernel(starts_ref, counts_ref, rows_ref, zmin_ref, rec_hbm,
             # out-of-segment items (the octet may straddle tile segments)
             # are killed by folding the mask into the coverage bounds once
             # per octet instead of a per-row mask op
-            kv = g8 + jax.lax.broadcasted_iota(jnp.int32, (8, 1), 0)
+            kv = o * 8 + jax.lax.broadcasted_iota(jnp.int32, (8, 1), 0)
             kmask = (kv >= k_lo) & (kv < k_hi)
             fro[12] = jnp.where(kmask, fro[12], jnp.float32(jnp.inf))
             fro[13] = jnp.where(kmask, fro[13], jnp.float32(-jnp.inf))
-            fro = tuple(fro)
-            rb = rows_ref[gbase + o]
-            ry0 = rb & 0xFF
-            ry1 = rb >> 8
+            rb = rows_ref[jnp.minimum(gbase + o, rows_ref.shape[0] - 1)]
+            return tuple(fro), iro, rb & 0xFF, rb >> 8
 
-            def eval_row(y):
-                py = (py0 + y).astype(jnp.float32)
-                ny = 1.0 - 2.0 * (py + 0.5) / hf
-                cover, z, c = _eval_one_quad(nxv, ny, fro, iro)
-                d = jnp.where(cover & (z == z), z, jnp.inf)
-                # butterfly min over the 8 sublanes (= quads); depth ties
-                # resolve by roll order — deterministic for a fixed
-                # binning, and ties are exact-equal depths only
-                for shift in (4, 2, 1):
-                    d2 = pltpu.roll(d, shift, 0)
-                    c2 = pltpu.roll(c, shift, 0)
-                    lt = d2 < d
-                    d = jnp.where(lt, d2, d)
-                    c = jnp.where(lt, c2, c)
-                return d, c
+        def eval_row(fro, iro, y):
+            py = (py0 + y).astype(jnp.float32)
+            ny = 1.0 - 2.0 * (py + 0.5) / hf
+            cover, z, c = _eval_one_quad(nxv, ny, fro, iro)
+            d = jnp.where(cover & (z == z), z, jnp.inf)
+            # butterfly min over the 8 sublanes (= quads); depth ties
+            # resolve by roll order — deterministic for a fixed binning,
+            # and ties are exact-equal depths only
+            for shift in (4, 2, 1):
+                d2 = pltpu.roll(d, shift, 0)
+                c2 = pltpu.roll(c, shift, 0)
+                lt = d2 < d
+                d = jnp.where(lt, d2, d)
+                c = jnp.where(lt, c2, c)
+            return d, c
 
-            def merge(acc, y, d, c):
-                out = []
-                for i in range(n_sub):
-                    ad, ac = acc[2 * i], acc[2 * i + 1]
-                    upd = (sub == y - 8 * i) & (d < ad)
-                    out += [jnp.where(upd, d, ad), jnp.where(upd, c, ac)]
-                return tuple(out)
+        def merge(acc, y, d, c):
+            out = []
+            for i in range(n_sub):
+                ad, ac = acc[2 * i], acc[2 * i + 1]
+                upd = (sub == y - 8 * i) & (d < ad)
+                out += [jnp.where(upd, d, ad), jnp.where(upd, c, ac)]
+            return tuple(out)
 
-            # 4 rows per iteration: the per-row eval+reduce is one long
-            # serial dependency chain (latency-bound — measured 175 ns/row
-            # alone), so interleaving 4 independent rows recovers ~2.5x
-            def rows4_body(j, acc):
-                y = ry0 + 4 * j
-                evs = [eval_row(y + u) for u in range(4)]
-                for u, (d, c) in enumerate(evs):
-                    live = y + u <= ry1
-                    d = jnp.where(live, d, jnp.inf)
-                    acc = merge(acc, y + u, d, c)
+        def octet_pair_body(o, acc):
+            # TWO octets x 4 rows per iteration: each row's eval+reduce is
+            # one long serial dependency chain (measured 175 ns/row alone),
+            # so 8 independent rows in flight hide most of the latency
+            a = load_octet(o)
+            bq = load_octet(o + 1)
+
+            def rows_body(j, acc):
+                for fro, iro, ry0, ry1 in (a, bq):
+                    y = ry0 + 4 * j
+                    evs = [eval_row(fro, iro, y + u) for u in range(4)]
+                    for u, (d, c) in enumerate(evs):
+                        # kills rows past ry1 AND whole iterations past the
+                        # shorter octet's range
+                        d = jnp.where(y + u <= ry1, d, jnp.inf)
+                        acc = merge(acc, y + u, d, c)
                 return acc
 
-            return jax.lax.fori_loop(0, (ry1 - ry0 + 4) // 4, rows4_body,
-                                     acc)
+            iters = jnp.maximum((a[3] - a[2] + 4) // 4,
+                                jnp.where(o + 1 < o_hi,
+                                          (bq[3] - bq[2] + 4) // 4, 0))
+            return jax.lax.fori_loop(0, iters, rows_body, acc)
 
         # exact occlusion break: items are sorted front-to-back per tile,
         # so once the nearest depth among ALL remaining items (suffix-min,
@@ -439,16 +449,16 @@ def _raster_kernel(starts_ref, counts_ref, rows_ref, zmin_ref, rec_hbm,
 
         def w_body(st):
             o, dmax, acc = st
-            acc = octet_body(o, acc)
-            # farthest accumulated pixel, refreshed every 4th octet (the
+            acc = octet_pair_body(o, acc)
+            # farthest accumulated pixel, refreshed every other pair (the
             # full cross-lane reduce serializes against the blend chain —
             # a stale dmax is merely conservative)
             dmax = jax.lax.cond(
-                (o & 3) == 3,
+                (o & 2) == 2,
                 lambda a: jnp.max(jnp.maximum(a[0], a[2]) if n_sub == 2
                                   else a[0]),
                 lambda a: dmax, acc)
-            return o + 1, dmax, acc
+            return o + 2, dmax, acc
 
         _, dmax, acc = jax.lax.while_loop(w_cond, w_body,
                                           (k_lo // 8, dmax, acc))
