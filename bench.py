@@ -138,6 +138,46 @@ def main():
     nonsky = (res.color_numpy() != np.uint32(0xFF87CEEB)).sum()
     log(f"final frame non-sky pixels: {nonsky}")
 
+    # ---- secondary metrics (BASELINE.md configs 1, 5 + mesh ms/chunk);
+    # diagnostics only — the driver consumes the single JSON line below
+    try:
+        from differential_projection_voxel_renderer_tpu.meshing.greedy import (
+            mesh_chunk,
+        )
+        from differential_projection_voxel_renderer_tpu.models.chunk import (
+            Chunk,
+        )
+
+        terr = [Chunk.generate_terrain((x, 0, 0)) for x in range(8)]
+        t0 = time.time()
+        for _ in range(5):
+            for c in terr:
+                mesh_chunk(c)
+        log(f"meshing: {(time.time()-t0)/40*1000:.3f} ms per 32^3 terrain "
+            f"chunk (host, native)")
+    except Exception as e:  # pragma: no cover
+        log(f"(meshing secondary metric failed: {e})")
+
+    try:
+        t0 = time.time()
+        eng.prime_all()  # warm the whole mesh cache first
+        log(f"prime_all: {len(eng.pool.by_pos)} meshes "
+            f"({time.time()-t0:.1f}s)")
+        t0 = time.time()
+        nfly = 40
+        for i in range(nfly):
+            eng.camera.position += np.array([0.4, 0.0, -0.4], np.float32)
+            eng.camera.yaw += 0.01
+            res = eng.render_frame(dt=0.016)
+        jax.block_until_ready(res.color)
+        log(f"flythrough (streaming + remesh + moving camera): "
+            f"{nfly/(time.time()-t0):.1f} FPS")
+        log("  (moving-camera frames rebuild the draw list: 2-3 dispatches"
+            " + small H2D per frame — RTT-bound on this relay-attached"
+            " TPU; a local host pays microseconds)")
+    except Exception as e:  # pragma: no cover
+        log(f"(flythrough secondary metric failed: {e})")
+
     print(json.dumps({
         "metric": f"fps_1280x720_vd{args.vd}_textured_shaded",
         "value": round(fps, 2),

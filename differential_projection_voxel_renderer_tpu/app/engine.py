@@ -43,6 +43,13 @@ def _pool_set_row(pool, slot, row):
     return pool.at[slot].set(row)
 
 
+@functools.partial(jax.jit, donate_argnums=0)
+def _pool_set_rows(pool, slots, rows):
+    """Batched in-place row update: one dispatch per remesh BATCH, not per
+    chunk (each dispatch costs a full round trip on remote-TPU setups)."""
+    return pool.at[slots].set(rows)
+
+
 class QuadPool:
     """Device-resident mesh cache: packed quads per chunk slot.
 
@@ -96,6 +103,49 @@ class QuadPool:
         self.quads = _pool_set_row(self.quads, jnp.int32(slot), jnp.asarray(row))
         self.counts[slot] = n
         self.positions[slot] = key
+        self._dev_cache = None
+
+    def insert_many(self, items) -> None:
+        """Batched insert of [(pos, quads-or-None), ...]: ONE donated
+        device scatter for the whole remesh batch.  Batch sizes are padded
+        to power-of-two buckets (duplicate scatter of the first row) so
+        the jit retraces a bounded number of shapes."""
+        if not items:
+            return
+        if len(items) > 512:  # bound the staging buffer / single transfer
+            for i in range(0, len(items), 512):
+                self.insert_many(items[i:i + 512])
+            return
+        k = len(items)
+        rows = np.zeros((k, self.qcap), np.uint32)
+        slots = np.zeros(k, np.int32)
+        for i, (pos, quads) in enumerate(items):
+            key = tuple(int(c) for c in pos)
+            slot = self.by_pos.get(key)
+            if slot is None:
+                if not self._free:
+                    raise RuntimeError(
+                        "QuadPool exhausted; raise `slots` "
+                        "(mesh cache capacity)")
+                slot = self._free.pop()
+                self.by_pos[key] = slot
+            n = 0
+            if quads is not None:
+                n = min(len(quads), self.qcap)
+                if len(quads) > self.qcap:
+                    self.overflow_drops += len(quads) - self.qcap
+                rows[i, :n] = quads[:n]
+            slots[i] = slot
+            self.counts[slot] = n
+            self.positions[slot] = key
+        kp = 1 << (k - 1).bit_length()
+        if kp != k:  # pad with idempotent duplicates of entry 0
+            rows = np.concatenate(
+                [rows, np.broadcast_to(rows[0], (kp - k, self.qcap))])
+            slots = np.concatenate(
+                [slots, np.full(kp - k, slots[0], np.int32)])
+        self.quads = _pool_set_rows(self.quads, jnp.asarray(slots),
+                                    jnp.asarray(rows))
         self._dev_cache = None
 
     def remove(self, pos) -> None:
@@ -187,11 +237,13 @@ class Engine:
             return 0
         to_mesh = sorted(set(to_mesh))
         all_chunks = self.world.get_all_chunks()
+        batch = []
         for pos in to_mesh:
             chunk = self.world.chunks.get(pos)
             if chunk is None:
                 continue
-            self.pool.insert(pos, mesh_chunk(chunk, all_chunks))
+            batch.append((pos, mesh_chunk(chunk, all_chunks)))
+        self.pool.insert_many(batch)
         return len(to_mesh)
 
     def prime(self) -> None:
@@ -202,6 +254,12 @@ class Engine:
             self.camera.position, frustum
         )
         self._remesh(visible)
+
+    def prime_all(self) -> None:
+        """Mesh every loaded chunk (warm-cache steady state: rotating or
+        moving the camera then hits the mesh cache, like the reference's
+        README numbers)."""
+        self._remesh(list(self.world.chunks.values()))
 
     # --------------------------------------------------------------- frame
     def render_frame(self, dt: float = 0.016) -> FrameResult:

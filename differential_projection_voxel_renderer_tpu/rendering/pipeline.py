@@ -257,11 +257,24 @@ def build_gather_indices(counts_sel, slots_sel, positions_sel, gather_cap: int):
     return pool_slot_of, within, quad_world, total
 
 
-@jax.jit
-def _gather_stream(quad_pool, slot_of, within):
-    """Flatten visible pool rows -> one quad stream (runs on draw-list
-    change only; see prepare_uploads)."""
-    return quad_pool[slot_of, within]
+@functools.partial(jax.jit, static_argnames=("gather_cap",))
+def _expand_uploads(quad_pool, slots_sel, counts_sel, positions_sel, *,
+                    gather_cap: int):
+    """Device-side draw-list expansion: per-visible-chunk (pool slot, quad
+    count, chunk position) -> the flat quad stream + per-quad world
+    origins.  Uploads are ~5 KB instead of ~2.5 MB of host-expanded index
+    arrays (the np.repeat expansion + H2D dominated moving-camera frames);
+    runs only when the draw list changes (see prepare_uploads)."""
+    nv = slots_sel.shape[0]
+    ci = jnp.repeat(jnp.arange(nv, dtype=jnp.int32), counts_sel,
+                    total_repeat_length=gather_cap)
+    starts = jnp.cumsum(counts_sel) - counts_sel
+    slot_of = slots_sel[ci]
+    within = jnp.arange(gather_cap, dtype=jnp.int32) - starts[ci]
+    quads = quad_pool[slot_of, jnp.clip(within, 0, quad_pool.shape[1] - 1)]
+    wq = jnp.stack([(positions_sel[:, a].astype(jnp.float32) * 32.0)[ci]
+                    for a in range(3)])
+    return quads, wq, counts_sel.sum().astype(jnp.int32)
 
 
 class Renderer:
@@ -315,20 +328,26 @@ class Renderer:
 
     def prepare_uploads(self, quad_pool, visible_slots, counts_sel,
                         positions_sel):
-        """Draw-list-dependent device state: host np.repeat gather indices
-        (one H2D) + one device gather flattening the visible pool rows
-        into the quad stream.  Cacheable by the caller while the draw list
-        is unchanged — the camera-dependent step never re-gathers."""
-        slot_of, within, quad_world, total = build_gather_indices(
-            counts_sel, visible_slots, positions_sel, self.config.gather_cap
+        """Draw-list-dependent device state: upload the tiny per-chunk
+        arrays and expand + gather the quad stream on device.  Cacheable
+        by the caller while the draw list is unchanged — the camera-
+        dependent step never re-gathers."""
+        counts_sel = np.asarray(counts_sel, np.int64)
+        total = int(counts_sel.sum())
+        cap = self.config.gather_cap
+        if total > cap:
+            # truncate whole chunks from the back (reported via stats[0])
+            cum = np.cumsum(counts_sel)
+            counts_sel = np.where(cum <= cap, counts_sel,
+                                  np.maximum(cap - (cum - counts_sel), 0))
+        quads, quad_world, total_dev = _expand_uploads(
+            quad_pool,
+            jnp.asarray(np.asarray(visible_slots, np.int32)),
+            jnp.asarray(counts_sel.astype(np.int32)),
+            jnp.asarray(np.asarray(positions_sel, np.int32)),
+            gather_cap=cap,
         )
-        quads = _gather_stream(quad_pool, jnp.asarray(slot_of),
-                               jnp.asarray(within))
-        return (
-            quads,
-            jnp.asarray(quad_world),
-            jnp.asarray(total, jnp.int32),
-        )
+        return quads, quad_world, total_dev
 
     def render_prepared(self, uploads, view_proj, cam_pos):
         quads, quad_world, total = uploads
