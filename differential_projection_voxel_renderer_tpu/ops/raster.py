@@ -453,11 +453,13 @@ def _raster_kernel(starts_ref, counts_ref, rows_ref, zmin_ref, rec_hbm,
             # farthest accumulated pixel, refreshed every other pair (the
             # full cross-lane reduce serializes against the blend chain —
             # a stale dmax is merely conservative)
-            dmax = jax.lax.cond(
-                (o & 2) == 2,
-                lambda a: jnp.max(jnp.maximum(a[0], a[2]) if n_sub == 2
-                                  else a[0]),
-                lambda a: dmax, acc)
+            def _dmax(a):
+                m = a[0]
+                for i in range(1, n_sub):
+                    m = jnp.maximum(m, a[2 * i])
+                return jnp.max(m)
+
+            dmax = jax.lax.cond((o & 2) == 2, _dmax, lambda a: dmax, acc)
             return o + 2, dmax, acc
 
         _, dmax, acc = jax.lax.while_loop(w_cond, w_body,
@@ -533,9 +535,9 @@ def rasterize_pallas(records, tile_starts, tile_counts, octet_rows,
 
 def pick_tile(height: int, width: int) -> tuple[int, int]:
     """Choose a tile for the octet kernel: width exactly one lane group
-    (128), height 16 (two sublane groups — the measured sweet spot between
-    per-(quad, tile) item duplication and big-quad expansion) when it
-    divides the framebuffer, else 8."""
+    (128), height 16 when it divides the framebuffer, else 8.  (24-row
+    tiles were measured: the grid-step saving is eaten by the extra merge
+    select per row and a coarser within-tile row ordering.)"""
     if width % 128:
         raise ValueError(f"width {width} must be divisible by 128")
     th = 0

@@ -156,8 +156,9 @@ def _render_step(
             (-jnp.log2(jnp.maximum(1.0 - dn_c, 1e-9)))
             .astype(jnp.int32), 0, 15)
         ty0_c = (bby_c & 0xFFFF) // tile_h
-        band = (jnp.clip((bby_c & 0xFFFF) - ty0_c * tile_h,
-                         0, tile_h - 1) >> 2)
+        band = jnp.minimum(
+            jnp.clip((bby_c & 0xFFFF) - ty0_c * tile_h,
+                     0, tile_h - 1) >> 2, 3)
         flat, t_of_item, tile_starts, tile_counts, bin_overflow = (
             raster_ops.build_tile_lists(
                 tilebox, count_c, tiles_y=tiles_y, tiles_x=tiles_x,
