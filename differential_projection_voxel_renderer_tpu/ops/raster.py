@@ -291,7 +291,8 @@ REC_FIELDS = F_FIELDS + I_FIELDS
 
 def _raster_kernel(starts_ref, counts_ref, rows_ref, zmin_ref, rec_hbm,
                    color_ref, depth_ref, rec_vmem, rec_t, sem,
-                   *, height, width, tile_h, tile_w, tiles_x):
+                   *, height, width, tile_h, tile_w, tiles_x,
+                   tiles_per_step):
     """Octet rasterizer: per 16x128 framebuffer tile (VREG-resident
     accumulator, 2 sublane-groups), the tile's item stream is DMA'd
     HBM -> VMEM in double-buffered 256-record blocks and processed 8 quads
@@ -299,31 +300,49 @@ def _raster_kernel(starts_ref, counts_ref, rows_ref, zmin_ref, rec_hbm,
     covered pixel row evaluates all 8 quads at once ([8, 128] vregs whose
     per-quad coefficients are [8, 1] vector loads — the previous kernel's
     ~22 SMEM scalar loads per quad were its measured bottleneck), reduces
-    them to the lexicographic (depth, stream-index) minimum with a 3-stage
-    sublane butterfly (pltpu.roll), and merges into the accumulator row.
+    them to the depth minimum with a 3-stage sublane butterfly
+    (pltpu.roll), and merges into the accumulator rows.
 
-    Lexicographic min == the sequential first-drawn-wins blend of
-    rasterize_jnp (framebuffer.rs:325 semantics), and is order-independent,
-    which is what lets the binner order items front-to-back (by quantized
-    near depth).  The per-octet covered row range [min, max] (``rows_ref``)
-    and the segmented suffix-min of near depth over the rest of the tile's
-    items (``zmin_ref``) are precomputed on the XLA side per aligned group
-    of 8 items and prefetched to SMEM: the row loop only walks rows the
-    octet can touch, and once every pixel of the tile holds a depth nearer
-    than everything remaining, the rest of the stream is skipped — the
-    reference's Hi-Z early-out (hiz_buffer.rs:90-138) made EXACT: only
-    provably-losing blends are dropped, so the output is bit-identical."""
-    t = pl.program_id(0)
-    py0 = (t // tiles_x) * tile_h
-    px0 = (t % tiles_x) * tile_w
-    count = counts_ref[t]
-    base = starts_ref[t]
-    first_blk = base // BLOCK_Q
-    last_blk = (base + jnp.maximum(count, 1) - 1) // BLOCK_Q
-    nblocks = jnp.where(count > 0, last_blk - first_blk + 1, 0)
+    Depth-min blending == the sequential first-drawn-wins blend of
+    rasterize_jnp (framebuffer.rs:325 semantics) up to exact-equal-depth
+    ties, and is order-independent, which is what lets the binner order
+    items front-to-back (by quantized near depth).  The per-octet covered
+    row range (``rows_ref``) and the segmented suffix-min of near depth
+    over the rest of the tile's items (``zmin_ref``) are precomputed on
+    the XLA side per aligned group of 8 items and prefetched to SMEM: the
+    row loop only walks rows the octet can touch, and once every pixel of
+    the tile holds a depth nearer than everything remaining, the rest of
+    the stream is skipped — the reference's Hi-Z early-out
+    (hiz_buffer.rs:90-138) made EXACT: only provably-losing blends drop.
+
+    Each grid step covers ``tiles_per_step`` adjacent tiles (one 256-lane
+    out block): the per-step fixed cost measured ~2 us and both tiles'
+    first record blocks are DMA'd up front, hiding the second tile's
+    stream latency behind the first tile's compute."""
+    step = pl.program_id(0)
+    steps_x = tiles_x // tiles_per_step
     n_sub = tile_h // 8
 
-    def dma(slot, b):
+    sub = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1)
+    wf = jnp.float32(width)
+    hf = jnp.float32(height)
+    inff = jnp.full((8, 128), jnp.inf, jnp.float32)
+    skyv = jnp.full((8, 128), SKY_I32, jnp.int32)
+    acc0 = tuple([inff, skyv] * n_sub)
+
+    def tile_geo(j):
+        ty = step // steps_x
+        tx = (step % steps_x) * tiles_per_step + j
+        t = ty * tiles_x + tx
+        count = counts_ref[t]
+        base = starts_ref[t]
+        first_blk = base // BLOCK_Q
+        last_blk = (base + jnp.maximum(count, 1) - 1) // BLOCK_Q
+        nblocks = jnp.where(count > 0, last_blk - first_blk + 1, 0)
+        return t, tx, ty, count, base, first_blk, nblocks
+
+    def dma(slot, first_blk, b):
         off = pl.multiple_of((first_blk + b) * BLOCK_Q, BLOCK_Q)
         return pltpu.make_async_copy(
             rec_hbm.at[:, pl.ds(off, BLOCK_Q)],
@@ -331,146 +350,153 @@ def _raster_kernel(starts_ref, counts_ref, rows_ref, zmin_ref, rec_hbm,
             sem.at[slot],
         )
 
-    @pl.when(nblocks > 0)
-    def _():
-        dma(0, 0).start()
+    geo = [tile_geo(j) for j in range(tiles_per_step)]
+    for j in range(tiles_per_step):  # both first blocks in flight up front
+        _, _, _, _, _, first_blk, nblocks = geo[j]
 
-    sub = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0)
-    lane = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1)
-    wf = jnp.float32(width)
-    hf = jnp.float32(height)
-    px = jnp.float32(px0) + lane.astype(jnp.float32)
-    nxv = (2.0 * (px + 0.5) - wf) / wf  # matches _pixel_ndc bit-for-bit
+        @pl.when(nblocks > 0)
+        def _(first_blk=first_blk):
+            dma(2 * j, first_blk, 0).start()
 
-    inff = jnp.full((8, 128), jnp.inf, jnp.float32)
-    skyv = jnp.full((8, 128), SKY_I32, jnp.int32)
-    acc0 = tuple([inff, skyv] * n_sub)
+    def do_tile(j):
+        t, tx, ty, count, base, first_blk, nblocks = geo[j]
+        slot0 = 2 * j
+        py0 = ty * tile_h
+        px0 = tx * 128
+        px = jnp.float32(px0) + lane.astype(jnp.float32)
+        nxv = (2.0 * (px + 0.5) - wf) / wf  # matches _pixel_ndc bit-exact
 
-    def block_body(b, carry):
-        acc, dmax = carry
-        slot = b % 2
+        def block_body(b, carry):
+            acc, dmax = carry
+            slot = slot0 + b % 2
 
-        @pl.when(b + 1 < nblocks)
-        def _():
-            dma((b + 1) % 2, b + 1).start()
+            @pl.when(b + 1 < nblocks)
+            def _():
+                dma(slot0 + (b + 1) % 2, first_blk, b + 1).start()
 
-        dma(slot, b).wait()
-        # records arrive field-major [24, 256] (narrow DMA, no XLA-side
-        # transpose); one in-kernel transpose per block makes each item a
-        # row so per-octet coefficients are aligned [8, 1] vector loads
-        rec_t[:] = jnp.transpose(
-            rec_vmem[:, pl.ds(pl.multiple_of(slot * BLOCK_Q, BLOCK_Q),
-                              BLOCK_Q)])
-        blk0 = (first_blk + b) * BLOCK_Q
-        k_lo = jnp.maximum(base - blk0, 0)
-        k_hi = jnp.minimum(base + count - blk0, BLOCK_Q)
-        gbase = blk0 // 8  # global octet index of this block's first octet
+            dma(slot, first_blk, b).wait()
+            # records arrive field-major [24, 256] (narrow DMA, no
+            # XLA-side transpose); one in-kernel transpose per block makes
+            # each item a row so per-octet coefficients are aligned [8, 1]
+            # vector loads
+            rec_t[:] = jnp.transpose(
+                rec_vmem[:, pl.ds(pl.multiple_of(slot * BLOCK_Q, BLOCK_Q),
+                                  BLOCK_Q)])
+            blk0 = (first_blk + b) * BLOCK_Q
+            k_lo = jnp.maximum(base - blk0, 0)
+            k_hi = jnp.minimum(base + count - blk0, BLOCK_Q)
+            gbase = blk0 // 8  # global octet index of the block's first
 
-        def load_octet(o):
-            # clamp the load offset into the block (the second octet of a
-            # pair may fall past it; its coverage is killed by the segment
-            # mask below, computed from the UNclamped index)
-            oc = jnp.minimum(o, BLOCK_Q // 8 - 1)
-            g8 = pl.multiple_of(oc * 8, 8)
-            recs = [rec_t[pl.ds(g8, 8), j:j + 1]
-                    for j in range(N_BLEND_FIELDS + 4)]
-            fro = list(jax.lax.bitcast_convert_type(r, jnp.float32)
-                       for r in recs[:N_BLEND_FIELDS])
-            iro = tuple(recs[N_BLEND_FIELDS:N_BLEND_FIELDS + 4])
-            # out-of-segment items (the octet may straddle tile segments)
-            # are killed by folding the mask into the coverage bounds once
-            # per octet instead of a per-row mask op
-            kv = o * 8 + jax.lax.broadcasted_iota(jnp.int32, (8, 1), 0)
-            kmask = (kv >= k_lo) & (kv < k_hi)
-            fro[12] = jnp.where(kmask, fro[12], jnp.float32(jnp.inf))
-            fro[13] = jnp.where(kmask, fro[13], jnp.float32(-jnp.inf))
-            rb = rows_ref[jnp.minimum(gbase + o, rows_ref.shape[0] - 1)]
-            return tuple(fro), iro, rb & 0xFF, rb >> 8
+            def load_octet(o):
+                # clamp the load offset into the block (the second octet
+                # of a pair may fall past it; its coverage is killed by
+                # the segment mask below, from the UNclamped index)
+                oc = jnp.minimum(o, BLOCK_Q // 8 - 1)
+                g8 = pl.multiple_of(oc * 8, 8)
+                recs = [rec_t[pl.ds(g8, 8), f:f + 1]
+                        for f in range(N_BLEND_FIELDS + 4)]
+                fro = list(jax.lax.bitcast_convert_type(r, jnp.float32)
+                           for r in recs[:N_BLEND_FIELDS])
+                iro = tuple(recs[N_BLEND_FIELDS:N_BLEND_FIELDS + 4])
+                # out-of-segment items (the octet may straddle tile
+                # segments) die by folding the mask into the coverage
+                # bounds once per octet instead of a per-row mask op
+                kv = o * 8 + jax.lax.broadcasted_iota(jnp.int32, (8, 1), 0)
+                kmask = (kv >= k_lo) & (kv < k_hi)
+                fro[12] = jnp.where(kmask, fro[12], jnp.float32(jnp.inf))
+                fro[13] = jnp.where(kmask, fro[13], jnp.float32(-jnp.inf))
+                rb = rows_ref[jnp.minimum(gbase + o, rows_ref.shape[0] - 1)]
+                return tuple(fro), iro, rb & 0xFF, rb >> 8
 
-        def eval_row(fro, iro, y):
-            py = (py0 + y).astype(jnp.float32)
-            ny = 1.0 - 2.0 * (py + 0.5) / hf
-            cover, z, c = _eval_one_quad(nxv, ny, fro, iro)
-            d = jnp.where(cover & (z == z), z, jnp.inf)
-            # butterfly min over the 8 sublanes (= quads); depth ties
-            # resolve by roll order — deterministic for a fixed binning,
-            # and ties are exact-equal depths only
-            for shift in (4, 2, 1):
-                d2 = pltpu.roll(d, shift, 0)
-                c2 = pltpu.roll(c, shift, 0)
-                lt = d2 < d
-                d = jnp.where(lt, d2, d)
-                c = jnp.where(lt, c2, c)
-            return d, c
+            def eval_row(fro, iro, y):
+                py = (py0 + y).astype(jnp.float32)
+                ny = 1.0 - 2.0 * (py + 0.5) / hf
+                cover, z, c = _eval_one_quad(nxv, ny, fro, iro)
+                d = jnp.where(cover & (z == z), z, jnp.inf)
+                # butterfly min over the 8 sublanes (= quads); depth ties
+                # resolve by roll order — deterministic for a fixed
+                # binning, and ties are exact-equal depths only
+                for shift in (4, 2, 1):
+                    d2 = pltpu.roll(d, shift, 0)
+                    c2 = pltpu.roll(c, shift, 0)
+                    lt = d2 < d
+                    d = jnp.where(lt, d2, d)
+                    c = jnp.where(lt, c2, c)
+                return d, c
 
-        def merge(acc, y, d, c):
-            out = []
-            for i in range(n_sub):
-                ad, ac = acc[2 * i], acc[2 * i + 1]
-                upd = (sub == y - 8 * i) & (d < ad)
-                out += [jnp.where(upd, d, ad), jnp.where(upd, c, ac)]
-            return tuple(out)
+            def merge(acc, y, d, c):
+                out = []
+                for i in range(n_sub):
+                    ad, ac = acc[2 * i], acc[2 * i + 1]
+                    upd = (sub == y - 8 * i) & (d < ad)
+                    out += [jnp.where(upd, d, ad), jnp.where(upd, c, ac)]
+                return tuple(out)
 
-        def octet_pair_body(o, acc):
-            # TWO octets x 4 rows per iteration: each row's eval+reduce is
-            # one long serial dependency chain (measured 175 ns/row alone),
-            # so 8 independent rows in flight hide most of the latency
-            a = load_octet(o)
-            bq = load_octet(o + 1)
+            def octet_pair_body(o, acc):
+                # TWO octets x 4 rows per iteration: each row's
+                # eval+reduce is one long serial dependency chain
+                # (measured 175 ns/row alone), so 8 independent rows in
+                # flight hide most of the latency
+                a = load_octet(o)
+                bq = load_octet(o + 1)
 
-            def rows_body(j, acc):
-                for fro, iro, ry0, ry1 in (a, bq):
-                    y = ry0 + 4 * j
-                    evs = [eval_row(fro, iro, y + u) for u in range(4)]
-                    for u, (d, c) in enumerate(evs):
-                        # kills rows past ry1 AND whole iterations past the
-                        # shorter octet's range
-                        d = jnp.where(y + u <= ry1, d, jnp.inf)
-                        acc = merge(acc, y + u, d, c)
-                return acc
+                def rows_body(i, acc):
+                    for fro, iro, ry0, ry1 in (a, bq):
+                        y = ry0 + 4 * i
+                        evs = [eval_row(fro, iro, y + u) for u in range(4)]
+                        for u, (d, c) in enumerate(evs):
+                            # kills rows past ry1 AND whole iterations
+                            # past the shorter octet's range
+                            d = jnp.where(y + u <= ry1, d, jnp.inf)
+                            acc = merge(acc, y + u, d, c)
+                    return acc
 
-            iters = jnp.maximum((a[3] - a[2] + 4) // 4,
-                                jnp.where(o + 1 < o_hi,
-                                          (bq[3] - bq[2] + 4) // 4, 0))
-            return jax.lax.fori_loop(0, iters, rows_body, acc)
+                iters = jnp.maximum((a[3] - a[2] + 4) // 4,
+                                    jnp.where(o + 1 < o_hi,
+                                              (bq[3] - bq[2] + 4) // 4, 0))
+                return jax.lax.fori_loop(0, iters, rows_body, acc)
 
-        # exact occlusion break: items are sorted front-to-back per tile,
-        # so once the nearest depth among ALL remaining items (suffix-min,
-        # zmin_ref) lies strictly beyond the farthest accumulated pixel
-        # (+inf while any pixel is undrawn), nothing left can blend.  The
-        # head octet may contain the previous tile's items (suffix not
-        # applicable) and is always processed.
-        o_hi = (k_hi + 7) // 8
+            # exact occlusion break: items are sorted front-to-back per
+            # tile, so once the nearest depth among ALL remaining items
+            # (suffix-min, zmin_ref) lies strictly beyond the farthest
+            # accumulated pixel (+inf while any pixel is undrawn), nothing
+            # left can blend.  The head octet may contain the previous
+            # tile's items (suffix not applicable): always processed.
+            o_hi = (k_hi + 7) // 8
 
-        def w_cond(st):
-            o, dmax, _ = st
-            return (o < o_hi) & ((o * 8 < k_lo)
-                                 | (zmin_ref[gbase + o] <= dmax))
+            def w_cond(st):
+                o, dmax, _ = st
+                return (o < o_hi) & ((o * 8 < k_lo)
+                                     | (zmin_ref[gbase + o] <= dmax))
 
-        def w_body(st):
-            o, dmax, acc = st
-            acc = octet_pair_body(o, acc)
-            # farthest accumulated pixel, refreshed every other pair (the
-            # full cross-lane reduce serializes against the blend chain —
-            # a stale dmax is merely conservative)
-            def _dmax(a):
-                m = a[0]
-                for i in range(1, n_sub):
-                    m = jnp.maximum(m, a[2 * i])
-                return jnp.max(m)
+            def w_body(st):
+                o, dmax, acc = st
+                acc = octet_pair_body(o, acc)
+                # farthest accumulated pixel, refreshed every other pair
+                # (the full cross-lane reduce serializes against the
+                # blend chain — a stale dmax is merely conservative)
+                def _dmax(a):
+                    m = a[0]
+                    for i in range(1, n_sub):
+                        m = jnp.maximum(m, a[2 * i])
+                    return jnp.max(m)
 
-            dmax = jax.lax.cond((o & 2) == 2, _dmax, lambda a: dmax, acc)
-            return o + 2, dmax, acc
+                dmax = jax.lax.cond((o & 2) == 2, _dmax, lambda a: dmax,
+                                    acc)
+                return o + 2, dmax, acc
 
-        _, dmax, acc = jax.lax.while_loop(w_cond, w_body,
-                                          (k_lo // 8, dmax, acc))
-        return acc, dmax
+            _, dmax, acc = jax.lax.while_loop(w_cond, w_body,
+                                              (k_lo // 8, dmax, acc))
+            return acc, dmax
 
-    acc, _ = jax.lax.fori_loop(0, nblocks, block_body,
-                               (acc0, jnp.float32(jnp.inf)))
-    for i in range(n_sub):
-        depth_ref[pl.ds(i * 8, 8), :] = acc[2 * i]
-        color_ref[pl.ds(i * 8, 8), :] = acc[2 * i + 1]
+        acc, _ = jax.lax.fori_loop(0, nblocks, block_body,
+                                   (acc0, jnp.float32(jnp.inf)))
+        for i in range(n_sub):
+            depth_ref[pl.ds(i * 8, 8), pl.ds(128 * j, 128)] = acc[2 * i]
+            color_ref[pl.ds(i * 8, 8), pl.ds(128 * j, 128)] = acc[2 * i + 1]
+
+    for j in range(tiles_per_step):
+        do_tile(j)
 
 
 @functools.partial(
@@ -496,29 +522,31 @@ def rasterize_pallas(records, tile_starts, tile_counts, octet_rows,
     assert records.shape[1] % BLOCK_Q == 0 and records.shape[0] == 24
     tiles_y, tiles_x = height // tile_h, width // tile_w
     n_tiles = tiles_y * tiles_x
+    tps = 2 if tiles_x % 2 == 0 else 1  # tiles per grid step
 
     kernel = functools.partial(
         _raster_kernel, height=height, width=width, tile_h=tile_h,
-        tile_w=tile_w, tiles_x=tiles_x,
+        tile_w=tile_w, tiles_x=tiles_x, tiles_per_step=tps,
     )
+    steps_x = tiles_x // tps
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=4,  # tile starts + counts, octet rows + zmin
-        grid=(n_tiles,),
+        grid=(n_tiles // tps,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.ANY),  # records stay in HBM
         ],
         out_specs=[
-            pl.BlockSpec((tile_h, tile_w),
-                         lambda t, *_: (t // (width // 128), t % (width // 128)),
+            pl.BlockSpec((tile_h, 128 * tps),
+                         lambda st, *_: (st // steps_x, st % steps_x),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((tile_h, tile_w),
-                         lambda t, *_: (t // (width // 128), t % (width // 128)),
+            pl.BlockSpec((tile_h, 128 * tps),
+                         lambda st, *_: (st // steps_x, st % steps_x),
                          memory_space=pltpu.VMEM),
         ],
         scratch_shapes=[
-            pltpu.VMEM((24, 2 * BLOCK_Q), jnp.int32),
+            pltpu.VMEM((24, 2 * tps * BLOCK_Q), jnp.int32),
             pltpu.VMEM((BLOCK_Q, 24), jnp.int32),
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2 * tps,)),
         ],
     )
     color, depth = pl.pallas_call(
