@@ -105,6 +105,29 @@ class QuadPool:
         self.positions[slot] = key
         self._dev_cache = None
 
+    def insert_rows_device(self, positions, quad_rows, counts) -> None:
+        """Batched insert of device-resident quad rows (the device-meshing
+        path): one device-to-device scatter, no quad H2D."""
+        k = len(positions)
+        assert quad_rows.shape == (k, self.qcap)
+        slots = np.zeros(k, np.int32)
+        for i, pos in enumerate(positions):
+            key = tuple(int(c) for c in pos)
+            slot = self.by_pos.get(key)
+            if slot is None:
+                if not self._free:
+                    raise RuntimeError(
+                        "QuadPool exhausted; raise `slots` "
+                        "(mesh cache capacity)")
+                slot = self._free.pop()
+                self.by_pos[key] = slot
+            slots[i] = slot
+            self.counts[slot] = int(counts[i])
+            self.positions[slot] = key
+        self.quads = _pool_set_rows(self.quads, jnp.asarray(slots),
+                                    quad_rows)
+        self._dev_cache = None
+
     def insert_many(self, items) -> None:
         """Batched insert of [(pos, quads-or-None), ...]: ONE donated
         device scatter for the whole remesh batch.  Batch sizes are padded
@@ -187,7 +210,8 @@ class Engine:
     def __init__(self, render_config: RenderConfig | None = None,
                  world_config: WorldConfig | None = None,
                  pool_slots: int = 4096,
-                 horizon_config: HorizonCullingConfig | None = None):
+                 horizon_config: HorizonCullingConfig | None = None,
+                 device_meshing: bool = False):
         self.config = render_config or RenderConfig()
         self.world = World(world_config or WorldConfig(
             view_distance=12, frustum_culling=True, max_chunks_per_frame=16
@@ -198,6 +222,11 @@ class Engine:
         self.camera = Camera(np.array([0.0, 10.0, 20.0], np.float32), aspect)
         self.controller = CameraController()
         self.horizon_config = horizon_config or HorizonCullingConfig()
+        # mesh on device (ops/meshing_jax: batched bitplane masks +
+        # lockstep greedy, bit-exact vs the host mesher) — worthwhile when
+        # host CPU is the remeshing bottleneck; voxel upload (32 KB/chunk)
+        # replaces quad upload (16 KB/chunk)
+        self.device_meshing = device_meshing
         self.enable_horizon_culling = True
         self.enable_occlusion_culling = False  # 'O' toggle default (main.rs:112)
         # reference epsilon (occlusion.rs:138); see ops/occlusion.py note
@@ -236,6 +265,8 @@ class Engine:
         if not to_mesh:
             return 0
         to_mesh = sorted(set(to_mesh))
+        if self.device_meshing and len(to_mesh) >= 4:
+            return self._remesh_device(to_mesh)
         all_chunks = self.world.get_all_chunks()
         batch = []
         for pos in to_mesh:
@@ -245,6 +276,68 @@ class Engine:
             batch.append((pos, mesh_chunk(chunk, all_chunks)))
         self.pool.insert_many(batch)
         return len(to_mesh)
+
+    def _remesh_device(self, to_mesh) -> int:
+        """Batched on-device meshing (ops/meshing_jax.mesh_chunks_device):
+        voxels + neighbor border planes go up once; packed quad rows land
+        straight in the device pool (no host greedy pass, no quad H2D).
+        Uniform chunks mesh to None exactly like the host path
+        (binary_greedy.rs:87-89)."""
+        from ..ops import meshing_jax as MJ
+
+        varied, uniform = [], []
+        for pos in to_mesh:
+            chunk = self.world.chunks.get(pos)
+            if chunk is None:
+                continue
+            (uniform if chunk.is_uniform else varied).append((pos, chunk))
+        self.pool.insert_many([(pos, None) for pos, _ in uniform])
+        if not varied:
+            return len(to_mesh)
+        positions = [pos for pos, _ in varied]
+        dense_cache: dict[tuple, np.ndarray] = {}
+
+        def dense_at(p):
+            if p not in dense_cache:
+                c = self.world.chunks.get(p)
+                dense_cache[p] = None if c is None else c.dense()
+            return dense_cache[p]
+
+        blocks_by_pos = {}
+        for pos, chunk in varied:
+            blocks_by_pos[pos] = dense_at(pos)
+            for off in self._neighbor_offsets:
+                np_ = (pos[0] + off[0], pos[1] + off[1], pos[2] + off[2])
+                d = dense_at(np_)
+                if d is not None:
+                    blocks_by_pos[np_] = d
+        for chunk_size in (512,):  # bound the batch like insert_many
+            for i in range(0, len(varied), chunk_size):
+                part = positions[i:i + chunk_size]
+                planes = MJ.neighbor_planes_from_batch(blocks_by_pos, part)
+                batch = np.stack([blocks_by_pos[p] for p in part])
+                quads, counts, overflow = MJ.mesh_chunks_device(
+                    jnp.asarray(batch), jnp.asarray(planes),
+                    qcap=self.pool.qcap)
+                self.pool.insert_rows_device(part, quads,
+                                             np.asarray(counts))
+                self.pool.overflow_drops += int(np.asarray(overflow).sum())
+        return len(to_mesh)
+
+    # ------------------------------------------------------- runtime toggles
+    def toggle_shading(self) -> bool:
+        """The reference's F key (main.rs:143-153)."""
+        self.renderer.set_shading(not self.config.enable_shading)
+        return self.config.enable_shading
+
+    def toggle_occlusion_culling(self) -> bool:
+        """The reference's O key (main.rs:155-165)."""
+        self.enable_occlusion_culling = not self.enable_occlusion_culling
+        return self.enable_occlusion_culling
+
+    def set_view_distance(self, vd: int) -> None:
+        """The reference's 1/2/3 keys (main.rs:167-178)."""
+        self.world.set_view_distance(vd)
 
     def prime(self) -> None:
         """Generate + mesh everything currently visible (the reference's

@@ -54,6 +54,12 @@ def macrotile_renderer(width: int = 1280, height: int = 768,
     if width % ts or height % ts:
         raise ValueError(f"framebuffer {width}x{height} must be a multiple "
                          f"of the macrotile size {ts}")
-    rc = RenderConfig(width=width, height=height, tile_h=ts, tile_w=ts,
+    # the macrotile maps to a block of octet-kernel tiles (a 128x128
+    # macrotile = 8 register-resident 16x128 tiles); the kernel tile shape
+    # itself is fixed by the VPU register geometry (ops/raster.pick_tile)
+    from ..ops.raster import pick_tile
+
+    th, tw = pick_tile(height, width)
+    rc = RenderConfig(width=width, height=height, tile_h=th, tile_w=tw,
                       **render_kwargs)
     return Renderer(rc)

@@ -163,3 +163,48 @@ def test_shading_toggle_runtime(engine):
     both = (base != SKY) & (flat != SKY)
     assert (base[both] != flat[both]).any()
     np.testing.assert_array_equal(base != SKY, flat != SKY)
+
+
+def test_device_meshing_pool_matches_host():
+    """Engine(device_meshing=True) must fill the pool bit-identically to
+    the host mesher path (the SIMD-vs-scalar parity pattern at engine
+    level)."""
+    kw = dict(render_config=RenderConfig(width=128, height=128,
+                                         use_pallas=False, gather_cap=8192,
+                                         quads_cap=4096,
+                                         visible_chunks_cap=64),
+              world_config=WorldConfig(view_distance=2,
+                                       max_chunks_per_frame=1000),
+              pool_slots=128)
+    a = Engine(**kw)
+    b = Engine(device_meshing=True, **kw)
+    for eng in (a, b):
+        eng.camera.position = np.array([0.0, 10.0, 20.0], np.float32)
+        eng.camera.look_at(np.array([0.0, 0.0, -60.0], np.float32))
+        while eng.world.update(eng.camera.position):
+            pass
+        eng.prime_all()
+    qa = np.asarray(a.pool.quads)
+    qb = np.asarray(b.pool.quads)
+    assert a.pool.by_pos.keys() == b.pool.by_pos.keys()
+    for pos, sa in a.pool.by_pos.items():
+        sb = b.pool.by_pos[pos]
+        assert a.pool.counts[sa] == b.pool.counts[sb]
+        ca = a.pool.counts[sa]
+        np.testing.assert_array_equal(qa[sa, :ca], qb[sb, :ca])
+
+
+def test_runtime_toggles():
+    eng = Engine(render_config=RenderConfig(width=128, height=128,
+                                            use_pallas=False,
+                                            gather_cap=2048, quads_cap=1024,
+                                            visible_chunks_cap=16),
+                 world_config=WorldConfig(view_distance=1,
+                                          max_chunks_per_frame=1000),
+                 pool_slots=32)
+    assert eng.toggle_occlusion_culling() is True
+    assert eng.toggle_occlusion_culling() is False
+    assert eng.toggle_shading() is False   # default on -> off
+    assert eng.toggle_shading() is True
+    eng.set_view_distance(2)
+    assert eng.world.config.view_distance == 2
