@@ -179,6 +179,40 @@ def bench_device(quick=False):
               f"({1/dt:,.0f} FPS)")
 
 
+def bench_microbench():
+    """Funnel counters per voxel pattern — the reference's microbench
+    (benches/microbench.rs:17-148: empty / full / checkerboard / sparse
+    collect FUNCTION_COUNTERS snapshots)."""
+    import os
+
+    os.environ["DPVR_PROFILING"] = "1"
+    import importlib
+
+    from differential_projection_voxel_renderer_tpu.utils import profiling
+    importlib.reload(profiling)
+    from differential_projection_voxel_renderer_tpu.meshing.greedy import (
+        mesh_chunk,
+    )
+    from differential_projection_voxel_renderer_tpu.models.chunk import Chunk
+
+    print("== microbench (funnel counters per pattern) ==")
+    rng = np.random.default_rng(0)
+    xyz = np.indices((32, 32, 32)).sum(0)
+    patterns = {
+        "empty": np.zeros((32, 32, 32), np.uint8),
+        "full": np.full((32, 32, 32), 3, np.uint8),
+        "checkerboard": ((xyz % 2) * 2).astype(np.uint8),
+        "sparse": np.where(rng.random((32, 32, 32)) < 0.05, 1, 0).astype(np.uint8),
+    }
+    for name, blocks in patterns.items():
+        c = Chunk.varied((0, 0, 0), blocks)
+        t0 = time.perf_counter()
+        q = mesh_chunk(c)
+        dt = (time.perf_counter() - t0) * 1000
+        nq = 0 if q is None else len(q)
+        print(f"{name:13s}: {nq:6d} quads  {dt:7.3f} ms")
+
+
 if __name__ == "__main__":
     ap = argparse.ArgumentParser()
     ap.add_argument("--device", action="store_true",
@@ -186,5 +220,6 @@ if __name__ == "__main__":
     a = ap.parse_args()
     bench_meshing()
     bench_world()
+    bench_microbench()
     if a.device:
         bench_device()

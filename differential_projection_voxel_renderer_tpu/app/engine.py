@@ -34,6 +34,7 @@ from ..ops.culling import HorizonCullingConfig, horizon_cull_mask, sort_front_to
 from ..ops.occlusion import occlusion_pass, project_chunk_rects
 from ..rendering.pipeline import Renderer
 from ..utils.config import CHUNK_SIZE, QUADS_PER_CHUNK_CAP, RenderConfig
+from ..utils.profiling import FUNCTION_COUNTERS
 
 
 @functools.partial(jax.jit, donate_argnums=0)
@@ -407,6 +408,8 @@ class Engine:
             if self.enable_horizon_culling:
                 keep = horizon_cull_mask(centers, cam.position,
                                          self.horizon_config)
+                FUNCTION_COUNTERS.add("chunks_horizon_culled",
+                                      int((~keep).sum()))
                 slots, centers = slots[keep], centers[keep]
             if self.enable_occlusion_culling and len(slots):
                 rects, near, _ = project_chunk_rects(
@@ -417,6 +420,8 @@ class Engine:
                 keep = occlusion_pass(rects, near, use_occ,
                                       self.config.width, self.config.height,
                                       epsilon=self.occlusion_epsilon)
+                FUNCTION_COUNTERS.add("chunks_occlusion_culled",
+                                      int((~keep).sum()))
                 slots, centers = slots[keep], centers[keep]
 
         vcap = self.config.visible_chunks_cap
@@ -448,6 +453,12 @@ class Engine:
         color, depth, stats = self.renderer.render_prepared(
             uploads, vp, cam.position
         )
+        if FUNCTION_COUNTERS.enabled:
+            st = np.asarray(stats)
+            FUNCTION_COUNTERS.add("render_frames")
+            FUNCTION_COUNTERS.add("quads_gathered", int(st[0]))
+            FUNCTION_COUNTERS.add("quads_rasterized", int(st[1]))
+            FUNCTION_COUNTERS.add("quads_culled", int(st[0]) - int(st[1]))
         if self.log_fps:
             self._fps_frames += 1
             now = time.perf_counter()
