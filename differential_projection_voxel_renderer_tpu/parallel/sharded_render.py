@@ -152,3 +152,63 @@ def make_sharded_render(mesh: Mesh, *, width: int, height: int,
         check_rep=False,
     )
     return jax.jit(fn)
+
+
+def make_sharded_render_dp(mesh_or_n=None, *, width: int, height: int,
+                           gather_cap: int = 8192, render_cap: int = 4096,
+                           tile_k_cap: int = 8192,
+                           use_pallas: bool | None = None,
+                           color_tables=None):
+    """Camera-batch data parallelism running the FULL production pipeline
+    (rendering/pipeline._render_step, octet Pallas kernel included) per
+    shard — "DP over frames/cameras, not layers" (SURVEY.md section 5).
+
+    A 1-D mesh over all devices; every camera of the batch renders its
+    complete frame on its own chip with zero collectives (the scene pool
+    is replicated).  This is the scaling mode for animation batches /
+    multi-view serving; ``make_sharded_render`` (dp x tp) is the mode
+    that splits a single framebuffer across chips.
+
+    ``use_pallas`` defaults by backend (Pallas on TPU, jnp elsewhere —
+    so the virtual-CPU-mesh dryrun exercises the same sharding)."""
+    import functools
+
+    from ..rendering.pipeline import _render_step
+
+    if color_tables is None:
+        from ..ops.shading import build_quad_color_tables
+        from ..ops.texture import TextureAtlas
+
+        color_tables = build_quad_color_tables(TextureAtlas().kernel_tables())
+    if isinstance(mesh_or_n, Mesh):
+        devs = mesh_or_n.devices.reshape(-1)
+    else:
+        devs = np.array(jax.devices()[: mesh_or_n or len(jax.devices())])
+    mesh = Mesh(devs.reshape(-1), ("dp",))
+    if use_pallas is None:
+        use_pallas = jax.default_backend() == "tpu"
+    from ..ops.raster import pick_tile
+
+    tile_h, tile_w = pick_tile(height, width)
+
+    step = functools.partial(
+        _render_step, color_tables=color_tables, width=width, height=height,
+        tile_h=tile_h, tile_w=tile_w, gather_cap=gather_cap,
+        render_cap=render_cap, span_mode=False, backface_culling=True,
+        use_pallas=use_pallas, interpret=False, tile_k_cap=tile_k_cap,
+    )
+
+    def shard_fn(quads, quad_world, n_quads, vp, cam):
+        # lax.map over the local sub-batch (usually 1 camera per chip);
+        # the Pallas call is not vmappable, a sequential map is exact
+        return jax.lax.map(lambda a: step(*a),
+                           (quads, quad_world, n_quads, vp, cam))
+
+    spec_b = P("dp")
+    fn = shard_map(
+        shard_fn, mesh=mesh,
+        in_specs=(spec_b, spec_b, spec_b, spec_b, spec_b),
+        out_specs=(spec_b, spec_b, spec_b),
+        check_rep=False,
+    )
+    return jax.jit(fn), mesh

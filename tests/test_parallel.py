@@ -126,3 +126,50 @@ def test_band_rasterization_matches_full():
                                       np.asarray(bc))
         np.testing.assert_array_equal(np.asarray(full_d)[y0:y0+bh],
                                       np.asarray(bd))
+
+
+def test_dp_sharded_full_pipeline_matches_single_device(scene):
+    """make_sharded_render_dp: every camera of the batch renders its full
+    frame on its own device via the production pipeline; shard 0 must
+    equal the single-device render bit-for-bit (jnp path on the CPU
+    mesh)."""
+    from differential_projection_voxel_renderer_tpu.meshing.quad_format import (
+        pack_quads,
+    )
+    from differential_projection_voxel_renderer_tpu.parallel.sharded_render import (
+        make_sharded_render_dp,
+    )
+    from differential_projection_voxel_renderer_tpu.rendering.pipeline import (
+        _render_step,
+    )
+
+    pool, counts, positions, cam = scene
+    W = H = 128
+    B = 8
+    gq = 1024
+    nq = int(counts[0])
+    stream = np.zeros((B, gq), np.uint32)
+    stream[:, :nq] = pool[0, :nq]
+    qw = np.zeros((B, 3, gq), np.float32)
+    vps = np.repeat(cam.view_projection_matrix()[None], B, 0)
+    cams = np.repeat(cam.position[None], B, 0)
+    fn, mesh = make_sharded_render_dp(8, width=W, height=H, gather_cap=gq,
+                                      render_cap=512, tile_k_cap=512)
+    color, depth, stats = fn(
+        jnp.asarray(stream), jnp.asarray(qw),
+        jnp.asarray(np.full(B, nq, np.int32)),
+        jnp.asarray(vps, jnp.float32), jnp.asarray(cams, jnp.float32),
+    )
+    r = Renderer(RenderConfig(width=W, height=H, use_pallas=False))
+    c1, d1, _ = _render_step(
+        jnp.asarray(stream[0]), jnp.asarray(qw[0]), jnp.int32(nq),
+        jnp.asarray(vps[0], jnp.float32), jnp.asarray(cams[0], jnp.float32),
+        color_tables=r._tables_np, width=W, height=H, tile_h=16, tile_w=128,
+        gather_cap=gq, render_cap=512, span_mode=False,
+        backface_culling=True, use_pallas=False, interpret=False,
+        tile_k_cap=512,
+    )
+    np.testing.assert_array_equal(np.asarray(color)[0], np.asarray(c1))
+    for b in range(1, B):
+        np.testing.assert_array_equal(np.asarray(color)[0],
+                                      np.asarray(color)[b])
