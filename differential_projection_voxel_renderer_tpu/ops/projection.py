@@ -188,13 +188,18 @@ def project_and_cull(
     any_behind = (ws[0] <= eps) | (ws[1] <= eps) | (ws[2] <= eps) | (ws[3] <= eps)
     all_behind = (ws[0] <= eps) & (ws[1] <= eps) & (ws[2] <= eps) & (ws[3] <= eps)
 
+    # one reciprocal per corner (4) instead of one divide per corner per
+    # axis (12) — the reference's rcp_ps idea (differential_projection.rs:
+    # 371-408) with an exact divide; both render paths share this function
+    # so the rounding change is consistent everywhere
+    invs = [1.0 / jnp.where(jnp.abs(w) > 1e-30, w, 1e-30) for w in ws]
+
     def axis_minmax(r):
         lo = big
         hi = -big
-        for (u, v), w in zip(corners_uv, ws):
+        for (u, v), w, inv in zip(corners_uv, ws, invs):
             c = basis.corner(u, v, r)
-            safe = jnp.where(jnp.abs(w) > 1e-30, w, 1e-30)
-            n = c / safe
+            n = c * inv
             ok = w > eps
             lo = jnp.minimum(lo, jnp.where(ok, n, big))
             hi = jnp.maximum(hi, jnp.where(ok, n, -big))
