@@ -3,20 +3,27 @@
 Equivalent of the reference's ``render_frame`` (src/main.rs:379-608) with
 the Hyper-Pipeline geometry stage, restructured for XLA:
 
-1. gather     — flatten the visible chunks' quad buffers into one stream
-                (ragged -> static via cumsum + searchsorted; replaces the
-                per-mesh Rayon iteration of main.rs:581-597)
-2. project    — differential projection of all 4 corners per quad, backface
+0. uploads    — draw-list-dependent state, built OUTSIDE the per-frame
+                step and cached while the draw list is unchanged
+                (prepare_uploads: ~5 KB per-chunk arrays H2D, device-side
+                ragged expansion + one pool gather -> the quad stream)
+1. project    — differential projection of all 4 corners per quad, backface
                 + frustum culling as vectorized masks (ops/projection.py)
-3. compact    — cumsum-scatter the survivors into a fixed-size stream,
-                preserving front-to-back chunk order (the host pre-sorts
-                chunk slots, like main.rs:368-377)
-4. coeffs     — rasterizer coefficient setup per quad
-5. rasterize  — tiled Pallas kernel (or jnp reference impl) with fused
-                clear + branchless depth blending (ops/raster.py)
+2. compact    — survivors first: one flat sort of validity-masked indices
+                + one multi-row gather (all per-quad state crosses as rows
+                of a single array; R separate gathers cost R x — measured)
+3. coeffs     — rasterizer coefficients on the compacted stream; records
+                stacked field-major [24, rc]
+4. bin        — quads -> 16x128 framebuffer tiles as ONE sorted flat item
+                stream, ordered (tile, quantized near depth, covered row
+                band, stream index); per-octet row bounds + depth
+                suffix-min ride along for the kernel
+5. rasterize  — the octet Pallas kernel (or the jnp twin) with in-register
+                tile accumulation and the exact occlusion break
+                (ops/raster.py)
 
-Everything from step 1 on runs on device in a single ``jit``; the host only
-supplies the visible slot list (culling funnel) and the camera matrices.
+Steps 1-5 run on device in a single ``jit``; the host supplies the visible
+slot list (culling funnel) and the camera matrices.
 """
 
 from __future__ import annotations
