@@ -25,9 +25,7 @@ from dataclasses import dataclass, field
 import numpy as np
 
 from .quad_format import (
-    FACE_AXIS,
     FACE_IS_POSITIVE,
-    axis_pos,
     pack_quads,
     quad_corners_local,
     unpack_quads,

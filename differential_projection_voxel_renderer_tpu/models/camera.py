@@ -12,7 +12,7 @@ Reference: src/camera/mod.rs
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 import numpy as np
 

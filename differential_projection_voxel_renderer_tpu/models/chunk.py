@@ -17,7 +17,7 @@ instead of per-voxel sampling.
 from __future__ import annotations
 
 import functools
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 import numpy as np
 

@@ -15,7 +15,6 @@ is no 8-wide loop because the VPU lane width IS the batch.
 
 from __future__ import annotations
 
-from dataclasses import dataclass
 
 import jax
 import jax.numpy as jnp
