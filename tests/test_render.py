@@ -289,3 +289,41 @@ def test_multi_chunk_scene():
                                  W, H, color_tables=renderer._tables_np, fb=(oc, od))
     assert (oc != SKY).sum() == (color != SKY).sum()
     assert (oc != color).mean() < 0.001
+
+
+def test_ground_level_overdraw_pallas_matches_jnp():
+    """Ground-level camera across a row of solid chunks: maximal overdraw
+    drives the kernel's occlusion break hard; it must stay exact (only
+    provably-losing blends may be skipped)."""
+    chunks = [Chunk.generate_test_solid((x, 0, 0)) for x in range(4)]
+    renderer = Renderer(RenderConfig(width=W, height=H, use_pallas=False,
+                                     visible_chunks_cap=8))
+    vcap = renderer.config.visible_chunks_cap
+    qcap = 4096
+    pool = np.zeros((vcap, qcap), np.uint32)
+    counts_sel = np.zeros(vcap, np.int32)
+    positions_sel = np.zeros((vcap, 3), np.int32)
+    visible = np.zeros(vcap, np.int32)
+    for i, c in enumerate(chunks):
+        q = mesh_chunk(c, chunks)
+        pool[i, : len(q)] = q
+        counts_sel[i] = len(q)
+        positions_sel[i] = c.position
+        visible[i] = i
+    cam = _camera([-20.0, 34.0, 16.0], [64.0, 30.0, 16.0])
+    from differential_projection_voxel_renderer_tpu.rendering.pipeline import (
+        build_gather_indices,
+    )
+
+    slot_of, within, quad_world, total = build_gather_indices(
+        counts_sel, visible, positions_sel, renderer.config.gather_cap
+    )
+    stream = pool[slot_of, within]
+    args = (jnp.asarray(stream), jnp.asarray(quad_world),
+            jnp.asarray(total, jnp.int32),
+            jnp.asarray(cam.view_projection_matrix(), jnp.float32),
+            jnp.asarray(cam.position, jnp.float32))
+    c1, d1, _ = _step(renderer, args, use_pallas=False, interpret=False)
+    c2, d2, _ = _step(renderer, args, use_pallas=True, interpret=True)
+    _assert_kernel_parity(c1, d1, c2, d2)
+    assert (c1 != SKY).sum() > 1000  # the wall fills much of the screen
