@@ -82,7 +82,20 @@ class Framebuffer:
             y1 = min(y0 + stripe_h, self.height)
             if y0 >= y1:
                 break
-            out.append((y0, self.color[y0:y1], self.depth[y0:y1]))
+            out.append(FrameView(self, 0, y0, self.width, y1 - y0))
+        return out
+
+    def split_into_tiles(self, tile: int = 128):
+        """Disjoint rectangular tile views (framebuffer.rs:123-195,
+        436-470 — the raw-pointer FrameTile, safe here because numpy views
+        alias the parent without unsafe)."""
+        out = []
+        for y0 in range(0, self.height, tile):
+            for x0 in range(0, self.width, tile):
+                out.append(FrameView(
+                    self, x0, y0,
+                    min(tile, self.width - x0),
+                    min(tile, self.height - y0)))
         return out
 
     def color_buffer_slice(self) -> np.ndarray:
@@ -105,3 +118,58 @@ class Framebuffer:
         with open(path, "wb") as f:
             f.write(f"P6\n{self.width} {self.height}\n255\n".encode())
             f.write(img.tobytes())
+
+
+class FrameView:
+    """A disjoint rectangular view implementing the reference's
+    ``PixelTarget`` protocol (rasterizer.rs:53-68): width / full_height /
+    rect / depth-tested write.  Backs both the stripe split (FrameSlice,
+    rasterizer.rs:70-100) and the tile split (FrameTile)."""
+
+    def __init__(self, fb: Framebuffer, x0: int, y0: int, w: int, h: int):
+        self.parent = fb
+        self.x0, self.y0, self.w, self.h = x0, y0, w, h
+        self.color = fb.color[y0:y0 + h, x0:x0 + w]
+        self.depth = fb.depth[y0:y0 + h, x0:x0 + w]
+
+    @property
+    def width(self) -> int:
+        return self.parent.width
+
+    @property
+    def full_height(self) -> int:
+        return self.parent.height
+
+    def rect(self):
+        """(x0, y0, x1, y1) EXCLUSIVE spatial limits — the stripe-gap fix
+        convention (rasterizer.rs:1258-1262)."""
+        return self.x0, self.y0, self.x0 + self.w, self.y0 + self.h
+
+    def test_depth_and_write(self, x: int, y: int, color: int,
+                             depth: float) -> bool:
+        """Depth-tested write in FULL-FRAME coordinates, strict less
+        (framebuffer.rs:317-353)."""
+        lx, ly = x - self.x0, y - self.y0
+        if not (0 <= lx < self.w and 0 <= ly < self.h):
+            return False
+        if depth < self.depth[ly, lx]:
+            self.depth[ly, lx] = depth
+            self.color[ly, lx] = np.uint32(color)
+            return True
+        return False
+
+
+class CountingTarget(FrameView):
+    """The reference's TestTarget stub (rasterizer.rs:107-163): a
+    PixelTarget that counts depth-test attempts and passing writes."""
+
+    def __init__(self, fb: Framebuffer):
+        super().__init__(fb, 0, 0, fb.width, fb.height)
+        self.attempts = 0
+        self.writes = 0
+
+    def test_depth_and_write(self, x, y, color, depth):
+        self.attempts += 1
+        ok = super().test_depth_and_write(x, y, color, depth)
+        self.writes += int(ok)
+        return ok

@@ -125,3 +125,35 @@ def test_hardware_counters_graceful():
     assert "cycles" in rep or len(rep) >= 0
     pc.close()
     assert not pc.available
+
+
+def test_frame_views_pixel_target_protocol():
+    """FrameSlice/FrameTile analog (PixelTarget, rasterizer.rs:53-68):
+    disjoint views over one framebuffer, full-frame coordinates, strict
+    depth test, exclusive rect limits (the stripe-gap convention)."""
+    from differential_projection_voxel_renderer_tpu.rendering.framebuffer import (
+        CountingTarget,
+        Framebuffer,
+    )
+
+    fb = Framebuffer(64, 32)
+    stripes = fb.split_into_stripes(4)
+    assert [s.rect() for s in stripes] == [
+        (0, 0, 64, 8), (0, 8, 64, 16), (0, 16, 64, 24), (0, 24, 64, 32)]
+    # writes through a stripe land in the parent; out-of-band writes fail
+    assert stripes[1].test_depth_and_write(5, 9, 0xFF112233, 0.5)
+    assert not stripes[1].test_depth_and_write(5, 0, 0xFF112233, 0.5)
+    assert fb.color[9, 5] == np.uint32(0xFF112233)
+    # strict less: equal depth rejected (framebuffer.rs:325)
+    assert not stripes[1].test_depth_and_write(5, 9, 0xFF445566, 0.5)
+    assert stripes[1].test_depth_and_write(5, 9, 0xFF445566, 0.4)
+
+    tiles = fb.split_into_tiles(16)
+    assert len(tiles) == (64 // 16) * (32 // 16)
+    areas = sum(t.w * t.h for t in tiles)
+    assert areas == 64 * 32  # disjoint cover
+
+    ct = CountingTarget(Framebuffer(8, 8))
+    ct.test_depth_and_write(1, 1, 0xFF000000, 0.5)
+    ct.test_depth_and_write(1, 1, 0xFF000000, 0.9)  # fails depth
+    assert (ct.attempts, ct.writes) == (2, 1)
