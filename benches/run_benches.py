@@ -179,6 +179,66 @@ def bench_device(quick=False):
               f"({1/dt:,.0f} FPS)")
 
 
+def bench_rendering():
+    """The reference's `rendering` criterion group (benches/rendering.rs):
+    single chunk, framebuffer ops, 3x3x3 world."""
+    import jax
+    import jax.numpy as jnp
+
+    from differential_projection_voxel_renderer_tpu.meshing.greedy import (
+        mesh_chunk,
+    )
+    from differential_projection_voxel_renderer_tpu.models.camera import Camera
+    from differential_projection_voxel_renderer_tpu.models.chunk import Chunk
+    from differential_projection_voxel_renderer_tpu.rendering.framebuffer import (
+        Framebuffer,
+    )
+    from differential_projection_voxel_renderer_tpu.rendering.pipeline import (
+        Renderer,
+    )
+    from differential_projection_voxel_renderer_tpu.utils.config import (
+        RenderConfig,
+    )
+
+    print(f"== rendering ({jax.default_backend()}) ==")
+    fb = Framebuffer(1280, 720)
+    timeit("framebuffer clear (host)", lambda: fb.clear(), n=20)
+
+    def frame(chunks, w, h, name, vcap=32):
+        cfg = RenderConfig(width=w, height=h, gather_cap=8192,
+                           quads_cap=4096, tile_k_cap=4096,
+                           visible_chunks_cap=vcap)
+        r = Renderer(cfg)
+        pool = np.zeros((vcap, 4096), np.uint32)
+        counts = np.zeros(vcap, np.int32)
+        pos = np.zeros((vcap, 3), np.int32)
+        vis = np.zeros(vcap, np.int32)
+        for i, c in enumerate(chunks):
+            q = mesh_chunk(c, chunks)
+            if q is None:
+                continue
+            n = min(len(q), 4096)
+            pool[i, :n] = q[:n]
+            counts[i] = n
+            pos[i] = c.position
+            vis[i] = i
+        cam = Camera(np.array([48.0, 56.0, 80.0], np.float32), w / h)
+        cam.look_at(np.array([16.0, 16.0, 16.0], np.float32))
+        up = r.prepare_uploads(jnp.asarray(pool), vis, counts, pos)
+        out = r.render_prepared(up, cam.view_projection_matrix(),
+                                cam.position)
+        jax.block_until_ready(out[0])
+        timeit(name, lambda: np.asarray(
+            r.render_prepared(up, cam.view_projection_matrix(),
+                              cam.position)[2])[:1], n=20)
+
+    frame([Chunk.generate_test_solid((0, 0, 0))], 256, 256,
+          "single solid chunk frame 256x256")
+    region = [Chunk.generate_terrain((x, y, z))
+              for x in range(3) for y in range(1) for z in range(3)]
+    frame(region, 1280, 720, "3x3 terrain world frame 1280x720")
+
+
 def bench_microbench():
     """Funnel counters per voxel pattern — the reference's microbench
     (benches/microbench.rs:17-148: empty / full / checkerboard / sparse
@@ -221,5 +281,6 @@ if __name__ == "__main__":
     bench_meshing()
     bench_world()
     bench_microbench()
+    bench_rendering()
     if a.device:
         bench_device()

@@ -255,13 +255,15 @@ class Engine:
         """Incremental remeshing with neighbor invalidation
         (main.rs:224-277).  Returns number of chunks (re)meshed."""
         to_mesh: list[tuple[int, int, int]] = []
+        meshed = self.pool.by_pos  # direct dict membership (hot path)
+        loaded = self.world.chunks
         for chunk in visible_chunks:
-            pos = tuple(int(c) for c in chunk.position)
-            if pos not in self.pool:
+            pos = chunk.position_key
+            if pos not in meshed:
                 to_mesh.append(pos)
                 for off in self._neighbor_offsets:
                     np_ = (pos[0] + off[0], pos[1] + off[1], pos[2] + off[2])
-                    if self.world.contains_chunk(np_) and np_ in self.pool:
+                    if np_ in loaded and np_ in meshed:
                         to_mesh.append(np_)
         if not to_mesh:
             return 0

@@ -101,6 +101,16 @@ class Chunk:
             )
         self.data[z, y, x] = np.uint8(block)
 
+    @property
+    def position_key(self) -> tuple[int, int, int]:
+        """Hashable grid position (cached — the hot membership key in the
+        per-frame remesh scan)."""
+        k = getattr(self, "_poskey", None)
+        if k is None:
+            k = tuple(int(c) for c in self.position)
+            self._poskey = k
+        return k
+
     def dense(self) -> np.ndarray:
         """Dense uint8[z, y, x] view (materializes uniform chunks)."""
         if self.is_uniform:
