@@ -501,11 +501,13 @@ def _raster_kernel(starts_ref, counts_ref, rows_ref, zmin_ref, rec_hbm,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("height", "width", "tile_h", "tile_w", "interpret"),
+    static_argnames=("height", "width", "tile_h", "tile_w", "out_h",
+                     "interpret"),
 )
 def rasterize_pallas(records, tile_starts, tile_counts, octet_rows,
                      octet_zmin, *,
                      height: int, width: int, tile_h: int, tile_w: int,
+                     out_h: int | None = None,
                      interpret: bool = False):
     """Binned, streamed, tiled Pallas rasterizer over the flat item stream.
 
@@ -516,11 +518,16 @@ def rasterize_pallas(records, tile_starts, tile_counts, octet_rows,
     i32[ITEM_CAP // 8] — covered tile-local row range (ry0 | ry1 << 8) per
     aligned group of 8 items; ``octet_zmin`` f32[ITEM_CAP // 8] — the
     suffix-min of near depth from each group to the end of its tile's
-    segment (drives the exact occlusion break).  Returns (color, depth)."""
-    assert height % tile_h == 0 and width % tile_w == 0
+    segment (drives the exact occlusion break).  ``out_h`` (default
+    height) is the padded buffer height when the framebuffer is not a
+    tile multiple — NDC math always uses the true ``height``; callers
+    crop rows [height:out_h].  Returns (color, depth) of shape
+    [out_h, width]."""
+    out_h = out_h or height
+    assert out_h % tile_h == 0 and width % tile_w == 0
     assert tile_w == 128 and tile_h % 8 == 0
     assert records.shape[1] % BLOCK_Q == 0 and records.shape[0] == 24
-    tiles_y, tiles_x = height // tile_h, width // tile_w
+    tiles_y, tiles_x = out_h // tile_h, width // tile_w
     n_tiles = tiles_y * tiles_x
     tps = 2 if tiles_x % 2 == 0 else 1  # tiles per grid step
 
@@ -553,8 +560,8 @@ def rasterize_pallas(records, tile_starts, tile_counts, octet_rows,
         kernel,
         grid_spec=grid_spec,
         out_shape=[
-            jax.ShapeDtypeStruct((height, width), jnp.int32),
-            jax.ShapeDtypeStruct((height, width), jnp.float32),
+            jax.ShapeDtypeStruct((out_h, width), jnp.int32),
+            jax.ShapeDtypeStruct((out_h, width), jnp.float32),
         ],
         interpret=interpret,
     )(tile_starts, tile_counts, octet_rows, octet_zmin, records)
@@ -563,19 +570,13 @@ def rasterize_pallas(records, tile_starts, tile_counts, octet_rows,
 
 def pick_tile(height: int, width: int) -> tuple[int, int]:
     """Choose a tile for the octet kernel: width exactly one lane group
-    (128), height 16 when it divides the framebuffer, else 8.  (24-row
+    (128); height 16 always — non-multiple framebuffer heights render
+    into a padded buffer and crop (rendering/pipeline.py).  (24-row
     tiles were measured: the grid-step saving is eaten by the extra merge
     select per row and a coarser within-tile row ordering.)"""
     if width % 128:
         raise ValueError(f"width {width} must be divisible by 128")
-    th = 0
-    for cand in (16, 8):
-        if height % cand == 0:
-            th = cand
-            break
-    if th == 0:
-        raise ValueError(f"height {height} must be divisible by 8")
-    return th, 128
+    return 16, 128
 
 
 # NOTE on record layout (measured on v5e): streaming records into SMEM and

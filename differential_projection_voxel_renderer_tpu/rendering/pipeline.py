@@ -97,7 +97,8 @@ def _render_step(
         # compaction as rows of one f32 array (ints bitcast), because on
         # TPU a [R, N][:, idx] gather costs ~one flat gather while R
         # separate flat gathers cost R x (measured).
-        tiles_y, tiles_x = height // tile_h, width // tile_w
+        out_h = -height % tile_h + height  # pad to a tile multiple; crop
+        tiles_y, tiles_x = out_h // tile_h, width // tile_w
         rc = min(gq, render_cap)
         bcast = jax.lax.bitcast_convert_type
         bbx = proj_a["bb_x0"] | (proj_a["bb_x1"] << 16)
@@ -207,9 +208,12 @@ def _render_step(
         color, depth = raster_ops.rasterize_pallas(
             records, tile_starts, tile_counts, octet_rows, octet_zmin,
             height=height, width=width,
-            tile_h=tile_h, tile_w=tile_w,
+            tile_h=tile_h, tile_w=tile_w, out_h=out_h,
             interpret=interpret,
         )
+        if out_h != height:
+            color = color[:height]
+            depth = depth[:height]
     else:
         # jnp path: compact first (keeps the full-frame loop short), then
         # rasterize the survivors in stream order
