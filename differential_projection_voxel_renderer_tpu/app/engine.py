@@ -461,6 +461,8 @@ class Engine:
             FUNCTION_COUNTERS.add("quads_gathered", int(st[0]))
             FUNCTION_COUNTERS.add("quads_rasterized", int(st[1]))
             FUNCTION_COUNTERS.add("quads_culled", int(st[0]) - int(st[1]))
+            # render_triangle_culled analog (profiling.rs sub-pixel counter)
+            FUNCTION_COUNTERS.add("quads_subpixel_culled", int(st[4]))
         if self.log_fps:
             self._fps_frames += 1
             now = time.perf_counter()

@@ -42,7 +42,7 @@ from dataclasses import dataclass
 import jax.numpy as jnp
 import numpy as np
 
-from ..utils.config import NEAR_W_EPS, SPAN_EPSILON_PX
+from ..utils.config import MIN_TRIANGLE_AREA, NEAR_W_EPS, SPAN_EPSILON_PX
 
 # Per-face axis indices: the chunk-local axes that u, v, and the face normal
 # move along (see quad_format.FACE_TANGENTS — negative faces are NOT
@@ -160,6 +160,7 @@ def project_and_cull(
     height: int,
     span_mode: bool = False,
     backface_culling: bool = True,
+    subpixel_culling: bool = True,
 ) -> dict[str, jnp.ndarray]:
     """Stage A: project every quad's 4 corners, backface + frustum cull.
 
@@ -173,6 +174,15 @@ def project_and_cull(
     - near-crossing quads (any corner w <= 0.001) are conservatively kept
       with a full-screen bbox (main.rs:453-458's chunk-level fallback,
       applied per quad); fully-behind quads are culled.
+    - sub-pixel culling (exact mode only — the reference's span path has
+      none): the quad is split along the c00-c11 diagonal exactly like the
+      reference's fan split (rasterizer.rs:1056-1068, tri_indices
+      (0,1,2),(0,2,3)) and culled when BOTH triangles' doubled screen areas
+      fall below MIN_TRIANGLE_AREA = 0.1, i.e. 0.05 px^2
+      (rasterizer.rs:2228-2241).  Deviation: when only ONE triangle is
+      sub-threshold the reference drops that half-quad; we conservatively
+      keep the whole quad (the kernel draws whole quads), which can add at
+      most a sub-0.05 px^2 sliver.
     """
     dec = decode_quads(quads)
     face = dec["face"]
@@ -192,21 +202,25 @@ def project_and_cull(
     # 371-408) with an exact divide; both render paths share this function
     # so the rounding change is consistent everywhere
     invs = [1.0 / jnp.where(jnp.abs(w) > 1e-30, w, 1e-30) for w in ws]
+    oks = [w > eps for w in ws]
 
-    def axis_minmax(r):
+    def corner_ndc(r):
+        return [basis.corner(u, v, r) * inv
+                for (u, v), inv in zip(corners_uv, invs)]
+
+    def minmax(ns):
         lo = big
         hi = -big
-        for (u, v), w, inv in zip(corners_uv, ws, invs):
-            c = basis.corner(u, v, r)
-            n = c * inv
-            ok = w > eps
+        for n, ok in zip(ns, oks):
             lo = jnp.minimum(lo, jnp.where(ok, n, big))
             hi = jnp.maximum(hi, jnp.where(ok, n, -big))
         return lo, hi
 
-    nx_min, nx_max = axis_minmax(0)
-    ny_min, ny_max = axis_minmax(1)
-    nz_min, _ = axis_minmax(2)
+    nxs = corner_ndc(0)
+    nys = corner_ndc(1)
+    nx_min, nx_max = minmax(nxs)
+    ny_min, ny_max = minmax(nys)
+    nz_min, _ = minmax(corner_ndc(2))
     depth_near = jnp.where(any_behind, 0.0, nz_min).astype(jnp.float32)
 
     in_frustum = (
@@ -237,8 +251,30 @@ def project_and_cull(
 
     valid = in_stream & front & in_frustum
 
-    # Integer screen bbox (pixels, inclusive), full screen if near-crossing.
     wf, hf = jnp.float32(width), jnp.float32(height)
+
+    # Sub-pixel culling (exact mode; rasterizer.rs:2228-2241): split along
+    # the c00-c11 diagonal (corner index order here is c00, c10, c01, c11 ->
+    # perimeter 0,1,3,2; fan split (0,1,3),(0,3,2)) and cull when both
+    # doubled triangle areas are below MIN_TRIANGLE_AREA.  Near-crossing
+    # quads keep their conservative full-screen treatment.
+    subpixel = jnp.zeros_like(valid)
+    if subpixel_culling and not span_mode:
+        sxs = [(n + 1.0) * 0.5 * wf for n in nxs]
+        sys_ = [(1.0 - n) * 0.5 * hf for n in nys]
+
+        def area2(i, j, k):
+            # edge_function(a=i, b=j, c=k) (rasterizer.rs:2553-2558)
+            return ((sxs[k] - sxs[i]) * (sys_[j] - sys_[i])
+                    - (sys_[k] - sys_[i]) * (sxs[j] - sxs[i]))
+
+        thr = jnp.float32(MIN_TRIANGLE_AREA)
+        tiny = ((jnp.abs(area2(0, 1, 3)) < thr)
+                & (jnp.abs(area2(0, 3, 2)) < thr) & ~any_behind)
+        subpixel = valid & tiny
+        valid = valid & ~tiny
+
+    # Integer screen bbox (pixels, inclusive), full screen if near-crossing.
     sx0 = (nx_min + 1.0) * 0.5 * wf
     sx1 = (nx_max + 1.0) * 0.5 * wf
     sy0 = (1.0 - ny_max) * 0.5 * hf
@@ -250,6 +286,7 @@ def project_and_cull(
 
     return dict(
         valid=valid,
+        subpixel=subpixel,
         depth_near=depth_near,
         any_behind=any_behind,
         bb_x0=bb_x0,

@@ -74,7 +74,8 @@ def _visible_mask(quads, chunk_world, vp, cam_pos, *, backface=True):
 
 
 def render_exact(quads, chunk_world, vp, cam_pos, width, height,
-                 color_tables=None, *, backface=True, fb=None):
+                 color_tables=None, *, backface=True, fb=None,
+                 subpixel=True):
     """Ground truth for the production path (f64 scalar math).
 
     Pass ``fb=(color, depth)`` to continue rendering into existing buffers
@@ -89,6 +90,30 @@ def render_exact(quads, chunk_world, vp, cam_pos, width, height,
     f, ap = _decode(quads)
     visible, _, nmin, nmax, any_behind = _visible_mask(
         quads, chunk_world, vp, cam_pos, backface=backface)
+    if subpixel:
+        # Same sub-pixel cull as project_and_cull (rasterizer.rs:2228-2241):
+        # fan split (0,1,2),(0,2,3) on the perimeter-ordered corners, both
+        # doubled triangle areas below MIN_TRIANGLE_AREA -> cull.  Computed
+        # in float32 so the cull DECISION matches the device path even at
+        # the threshold (the geometry math stays f64-independent).
+        clip = _clip_corners(quads, chunk_world, vp)
+        w = clip[..., 3]
+        with np.errstate(divide="ignore", invalid="ignore"):
+            nd = clip[..., :2] / np.where(np.abs(w)[..., None] > 1e-300,
+                                          w[..., None], 1e-300)
+        sx = ((nd[..., 0] + 1.0) * 0.5 * width).astype(np.float32)
+        sy = ((1.0 - nd[..., 1]) * 0.5 * height).astype(np.float32)
+
+        def area2(i, j, k):
+            return ((sx[:, k] - sx[:, i]) * (sy[:, j] - sy[:, i])
+                    - (sy[:, k] - sy[:, i]) * (sx[:, j] - sx[:, i]))
+
+        from ..utils.config import MIN_TRIANGLE_AREA
+
+        thr = np.float32(MIN_TRIANGLE_AREA)
+        tiny = ((np.abs(area2(0, 1, 2)) < thr)
+                & (np.abs(area2(0, 2, 3)) < thr) & ~any_behind)
+        visible = visible & ~tiny
     vp64 = np.asarray(vp, np.float64)
     chunk_world = np.asarray(chunk_world, np.float64)
 

@@ -50,6 +50,7 @@ class FrameStats:
     quads_gathered: int
     quads_rasterized: int
     overflow: int
+    subpixel_culled: int = 0
 
 
 def _render_step(
@@ -71,6 +72,7 @@ def _render_step(
     use_pallas: bool,
     interpret: bool,
     tile_k_cap: int = 8192,
+    debug_return_records: bool = False,
 ):
     tables = proj_ops.view_tables(view_proj, cam_pos)
 
@@ -205,6 +207,8 @@ def _render_step(
             jnp.zeros((24 - len(raster_ops.REC_FIELDS), flat.shape[0]),
                       jnp.int32),
         ])
+        if debug_return_records:  # stage profiling hook (benches/)
+            return records, tile_starts, tile_counts, octet_rows, octet_zmin
         color, depth = raster_ops.rasterize_pallas(
             records, tile_starts, tile_counts, octet_rows, octet_zmin,
             height=height, width=width,
@@ -237,7 +241,8 @@ def _render_step(
             fcoef, icoef, count_c, height=height, width=width,
         )
         bin_overflow = jnp.int32(0)
-    stats = jnp.stack([n_quads, count, overflow, bin_overflow])
+    stats = jnp.stack([n_quads, count, overflow, bin_overflow,
+                       proj_a["subpixel"].sum().astype(jnp.int32)])
     return color, depth, stats
 
 
@@ -269,9 +274,8 @@ def build_gather_indices(counts_sel, slots_sel, positions_sel, gather_cap: int):
     return pool_slot_of, within, quad_world, total
 
 
-@functools.partial(jax.jit, static_argnames=("gather_cap",))
-def _expand_uploads(quad_pool, slots_sel, counts_sel, positions_sel, *,
-                    gather_cap: int):
+def _expand_uploads_impl(quad_pool, slots_sel, counts_sel, positions_sel,
+                         gather_cap: int):
     """Device-side draw-list expansion: per-visible-chunk (pool slot, quad
     count, chunk position) -> the flat quad stream + per-quad world
     origins.  Uploads are ~5 KB instead of ~2.5 MB of host-expanded index
@@ -287,6 +291,28 @@ def _expand_uploads(quad_pool, slots_sel, counts_sel, positions_sel, *,
     wq = jnp.stack([(positions_sel[:, a].astype(jnp.float32) * 32.0)[ci]
                     for a in range(3)])
     return quads, wq, counts_sel.sum().astype(jnp.int32)
+
+
+@functools.partial(jax.jit, static_argnames=("gather_cap",))
+def _expand_uploads(quad_pool, slots_sel, counts_sel, positions_sel, *,
+                    gather_cap: int):
+    return _expand_uploads_impl(quad_pool, slots_sel, counts_sel,
+                                positions_sel, gather_cap)
+
+
+def _fused_frame(quad_pool, slots_sel, counts_sel, positions_sel, view_proj,
+                 cam_pos, *, gather_cap: int, **step_kw):
+    """Draw-list expansion + the full render step in ONE dispatch — the
+    moving-camera path (NOTES.md item 4): frames whose draw list changed
+    would otherwise pay two device round trips (prepare_uploads, then the
+    step).  Also returns the expanded uploads so the caller can cache them
+    for subsequent static-draw-list frames."""
+    quads, quad_world, total = _expand_uploads_impl(
+        quad_pool, slots_sel, counts_sel, positions_sel, gather_cap)
+    color, depth, stats = _render_step(
+        quads, quad_world, total, view_proj, cam_pos,
+        gather_cap=gather_cap, **step_kw)
+    return color, depth, stats, quads, quad_world, total
 
 
 class Renderer:
@@ -409,7 +435,7 @@ def make_repeated_step(renderer: "Renderer", n_frames: int):
         init = (
             jnp.zeros((cfg.height, cfg.width), jnp.int32),
             jnp.zeros((cfg.height, cfg.width), jnp.float32),
-            jnp.zeros(4, jnp.int32),
+            jnp.zeros(5, jnp.int32),
         )
         return jax.lax.fori_loop(0, n_frames, body, init)
 

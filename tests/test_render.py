@@ -327,3 +327,55 @@ def test_ground_level_overdraw_pallas_matches_jnp():
     c2, d2, _ = _step(renderer, args, use_pallas=True, interpret=True)
     _assert_kernel_parity(c1, d1, c2, d2)
     assert (c1 != SKY).sum() > 1000  # the wall fills much of the screen
+
+
+# ------------------------------------------------------- sub-pixel culling
+
+
+def test_subpixel_sliver_culled():
+    """Sub-pixel culling (rasterizer.rs:2228-2241): a +Y quad seen almost
+    edge-on projects to a sliver with both triangle areas < 0.05 px^2 and
+    must be culled (stats[4]) in exact mode; the oracle agrees."""
+    from differential_projection_voxel_renderer_tpu.meshing.quad_format import (
+        pack_quads,
+    )
+
+    quads = pack_quads([8], [8], [16], [16], [1], [20], [2])  # +Y at y=21
+    renderer = Renderer(RenderConfig(width=W, height=H, use_pallas=False))
+
+    # nearly edge-on: camera 2mm above the plane
+    cam = _camera([16.0, 21.002, 90.0], [16.0, 21.0, 16.0])
+    args = _render_args(renderer, quads, cam)
+    color, _, stats = _step(renderer, args, use_pallas=False, interpret=False)
+    assert stats[4] == 1, f"sliver not sub-pixel culled (stats={stats})"
+    assert stats[1] == 0
+    assert (color != SKY).sum() == 0
+    oc, _ = oracle.render_exact(
+        quads, np.zeros(3), cam.view_projection_matrix(), cam.position, W, H,
+        color_tables=renderer._tables_np,
+    )
+    assert (oc != SKY).sum() == 0
+
+    # the same quad seen well from above is NOT culled
+    cam2 = _camera([16.0, 60.0, 60.0], [16.0, 21.0, 16.0])
+    args2 = _render_args(renderer, quads, cam2)
+    color2, _, stats2 = _step(renderer, args2, use_pallas=False,
+                              interpret=False)
+    assert stats2[4] == 0 and stats2[1] == 1
+    assert (color2 != SKY).sum() > 50
+
+
+def test_subpixel_cull_only_exact_mode():
+    """The reference's span path has no sub-pixel cull (rasterizer.rs:
+    1219-1467): span mode must keep drawing the sliver's AABB fill."""
+    from differential_projection_voxel_renderer_tpu.meshing.quad_format import (
+        pack_quads,
+    )
+
+    quads = pack_quads([8], [8], [16], [16], [1], [20], [2])
+    renderer = Renderer(RenderConfig(width=W, height=H, use_pallas=False))
+    cam = _camera([16.0, 21.002, 90.0], [16.0, 21.0, 16.0])
+    args = _render_args(renderer, quads, cam)
+    _, _, stats = _step(renderer, args, use_pallas=False, interpret=False,
+                        span_mode=True)
+    assert stats[4] == 0 and stats[1] == 1
