@@ -51,6 +51,17 @@ def _pool_set_rows(pool, slots, rows):
     return pool.at[slots].set(rows)
 
 
+@functools.partial(jax.jit, donate_argnums=0)
+def _pool_set_rows_prefix(pool, slots, rows):
+    """Row update from PREFIX rows: only rows[:, :mc] crosses host->device
+    (terrain chunks average a few hundred quads; shipping the full qcap-wide
+    row costs 16 KB/chunk of mostly zeros through the relay — NOTES.md
+    '~100 ms/MB').  The zero-pad to qcap happens device-side."""
+    k, mc = rows.shape
+    full = jnp.zeros((k, pool.shape[1]), pool.dtype).at[:, :mc].set(rows)
+    return pool.at[slots].set(full)
+
+
 class QuadPool:
     """Device-resident mesh cache: packed quads per chunk slot.
 
@@ -141,7 +152,14 @@ class QuadPool:
                 self.insert_many(items[i:i + 512])
             return
         k = len(items)
-        rows = np.zeros((k, self.qcap), np.uint32)
+        # width bucket: smallest pow2 >= the batch's longest mesh (min 256)
+        # so the H2D transfer carries real quads, not qcap-wide zero pad
+        mc = 256
+        for _, quads in items:
+            if quads is not None:
+                mc = max(mc, min(len(quads), self.qcap))
+        mc = min(1 << (mc - 1).bit_length(), self.qcap)
+        rows = np.zeros((k, mc), np.uint32)
         slots = np.zeros(k, np.int32)
         for i, (pos, quads) in enumerate(items):
             key = tuple(int(c) for c in pos)
@@ -165,11 +183,11 @@ class QuadPool:
         kp = 1 << (k - 1).bit_length()
         if kp != k:  # pad with idempotent duplicates of entry 0
             rows = np.concatenate(
-                [rows, np.broadcast_to(rows[0], (kp - k, self.qcap))])
+                [rows, np.broadcast_to(rows[0], (kp - k, mc))])
             slots = np.concatenate(
                 [slots, np.full(kp - k, slots[0], np.int32)])
-        self.quads = _pool_set_rows(self.quads, jnp.asarray(slots),
-                                    jnp.asarray(rows))
+        self.quads = _pool_set_rows_prefix(self.quads, jnp.asarray(slots),
+                                           jnp.asarray(rows))
         self._dev_cache = None
 
     def remove(self, pos) -> None:
@@ -441,20 +459,22 @@ class Engine:
         self._last_n_visible = n
 
         # reuse the device-side gather arrays when the draw list is
-        # unchanged (the TPU analogue of the reference's mesh/basis caches)
+        # unchanged (the TPU analogue of the reference's mesh/basis caches);
+        # when it DID change, expansion + render go out as ONE dispatch
+        # (moving-camera frames would otherwise pay two round trips)
         sig = (self.world.version, visible_slots[:n].tobytes(),
                counts_sel[:n].tobytes())
         if self._upload_cache is not None and self._upload_cache[0] == sig:
             uploads = self._upload_cache[1]
+            color, depth, stats = self.renderer.render_prepared(
+                uploads, vp, cam.position
+            )
         else:
-            uploads = self.renderer.prepare_uploads(
-                self.pool.quads, visible_slots, counts_sel, positions_sel
+            color, depth, stats, uploads = self.renderer.render_fused(
+                self.pool.quads, visible_slots, counts_sel, positions_sel,
+                vp, cam.position
             )
             self._upload_cache = (sig, uploads)
-
-        color, depth, stats = self.renderer.render_prepared(
-            uploads, vp, cam.position
-        )
         if FUNCTION_COUNTERS.enabled:
             st = np.asarray(stats)
             FUNCTION_COUNTERS.add("render_frames")

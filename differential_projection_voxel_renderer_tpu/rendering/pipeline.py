@@ -331,22 +331,26 @@ class Renderer:
         if cfg.height % tile_h or cfg.width % tile_w:
             tile_h, tile_w = raster_ops.pick_tile(cfg.height, cfg.width)
         self.tile = (tile_h, tile_w)
+        step_kw = dict(
+            color_tables=self._tables_np,
+            width=cfg.width,
+            height=cfg.height,
+            tile_h=tile_h,
+            tile_w=tile_w,
+            render_cap=cfg.quads_cap,
+            span_mode=cfg.span_mode,
+            backface_culling=cfg.backface_culling,
+            use_pallas=use_pallas,
+            interpret=False,
+            tile_k_cap=cfg.tile_k_cap,
+        )
         self._step = jax.jit(
-            functools.partial(
-                _render_step,
-                color_tables=self._tables_np,
-                width=cfg.width,
-                height=cfg.height,
-                tile_h=tile_h,
-                tile_w=tile_w,
-                gather_cap=cfg.gather_cap,
-                render_cap=cfg.quads_cap,
-                span_mode=cfg.span_mode,
-                backface_culling=cfg.backface_culling,
-                use_pallas=use_pallas,
-                interpret=False,
-                tile_k_cap=cfg.tile_k_cap,
-            )
+            functools.partial(_render_step, gather_cap=cfg.gather_cap,
+                              **step_kw)
+        )
+        self._fused = jax.jit(
+            functools.partial(_fused_frame, gather_cap=cfg.gather_cap,
+                              **step_kw)
         )
 
     def _rebuild_tables(self) -> None:
@@ -386,6 +390,28 @@ class Renderer:
             gather_cap=cap,
         )
         return quads, quad_world, total_dev
+
+    def render_fused(self, quad_pool, visible_slots, counts_sel,
+                     positions_sel, view_proj, cam_pos):
+        """Draw-list expansion + render in ONE dispatch (the moving-camera
+        path).  Returns (color, depth, stats, uploads) — cache ``uploads``
+        and call render_prepared while the draw list stays unchanged."""
+        counts_sel = np.asarray(counts_sel, np.int64)
+        total = int(counts_sel.sum())
+        cap = self.config.gather_cap
+        if total > cap:
+            cum = np.cumsum(counts_sel)
+            counts_sel = np.where(cum <= cap, counts_sel,
+                                  np.maximum(cap - (cum - counts_sel), 0))
+        color, depth, stats, quads, quad_world, total_dev = self._fused(
+            quad_pool,
+            jnp.asarray(np.asarray(visible_slots, np.int32)),
+            jnp.asarray(counts_sel.astype(np.int32)),
+            jnp.asarray(np.asarray(positions_sel, np.int32)),
+            jnp.asarray(view_proj, jnp.float32),
+            jnp.asarray(cam_pos, jnp.float32),
+        )
+        return color, depth, stats, (quads, quad_world, total_dev)
 
     def render_prepared(self, uploads, view_proj, cam_pos):
         quads, quad_world, total = uploads
