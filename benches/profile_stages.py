@@ -102,13 +102,19 @@ def main():
     stages = sys.argv[1:] or ["project", "compact", "coeffs", "bin",
                               "raster", "raster0", "full"]
     quads_np, quad_world_np, total, vp, cam = get_scene()
-    log(f"scene: {total} quads gathered, backend {jax.default_backend()}")
+    gq_env = int(os.environ.get("PROF_GQ", "0"))
+    if gq_env:
+        quads_np = quads_np[:gq_env]
+        quad_world_np = quad_world_np[:, :gq_env]
+        total = min(total, gq_env)
+    log(f"scene: {total} quads gathered (cap {quads_np.shape[0]}), "
+        f"backend {jax.default_backend()}")
     tables = build_quad_color_tables(TextureAtlas().kernel_tables())
 
     W, H, TH, TW = 1280, 720, 16, 128
     GQ = quads_np.shape[0]
-    RC = 49152
-    TK = 98304
+    RC = int(os.environ.get("PROF_RC", "49152"))
+    TK = int(os.environ.get("PROF_TK", "98304"))
     out_h = -H % TH + H
     tiles_y, tiles_x = out_h // TH, W // TW
 
@@ -217,7 +223,13 @@ def main():
                 return (c[0, 0] + s[1]).astype(jnp.float32)
 
             timeit(loop(body_full), (vps_d, cams_d), k, st)
-        elif st in ("raster", "raster0"):
+        elif st.startswith("raster"):
+            # raster / raster0 with optional _tpsN suffix
+            tps = None
+            base = st
+            if "_tps" in st:
+                base, t = st.split("_tps")
+                tps = int(t)
             # build records once from the real camera, on device
             step_dbg = functools.partial(
                 PL._render_step, color_tables=tables, width=W, height=H,
@@ -232,19 +244,20 @@ def main():
                 continue
             records, tile_starts, tile_counts, octet_rows, octet_zmin = [
                 jax.block_until_ready(r) for r in recs]
-            if st == "raster0":
+            if base == "raster0":
                 tile_counts = jnp.zeros_like(tile_counts)
                 tile_starts = jnp.zeros_like(tile_starts)
             nit = np.asarray(tile_counts).sum()
             log(f"{st}: {int(nit)} binned items over "
                 f"{int((np.asarray(tile_counts) > 0).sum())} tiles")
 
-            def body_raster(i, acc, records=records):
+            def body_raster(i, acc, records=records, tps=tps):
                 # vary a harmless record field per iteration to defeat CSE
                 r = records.at[23, 0].set(i)
                 c, d = R.rasterize_pallas(
                     r, tile_starts, tile_counts, octet_rows, octet_zmin,
-                    height=H, width=W, tile_h=TH, tile_w=TW, out_h=out_h)
+                    height=H, width=W, tile_h=TH, tile_w=TW, out_h=out_h,
+                    tiles_per_step=tps)
                 return acc + c[0, 0].astype(jnp.float32)
 
             def run(x):

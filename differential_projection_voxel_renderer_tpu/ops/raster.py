@@ -121,11 +121,20 @@ def _eval_one_quad(nx, ny, fro, iro):
 
 
 def _blend_one_quad(nx, ny, fro, iro, color, depth):
-    """Sequential depth blend: strict less, ties keep first-drawn
-    (framebuffer.rs:325) — equivalent to a lexicographic min over
-    (depth, stream index), which is what the octet kernel computes."""
+    """Depth blend as a lexicographic min over (depth, color bits).
+
+    The reference's strict ``<`` test (framebuffer.rs:325) resolves
+    exact-depth ties by draw order — an order-DEPENDENT semantic (ties
+    occur between coplanar quads, where the reference's own output is
+    draw-order-defined).  We instead break ties by the smaller int32
+    color word: fully commutative, so the kernel, the jnp twin, the
+    oracle, and any binning order produce the bit-identical frame, and
+    the parity suite can demand full-frame equality like the reference's
+    SIMD-vs-scalar tests (span_walker.rs:914-1141).  Depth output is
+    unaffected (ties share z); color differs from the reference only at
+    tie pixels whose reference value is order-dependent anyway."""
     cover, z, quad_color = _eval_one_quad(nx, ny, fro, iro)
-    ok = cover & (z < depth)
+    ok = cover & ((z < depth) | ((z == depth) & (quad_color < color)))
     return jnp.where(ok, quad_color, color), jnp.where(ok, z, depth)
 
 
@@ -412,14 +421,21 @@ def _raster_kernel(starts_ref, counts_ref, rows_ref, zmin_ref, rec_hbm,
                 py = (py0 + y).astype(jnp.float32)
                 ny = 1.0 - 2.0 * (py + 0.5) / hf
                 cover, z, c = _eval_one_quad(nxv, ny, fro, iro)
-                d = jnp.where(cover & (z == z), z, jnp.inf)
-                # butterfly min over the 8 sublanes (= quads); depth ties
-                # resolve by roll order — deterministic for a fixed
-                # binning, and ties are exact-equal depths only
+                covered = cover & (z == z)
+                d = jnp.where(covered, z, jnp.inf)
+                # uncovered lanes take INT32_MAX color so the (d, c) tie
+                # rule below can never promote them (their d is +inf and
+                # every real color word is smaller)
+                c = jnp.where(covered, c, jnp.int32(2**31 - 1))
+                # butterfly min over the 8 sublanes (= quads) under the
+                # commutative lexicographic (depth, color bits) order —
+                # same rule as _blend_one_quad, so the reduction order
+                # chosen here (and the binner's item order) cannot change
+                # the frame
                 for shift in (4, 2, 1):
                     d2 = pltpu.roll(d, shift, 0)
                     c2 = pltpu.roll(c, shift, 0)
-                    lt = d2 < d
+                    lt = (d2 < d) | ((d2 == d) & (c2 < c))
                     d = jnp.where(lt, d2, d)
                     c = jnp.where(lt, c2, c)
                 return d, c
@@ -428,7 +444,8 @@ def _raster_kernel(starts_ref, counts_ref, rows_ref, zmin_ref, rec_hbm,
                 out = []
                 for i in range(n_sub):
                     ad, ac = acc[2 * i], acc[2 * i + 1]
-                    upd = (sub == y - 8 * i) & (d < ad)
+                    upd = (sub == y - 8 * i) & (
+                        (d < ad) | ((d == ad) & (c < ac)))
                     out += [jnp.where(upd, d, ad), jnp.where(upd, c, ac)]
                 return tuple(out)
 
@@ -502,13 +519,14 @@ def _raster_kernel(starts_ref, counts_ref, rows_ref, zmin_ref, rec_hbm,
 @functools.partial(
     jax.jit,
     static_argnames=("height", "width", "tile_h", "tile_w", "out_h",
-                     "interpret"),
+                     "interpret", "tiles_per_step"),
 )
 def rasterize_pallas(records, tile_starts, tile_counts, octet_rows,
                      octet_zmin, *,
                      height: int, width: int, tile_h: int, tile_w: int,
                      out_h: int | None = None,
-                     interpret: bool = False):
+                     interpret: bool = False,
+                     tiles_per_step: int | None = None):
     """Binned, streamed, tiled Pallas rasterizer over the flat item stream.
 
     ``records`` i32[24, ITEM_CAP] — field-major quad records (floats
@@ -529,7 +547,11 @@ def rasterize_pallas(records, tile_starts, tile_counts, octet_rows,
     assert records.shape[1] % BLOCK_Q == 0 and records.shape[0] == 24
     tiles_y, tiles_x = out_h // tile_h, width // tile_w
     n_tiles = tiles_y * tiles_x
-    tps = 2 if tiles_x % 2 == 0 else 1  # tiles per grid step
+    if tiles_per_step is None:
+        tps = 2 if tiles_x % 2 == 0 else 1  # tiles per grid step
+    else:
+        tps = tiles_per_step
+        assert tiles_x % tps == 0
 
     kernel = functools.partial(
         _raster_kernel, height=height, width=width, tile_h=tile_h,

@@ -193,8 +193,12 @@ def render_exact(quads, chunk_world, vp, cam_pos, width, height,
         else:
             quad_color = np.uint32(BLOCK_COLORS_ARGB[int(f["block"][i])])
         sub_d = depth[y0 : y1 + 1, x0 : x1 + 1]
-        passed = cover & (z < sub_d)
         sub_c = color[y0 : y1 + 1, x0 : x1 + 1]
+        # lexicographic (depth, int32 color word) min — the commutative
+        # tie rule shared with ops/raster (see _blend_one_quad)
+        qc32 = np.broadcast_to(quad_color, sub_c.shape).astype(np.uint32)
+        tie = (z == sub_d) & (qc32.view(np.int32) < sub_c.view(np.int32))
+        passed = cover & ((z < sub_d) | tie)
         depth[y0 : y1 + 1, x0 : x1 + 1] = np.where(passed, z, sub_d)
         color[y0 : y1 + 1, x0 : x1 + 1] = np.where(passed, quad_color, sub_c)
     return color, depth
@@ -240,7 +244,11 @@ def render_span(quads, chunk_world, vp, cam_pos, width, height, *, fb=None):
                 xc = x + 0.5
                 if not (sx0 <= xc < sx1):
                     continue
-                if d < depth[y, x]:
+                if d < depth[y, x] or (
+                    d == depth[y, x]
+                    and np.uint32(c).view(np.int32)
+                    < np.uint32(color[y, x]).view(np.int32)
+                ):
                     depth[y, x] = d
                     color[y, x] = c
     return color, depth

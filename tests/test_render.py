@@ -111,19 +111,14 @@ def fuzz_scene():
     return chunk, quads, cam, renderer, args
 
 
-def _assert_kernel_parity(c1, d1, c2, d2, budget=5e-4):
-    """Kernel-parity gate: pallas (interpret) vs jnp.
-
-    Depth must agree bit-for-bit except where a coverage decision itself
-    differs; colors may differ only on a vanishing fraction of pixels.
-    (XLA compiles the two paths separately and is free to contract
-    mul+add chains into FMAs differently per shape, so pixels that sit
-    EXACTLY on a quad edge — where coplanar neighbours tie — may flip
-    between two equally valid winners.  Everything else must match.)"""
-    dmism = ~((d1 == d2) | (np.isinf(d1) & np.isinf(d2)))
-    cmism = c1 != c2
-    assert dmism.mean() <= budget, f"depth mismatch {dmism.mean():.2e}"
-    assert cmism.mean() <= budget, f"color mismatch {cmism.mean():.2e}"
+def _assert_kernel_parity(c1, d1, c2, d2):
+    """Kernel-parity gate: pallas (interpret) vs jnp, FULL-FRAME equality —
+    the reference's SIMD-vs-scalar discipline (span_walker.rs:914-1141).
+    The blend is a commutative lexicographic (depth, color-bits) min
+    (ops/raster._blend_one_quad), so binning/reduction order cannot cause
+    divergence; any mismatch is a real kernel bug."""
+    np.testing.assert_array_equal(d1, d2)
+    np.testing.assert_array_equal(c1, c2)
 
 
 def test_pallas_matches_jnp_exact_mode(fuzz_scene):
