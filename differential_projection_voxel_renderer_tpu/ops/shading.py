@@ -32,6 +32,18 @@ LIGHT_DIR = np.array([0.35634832, 0.8908708, 0.2672612], dtype=np.float32)
 AMBIENT = np.float32(0.35)
 DIFFUSE = np.float32(0.65)
 
+# AO level (0 = unoccluded .. 3 = fully occluded) -> light multiplier
+# (shading.rs:55-62).  The reference's mesher always emits level 0
+# ("AO level is 0 for now", binary_greedy.rs:259), so default output is
+# identical with AO on or off; the machinery is wired end-to-end so a
+# mesher that does compute levels shades exactly like vertex_light.
+AO_FACTORS = np.array([1.0, 0.8, 0.6, 0.4], dtype=np.float32)
+
+# framebuffer.rs:481-489 uses the opposite level convention
+# (0 = darkest .. 3 = unoccluded); preserved verbatim in
+# rendering/framebuffer.apply_ao.
+APPLY_AO_FACTORS = np.array([0.4, 0.6, 0.8, 1.0], dtype=np.float32)
+
 
 @dataclass
 class ShadingConfig:
@@ -41,6 +53,14 @@ class ShadingConfig:
     ambient: float = 0.35
     diffuse: float = 0.65
     use_ao: bool = True
+
+    def vertex_light(self, face: int | np.ndarray,
+                     ao_level: int | np.ndarray = 0) -> np.ndarray:
+        """Scalar light for a vertex's (normal face, AO level) — the
+        legacy Vertex-path light (shading.rs:40-67); honors ``use_ao``.
+        Consumes the AO bits of the 8-byte packed vertex
+        (models/vertex.py unpack_vertices)."""
+        return face_lighting(face, ao_level, use_ao=self.use_ao)
 
     def shade_color(self, base_rgb, light: float) -> int:
         """shading.rs:72-85 — u8 RGB + light -> packed ARGB."""
@@ -62,12 +82,20 @@ class ShadingConfig:
         return 0xFF000000 | (r << 16) | (g << 8) | b
 
 
-def face_lighting(face: int | np.ndarray) -> np.ndarray:
+def face_lighting(face: int | np.ndarray, ao_level: int | np.ndarray = 0,
+                  *, use_ao: bool = True) -> np.ndarray:
     """Per-face-direction lambert light (binary_greedy.rs:269-282 /
-    rasterizer.rs:1204-1216). Vectorized over face indices."""
+    rasterizer.rs:1204-1216), modulated by the AO factor exactly like
+    vertex_light (shading.rs:40-67: light = ambient + diffuse * lambert;
+    if use_ao: light *= ao_factor; clamp).  Vectorized over face indices;
+    ``ao_level`` defaults to 0 = the reference mesher's constant
+    (binary_greedy.rs:259), where the factor is exactly 1.0."""
     n = FACE_NORMALS[np.asarray(face)].astype(np.float32)
     lambert = np.maximum((n * LIGHT_DIR).sum(-1), np.float32(0.0))
-    return np.clip(AMBIENT + DIFFUSE * lambert, 0.0, 1.0).astype(np.float32)
+    light = AMBIENT + DIFFUSE * lambert
+    if use_ao:
+        light = light * AO_FACTORS[np.asarray(ao_level)]
+    return np.clip(light, 0.0, 1.0).astype(np.float32)
 
 
 def build_quad_color_tables(
@@ -76,8 +104,13 @@ def build_quad_color_tables(
     enable_shading: bool = True,
     enable_textures: bool = True,
     shading: ShadingConfig | None = None,
+    ao_level: int = 0,
 ) -> dict[str, np.ndarray]:
     """Pre-shaded per-(face, block) color pairs for the rasterizer.
+
+    ``ao_level`` bakes the AO factor into the per-face light exactly like
+    the reference's mesh-time vertex light (shading.rs:55-62); the
+    reference mesher emits level 0 (binary_greedy.rs:259), the identity.
 
     Returns ``color_even``/``color_odd`` uint32[6, 4] plus the texture parity
     masks uint32[4].  Textured colors use shade_color_u32 (the textured
@@ -86,7 +119,7 @@ def build_quad_color_tables(
     scales differ in the reference (255 vs 256) and are preserved.
     """
     cfg = shading or ShadingConfig()
-    lights = face_lighting(np.arange(6))
+    lights = face_lighting(np.arange(6), ao_level, use_ao=cfg.use_ao)
     ce = np.zeros((6, 4), dtype=np.uint32)
     co = np.zeros((6, 4), dtype=np.uint32)
     for f in range(6):

@@ -27,11 +27,16 @@ def rgb_to_u32(r: int, g: int, b: int) -> int:
     return 0xFF000000 | (int(r) << 16) | (int(g) << 8) | int(b)
 
 
-def apply_ao(color: int, ao_factor: float) -> int:
-    """framebuffer.rs:481 — scale RGB channels by an AO factor."""
-    r = int(((color >> 16) & 0xFF) * ao_factor)
-    g = int(((color >> 8) & 0xFF) * ao_factor)
-    b = int((color & 0xFF) * ao_factor)
+def apply_ao(color, ao: int) -> int:
+    """framebuffer.rs:481-496 — scale an [r, g, b] color by the AO level's
+    factor (this function's convention: 0 = darkest 0.4 .. 3 = unoccluded
+    1.0 — the OPPOSITE of shading.rs's vertex AO levels; both preserved).
+    Never called by the reference's render paths (like here, the TinyQuad
+    pipeline bakes light at mesh time); kept for API parity."""
+    factor = (0.4, 0.6, 0.8, 1.0)[ao] if ao < 3 else 1.0
+    r = int(int(color[0]) * factor)
+    g = int(int(color[1]) * factor)
+    b = int(int(color[2]) * factor)
     return 0xFF000000 | (min(r, 255) << 16) | (min(g, 255) << 8) | min(b, 255)
 
 

@@ -77,9 +77,22 @@ def test_horizon_culling_never_turns_geometry_into_sky():
     eng = _small_engine()
     eng.world.generate_region((-3, -1, -3), (3, 1, 3))
     eng.prime()
+    # WASD-style sweep (horizon_movement_analysis.rs): strafe, approach,
+    # descend to just above terrain height (the same-height false-positive
+    # case, horizon_culling_same_height_tests.rs), and orbit
     path = [
         (np.array([x, 25.0, 60.0], np.float32), np.array([0.0, 0.0, 0.0]))
         for x in np.linspace(-40, 40, 5)
+    ] + [
+        (np.array([20.0, 25.0, z], np.float32), np.array([0.0, 10.0, 0.0]))
+        for z in np.linspace(60, 25, 4)
+    ] + [
+        (np.array([0.0, y, 50.0], np.float32), np.array([0.0, 14.0, 0.0]))
+        for y in (40.0, 22.0, 16.5)
+    ] + [
+        (np.array([50 * np.sin(a), 24.0, 50 * np.cos(a)], np.float32),
+         np.array([0.0, 8.0, 0.0]))
+        for a in np.linspace(0.3, 2.4, 4)
     ]
     for pos, target in path:
         eng.camera.position = pos

@@ -106,3 +106,72 @@ def test_quad_color_tables_modes():
         assert np.uint32(unshaded["color_even"][0, b]) == np.uint32(
             kt["color_even"][b] | 0xFF000000
         )
+
+
+# ----------------------------------------------------------------- AO
+
+
+def test_ao_level_zero_is_identity():
+    """The reference mesher always emits AO level 0 (binary_greedy.rs:259),
+    where the factor is exactly 1.0 — tables with AO on/off must be
+    bit-identical at level 0."""
+    from differential_projection_voxel_renderer_tpu.ops.shading import (
+        ShadingConfig, build_quad_color_tables, face_lighting,
+    )
+    from differential_projection_voxel_renderer_tpu.ops.texture import (
+        TextureAtlas,
+    )
+
+    at = TextureAtlas().kernel_tables()
+    t_on = build_quad_color_tables(at, shading=ShadingConfig(use_ao=True))
+    t_off = build_quad_color_tables(at, shading=ShadingConfig(use_ao=False))
+    for k in t_on:
+        np.testing.assert_array_equal(t_on[k], t_off[k])
+    np.testing.assert_array_equal(face_lighting(np.arange(6), 0),
+                                  face_lighting(np.arange(6)))
+
+
+def test_ao_levels_darken_like_vertex_light():
+    """shading.rs:55-62: light *= {1.0, 0.8, 0.6, 0.4}[ao], then clamp;
+    the factor must flow through the fixed-point color math end-to-end."""
+    from differential_projection_voxel_renderer_tpu.ops.shading import (
+        AO_FACTORS, ShadingConfig, build_quad_color_tables, face_lighting,
+    )
+    from differential_projection_voxel_renderer_tpu.ops.texture import (
+        TextureAtlas,
+    )
+
+    cfg = ShadingConfig()
+    base = face_lighting(np.arange(6), 0)
+    for lvl in (1, 2, 3):
+        lit = face_lighting(np.arange(6), lvl)
+        np.testing.assert_allclose(
+            lit, np.clip(base * AO_FACTORS[lvl], 0, 1), rtol=0, atol=0)
+        # use_ao=False ignores the level (shading.rs:55 `if self.use_ao`)
+        np.testing.assert_array_equal(
+            face_lighting(np.arange(6), lvl, use_ao=False), base)
+    at = TextureAtlas().kernel_tables()
+    t0 = build_quad_color_tables(at, ao_level=0)
+    t3 = build_quad_color_tables(at, ao_level=3)
+    # every shaded channel at level 3 is <= the level-0 channel
+    for k in ("color_even", "color_odd"):
+        for sh in (16, 8, 0):
+            c0 = (t0[k] >> sh) & 0xFF
+            c3 = (t3[k] >> sh) & 0xFF
+            assert (c3 <= c0).all()
+    assert (t3["color_even"] != t0["color_even"]).any()
+    # vertex_light honors the packed vertex AO bits' convention
+    assert cfg.vertex_light(2, 3) < cfg.vertex_light(2, 0)
+
+
+def test_apply_ao_reference_factors():
+    """framebuffer.rs:481-496: level 0 -> 0.4 ... 3 -> 1.0 (note: opposite
+    convention to shading.rs vertex AO; both preserved verbatim)."""
+    from differential_projection_voxel_renderer_tpu.rendering.framebuffer import (
+        apply_ao,
+    )
+
+    assert apply_ao([100, 200, 50], 3) == 0xFF000000 | (100 << 16) | (200 << 8) | 50
+    assert apply_ao([100, 200, 50], 0) == 0xFF000000 | (40 << 16) | (80 << 8) | 20
+    assert apply_ao([255, 255, 255], 1) == 0xFF000000 | (153 << 16) | (153 << 8) | 153
+    assert apply_ao([255, 255, 255], 4) == 0xFFFFFFFF  # _ => 1.0
