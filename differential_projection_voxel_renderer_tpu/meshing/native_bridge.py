@@ -43,6 +43,9 @@ def _build_and_load() -> ctypes.CDLL | None:
                     os.environ.get("CXX", "g++"),
                     "-O3",
                     "-march=native",
+                    # no silent mul+add fusion: float outputs must be
+                    # bit-comparable against the numpy references
+                    "-ffp-contract=off",
                     "-shared",
                     "-fPIC",
                     "-o",
@@ -81,6 +84,14 @@ def _build_and_load() -> ctypes.CDLL | None:
                 ctypes.c_int32,
                 ctypes.c_float,
                 ctypes.c_void_p,
+            ]
+            lib.perlin_table_twin.restype = None
+            lib.perlin_table_twin.argtypes = [ctypes.c_uint32,
+                                              ctypes.c_void_p]
+            lib.perlin_grid_twin.restype = None
+            lib.perlin_grid_twin.argtypes = [
+                ctypes.c_uint32, ctypes.c_void_p, ctypes.c_void_p,
+                ctypes.c_int64, ctypes.c_void_p,
             ]
             _LIB = lib
         except Exception:

@@ -5,8 +5,10 @@ Reimplements the algorithm used by the Rust reference's terrain generator
 reference src/voxel/chunk.rs:114-177):
 
 - a 256-entry permutation table built with a Fisher-Yates shuffle driven by
-  ``rand_xorshift::XorShiftRng`` seeded from the u32 seed (noise-rs
-  ``PermutationTable::new``),
+  ``rand_xorshift::XorShiftRng`` seeded with bytes ``[1, seed_le..., 0...]``
+  (noise-rs ``PermutationTable::new`` — the leading 1 guards the
+  all-zero-seed case), sampling indices with rand 0.8's ``sample_single``
+  widening-multiply rejection,
 - hashing ``hash(x, y) = values[values[x & 255] ^ (y & 255)]``,
 - four diagonal gradients selected by ``hash & 3``
   (``(1,1), (-1,1), (1,-1), (-1,-1)``),
@@ -30,17 +32,19 @@ _MASK32 = 0xFFFFFFFF
 
 
 class _XorShiftRng:
-    """rand_xorshift::XorShiftRng (v0.3) — 128-bit xorshift."""
+    """rand_xorshift::XorShiftRng — Marsaglia xor128.
 
-    def __init__(self, seed_u32: int):
-        s = int(seed_u32) & _MASK32
-        if s == 0:
-            # rand_xorshift maps the all-zero seed to a fixed non-zero state.
-            self.x = self.y = self.z = self.w = 0x0BAD5EED
-        else:
-            # noise-rs seeds the RNG with the u32 seed broadcast across the
-            # 128-bit state (little-endian words).
-            self.x = self.y = self.z = self.w = s
+    ``from_seed`` reads 16 little-endian bytes into (x, y, z, w) and maps
+    the all-zero seed to 4x 0x0BAD_5EED (rand_xorshift lib.rs).
+    """
+
+    def __init__(self, seed_bytes: bytes):
+        assert len(seed_bytes) == 16
+        words = [int.from_bytes(seed_bytes[i:i + 4], "little")
+                 for i in range(0, 16, 4)]
+        if all(w == 0 for w in words):
+            words = [0x0BAD5EED] * 4
+        self.x, self.y, self.z, self.w = words
 
     def next_u32(self) -> int:
         t = (self.x ^ ((self.x << 11) & _MASK32)) & _MASK32
@@ -50,11 +54,15 @@ class _XorShiftRng:
         return self.w
 
     def gen_range(self, upper: int) -> int:
-        """Uniform integer in [0, upper) via Lemire widening-multiply
-        rejection — the sampling scheme of rand 0.8's UniformInt<u32>."""
+        """Uniform integer in [0, upper) exactly as rand 0.8's
+        ``Rng::gen_range`` -> ``UniformInt<u32>::sample_single``: widening
+        multiply with acceptance zone ``(range << range.leading_zeros())
+        - 1`` (uniform_int_impl; NOT the ``ints_to_reject`` zone of the
+        prebuilt-distribution path — the two reject different words and so
+        consume different streams)."""
         range_ = upper & _MASK32
-        ints_to_reject = ((1 << 32) - range_) % range_
-        zone = _MASK32 - ints_to_reject
+        lz = 32 - range_.bit_length()
+        zone = ((range_ << lz) - 1) & _MASK32
         while True:
             v = self.next_u32()
             m = v * range_
@@ -64,9 +72,14 @@ class _XorShiftRng:
 
 
 def _permutation_table(seed: int) -> np.ndarray:
-    rng = _XorShiftRng(seed)
+    # noise-rs PermutationTable::new(seed): seed bytes [1, b0, b1, b2, b3,
+    # 0 x 11] — the leading 1 keeps the XorShift state nonzero for seed 0
+    # — then Standard::sample shuffles an identity [0..=255] sequence.
+    sb = (int(seed) & _MASK32).to_bytes(4, "little")
+    rng = _XorShiftRng(bytes([1]) + sb + bytes(11))
     values = list(range(256))
-    # rand 0.8 SliceRandom::shuffle — Fisher-Yates from the back.
+    # rand 0.8 SliceRandom::shuffle — Fisher-Yates from the back; ubound
+    # fits u32 so gen_index takes the 32-bit gen_range path.
     for i in range(255, 0, -1):
         j = rng.gen_range(i + 1)
         values[i], values[j] = values[j], values[i]

@@ -179,3 +179,110 @@ void occlusion_pass(const int32_t* rects, const float* depths,
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Independent twin of models/perlin.py for cross-checking the seeded
+// terrain RNG (the Rust reference's noise-0.9.0 Perlin; see chunk.rs:114-177
+// and the perlin.py docstring).  Written separately from the numpy
+// implementation so transcription bugs in either side fail the parity test
+// (tests/test_perlin_fixtures.py); cargo/crate source are unavailable here.
+// ---------------------------------------------------------------------------
+
+namespace perlin_twin {
+
+struct XorShift {
+    uint32_t x, y, z, w;
+    explicit XorShift(const uint8_t seed[16]) {
+        uint32_t s[4];
+        for (int i = 0; i < 4; i++) {
+            s[i] = (uint32_t)seed[4 * i] | ((uint32_t)seed[4 * i + 1] << 8) |
+                   ((uint32_t)seed[4 * i + 2] << 16) |
+                   ((uint32_t)seed[4 * i + 3] << 24);
+        }
+        if (!(s[0] | s[1] | s[2] | s[3]))
+            s[0] = s[1] = s[2] = s[3] = 0x0BAD5EEDu;
+        x = s[0]; y = s[1]; z = s[2]; w = s[3];
+    }
+    uint32_t next() {
+        uint32_t t = x ^ (x << 11);
+        x = y; y = z; z = w;
+        w = w ^ (w >> 19) ^ (t ^ (t >> 8));
+        return w;
+    }
+    // rand 0.8 UniformInt<u32>::sample_single
+    uint32_t gen_range(uint32_t upper) {
+        int lz = __builtin_clz(upper);
+        uint32_t zone = (upper << lz) - 1u;
+        for (;;) {
+            uint64_t m = (uint64_t)next() * upper;
+            if ((uint32_t)m <= zone) return (uint32_t)(m >> 32);
+        }
+    }
+};
+
+static void table_from_seed(uint32_t seed, uint8_t out[256]) {
+    uint8_t sb[16] = {0};
+    sb[0] = 1;
+    sb[1] = (uint8_t)seed;
+    sb[2] = (uint8_t)(seed >> 8);
+    sb[3] = (uint8_t)(seed >> 16);
+    sb[4] = (uint8_t)(seed >> 24);
+    XorShift rng(sb);
+    for (int i = 0; i < 256; i++) out[i] = (uint8_t)i;
+    for (int i = 255; i >= 1; i--) {
+        uint32_t j = rng.gen_range((uint32_t)i + 1);
+        uint8_t t = out[i]; out[i] = out[j]; out[j] = t;
+    }
+}
+
+static inline double grad_dot(int h, double dx, double dy) {
+    switch (h & 3) {
+        case 0: return dx + dy;
+        case 1: return -dx + dy;
+        case 2: return dx - dy;
+        default: return -dx - dy;
+    }
+}
+
+static inline double quintic(double t) {
+    return t * t * t * (t * (t * 6.0 - 15.0) + 10.0);
+}
+
+}  // namespace perlin_twin
+
+extern "C" {
+
+void perlin_table_twin(uint32_t seed, uint8_t* out256) {
+    perlin_twin::table_from_seed(seed, out256);
+}
+
+void perlin_grid_twin(uint32_t seed, const double* xs, const double* ys,
+                      int64_t n, double* out) {
+    uint8_t t[256];
+    perlin_twin::table_from_seed(seed, t);
+    auto hash2 = [&](long long xi, long long yi) -> int {
+        int a = t[(int)(xi & 0xff)];
+        return t[a ^ (int)(yi & 0xff)];
+    };
+    const double scale = 2.0 / 1.4142135623730951;
+    for (int64_t i = 0; i < n; i++) {
+        double x = xs[i], y = ys[i];
+        double fx = std::floor(x), fy = std::floor(y);
+        long long cx = (long long)fx, cy = (long long)fy;
+        double dx = x - fx, dy = y - fy;
+        double g00 = perlin_twin::grad_dot(hash2(cx, cy), dx, dy);
+        double g10 = perlin_twin::grad_dot(hash2(cx + 1, cy), dx - 1.0, dy);
+        double g01 = perlin_twin::grad_dot(hash2(cx, cy + 1), dx, dy - 1.0);
+        double g11 =
+            perlin_twin::grad_dot(hash2(cx + 1, cy + 1), dx - 1.0, dy - 1.0);
+        double u = perlin_twin::quintic(dx), v = perlin_twin::quintic(dy);
+        double r = g00 + (g10 - g00) * u + (g01 - g00) * v +
+                   (g00 + g11 - g10 - g01) * u * v;
+        r *= scale;
+        if (r > 1.0) r = 1.0;
+        if (r < -1.0) r = -1.0;
+        out[i] = r;
+    }
+}
+
+}  // extern "C"
