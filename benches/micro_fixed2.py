@@ -227,3 +227,194 @@ if os.environ.get("PHASE4"):
     make2("r_460_noany", n_scalar=1, scalar_sizes=(460,))
     make2("s_tinyscalar_any_small", n_scalar=1, scalar_sizes=(1,),
           any_input=True, tk=1024)
+
+
+def make4(label, any_sizes=(), smem_scratch=(), extra_sem=False,
+          read_meta=False):
+    """Additive variants from a_base (0.005 ms): isolate ANY inputs vs
+    SMEM scratch vs extra DMA semaphores."""
+    tile_h, tps = 16, 2
+    tiles_y, tiles_x = H // tile_h, W // 128
+    steps_x = tiles_x // tps
+    n_any = len(any_sizes)
+
+    def kernel(x_ref, *refs):
+        color_ref, depth_ref = refs[n_any], refs[n_any + 1]
+        x = x_ref[0]
+        sref = refs[n_any + 2] if (smem_scratch and read_meta) else None
+        if sref is not None:
+            x = x + sref[pl.program_id(0)]
+        write_tiles(color_ref, depth_ref, tile_h, tps, x)
+
+    imap = lambda st, *_: (st // steps_x, st % steps_x)
+    scratch_shapes = [
+        pltpu.SMEM((n,), jnp.int32) for n in smem_scratch
+    ] + [
+        pltpu.VMEM((24, 2 * tps * 256), jnp.int32),
+        pltpu.VMEM((256, 24), jnp.int32),
+        pltpu.SemaphoreType.DMA((2 * tps,)),
+    ]
+    if extra_sem:
+        scratch_shapes.append(pltpu.SemaphoreType.DMA((4,)))
+    # put SMEM scratch refs after outs in kernel signature order:
+    # (scalars, ins, outs, scratch) — scratch comes last
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(tiles_y * steps_x,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] * n_any,
+        out_specs=[
+            pl.BlockSpec((tile_h, 128 * tps), imap, memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_h, 128 * tps), imap, memory_space=pltpu.VMEM),
+        ],
+        scratch_shapes=scratch_shapes,
+    )
+    anys = [jnp.zeros(s, jnp.int32) for s in any_sizes]
+
+    def run(x):
+        return pl.pallas_call(
+            kernel, grid_spec=grid_spec,
+            out_shape=[jax.ShapeDtypeStruct((H, W), jnp.int32),
+                       jax.ShapeDtypeStruct((H, W), jnp.float32)],
+        )(x.reshape(1), *anys)
+
+    timeit(jax.jit(run), label)
+
+
+if os.environ.get("PHASE4"):
+    make4("m_base")
+    make4("n_any1_small", any_sizes=(460,))
+    make4("o_any5_big", any_sizes=(460, 460, 12288, 12288, 24 * 98304))
+    make4("p_smem_small", smem_scratch=(460, 460))
+    make4("q_smem_big", smem_scratch=(460, 460, 12288, 12288))
+    make4("r_extra_sem", extra_sem=True)
+    make4("s_smem_read", smem_scratch=(460, 460), read_meta=True)
+
+
+if os.environ.get("PHASE4M"):
+    make4("m_base_alone")
+    make("a_base_after")
+
+
+if os.environ.get("SOLO"):
+    v = os.environ["SOLO"]
+    if v == "f1_any_big":
+        make4("f1_any_big", any_sizes=(24 * 98304,))
+    elif v == "f2_any_small":
+        make4("f2_any_small", any_sizes=(256,))
+    elif v == "f3_smem_small":
+        make4("f3_smem_small", smem_scratch=(460, 460))
+    elif v == "f4_smem_big":
+        make4("f4_smem_big", smem_scratch=(12288, 12288))
+    elif v == "f5_extra_sem":
+        make4("f5_extra_sem", extra_sem=True)
+    elif v == "f6_any_copy":
+        make2("f6_any_copy", n_scalar=1, scalar_sizes=(1,),
+              any_input=True, set_copy=True)
+    elif v == "f7_any_nocopy":
+        make2("f7_any_nocopy", n_scalar=1, scalar_sizes=(1,),
+              any_input=True)
+    elif v == "f8_make2_plain":
+        make2("f8_make2_plain", n_scalar=1, scalar_sizes=(1,))
+
+
+def make5(label, tps=2, any_sizes=(256,), grid2d=False):
+    """ANY-input cost vs grid shape."""
+    tile_h = 16
+    tiles_y, tiles_x = H // tile_h, W // 128
+    steps_x = tiles_x // tps
+    n_any = len(any_sizes)
+
+    def kernel(x_ref, *refs):
+        color_ref, depth_ref = refs[n_any], refs[n_any + 1]
+        write_tiles(color_ref, depth_ref, tile_h, tps, x_ref[0])
+
+    if grid2d:
+        grid = (tiles_y, steps_x)
+        imap = lambda i, j, *_: (i, j)
+    else:
+        grid = (tiles_y * steps_x,)
+        imap = lambda st, *_: (st // steps_x, st % steps_x)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=grid,
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] * n_any,
+        out_specs=[
+            pl.BlockSpec((tile_h, 128 * tps), imap, memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_h, 128 * tps), imap, memory_space=pltpu.VMEM),
+        ],
+        scratch_shapes=[],
+    )
+    anys = [jnp.zeros(s, jnp.int32) for s in any_sizes]
+
+    def run(x):
+        return pl.pallas_call(
+            kernel, grid_spec=grid_spec,
+            out_shape=[jax.ShapeDtypeStruct((H, W), jnp.int32),
+                       jax.ShapeDtypeStruct((H, W), jnp.float32)],
+        )(x.reshape(1), *anys)
+
+    timeit(jax.jit(run), label)
+
+
+if os.environ.get("SOLO5"):
+    v = os.environ["SOLO5"]
+    if v == "g1_tps2":
+        make5("g1_tps2", tps=2)
+    elif v == "g2_tps10":
+        make5("g2_tps10", tps=10)
+    elif v == "g3_tps1":
+        make5("g3_tps1", tps=1)
+    elif v == "g4_tps2_2d":
+        make5("g4_tps2_2d", tps=2, grid2d=True)
+    elif v == "g5_tps10_noany":
+        make5("g5_tps10_noany", tps=10, any_sizes=())
+
+
+def make6(label, space="any", dimsem=None, tps=2):
+    """ANY vs HBM memory space; dimension_semantics."""
+    tile_h = 16
+    tiles_y, tiles_x = H // tile_h, W // 128
+    steps_x = tiles_x // tps
+    sp = {"any": pltpu.ANY, "hbm": pltpu.HBM}[space]
+
+    def kernel(x_ref, any_ref, color_ref, depth_ref):
+        write_tiles(color_ref, depth_ref, tile_h, tps, x_ref[0])
+
+    imap = lambda st, *_: (st // steps_x, st % steps_x)
+    kw = {}
+    if dimsem is not None:
+        kw["compiler_params"] = pltpu.CompilerParams(
+            dimension_semantics=(dimsem,))
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(tiles_y * steps_x,),
+        in_specs=[pl.BlockSpec(memory_space=sp)],
+        out_specs=[
+            pl.BlockSpec((tile_h, 128 * tps), imap, memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_h, 128 * tps), imap, memory_space=pltpu.VMEM),
+        ],
+        scratch_shapes=[],
+    )
+    anyv = jnp.zeros(256, jnp.int32)
+
+    def run(x):
+        return pl.pallas_call(
+            kernel, grid_spec=grid_spec,
+            out_shape=[jax.ShapeDtypeStruct((H, W), jnp.int32),
+                       jax.ShapeDtypeStruct((H, W), jnp.float32)],
+            **kw,
+        )(x.reshape(1), anyv)
+
+    timeit(jax.jit(run), label)
+
+
+if os.environ.get("SOLO6"):
+    v = os.environ["SOLO6"]
+    if v == "k1_hbm":
+        make6("k1_hbm", space="hbm")
+    elif v == "k2_any_par":
+        make6("k2_any_par", space="any", dimsem=pltpu.PARALLEL)
+    elif v == "k3_any_arb":
+        make6("k3_any_arb", space="any", dimsem=pltpu.ARBITRARY)
+    elif v == "k4_hbm_par":
+        make6("k4_hbm_par", space="hbm", dimsem=pltpu.PARALLEL)

@@ -288,13 +288,12 @@ class Engine:
         to_mesh = sorted(set(to_mesh))
         if self.device_meshing and len(to_mesh) >= 4:
             return self._remesh_device(to_mesh)
-        all_chunks = self.world.get_all_chunks()
         batch = []
         for pos in to_mesh:
             chunk = self.world.chunks.get(pos)
             if chunk is None:
                 continue
-            batch.append((pos, mesh_chunk(chunk, all_chunks)))
+            batch.append((pos, mesh_chunk(chunk, self.world.chunks)))
         self.pool.insert_many(batch)
         return len(to_mesh)
 

@@ -71,13 +71,20 @@ def greedy_mesh_slice(mask_rows: np.ndarray) -> list[tuple[int, int, int, int]]:
 
 
 def _neighbor_solid_grids(chunk: Chunk, all_chunks) -> dict[int, np.ndarray | None]:
-    """Resolve the 6 direct neighbors (binary_greedy.rs:181-209)."""
-    pos = np.asarray(chunk.position, np.int64)
+    """Resolve the 6 direct neighbors (binary_greedy.rs:181-209).
+
+    ``all_chunks`` is either a mapping ``pos tuple -> Chunk`` (the engine's
+    world dict — O(1) per lookup) or an iterable of chunks (test
+    convenience; builds a throwaway table)."""
+    pos = chunk.position_key
     offsets = [(1, 0, 0), (-1, 0, 0), (0, 1, 0), (0, -1, 0), (0, 0, 1), (0, 0, -1)]
-    table = {tuple(int(v) for v in c.position): c for c in all_chunks}
+    if isinstance(all_chunks, dict):
+        table = all_chunks
+    else:
+        table = {c.position_key: c for c in all_chunks}
     out: dict[int, np.ndarray | None] = {}
     for f, off in enumerate(offsets):
-        key = (int(pos[0] + off[0]), int(pos[1] + off[1]), int(pos[2] + off[2]))
+        key = (pos[0] + off[0], pos[1] + off[1], pos[2] + off[2])
         nb = table.get(key)
         out[f] = nb.solid() if nb is not None else None
     return out
@@ -100,6 +107,16 @@ def mesh_chunk(chunk: Chunk, all_chunks=None) -> np.ndarray | None:
     FUNCTION_COUNTERS.add("mesh_chunk_calls")
     if chunk.is_uniform:
         return None
+    native_full = native_bridge.mesh_chunk_full
+    if native_full is not None:
+        # fused native path: mask construction + merge in ONE call (the
+        # numpy mask packing alone costs ~0.6 ms/chunk of small-array
+        # overhead; the native fuse runs the whole chunk in ~50 us)
+        all_chunks = all_chunks if all_chunks is not None else [chunk]
+        planes = neighbor_solid_planes(
+            _neighbor_solid_grids(chunk, all_chunks))
+        quads = native_full(chunk.dense(), planes.astype(np.uint8))
+        return quads if quads.size else None
     masks = slice_masks_for_chunk(chunk, all_chunks)
     quads = mesh_from_masks(masks)
     return quads if quads.size else None

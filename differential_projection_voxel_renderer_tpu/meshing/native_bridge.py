@@ -60,6 +60,13 @@ def _build_and_load() -> ctypes.CDLL | None:
                 ctypes.c_void_p,
                 ctypes.c_int64,
             ]
+            lib.mesh_chunk_full.restype = ctypes.c_int64
+            lib.mesh_chunk_full.argtypes = [
+                ctypes.c_void_p,
+                ctypes.c_void_p,
+                ctypes.c_void_p,
+                ctypes.c_int64,
+            ]
             lib.horizon_cull.restype = None
             lib.horizon_cull.argtypes = [
                 ctypes.c_void_p,
@@ -129,8 +136,39 @@ class _LazyMesher:
         return _greedy_mesh_masks_native(masks)
 
 
-# Public handle: None if the native library is unavailable.
+def _mesh_chunk_full_native(blocks: np.ndarray,
+                            nb_planes: np.ndarray) -> np.ndarray:
+    lib = _build_and_load()
+    assert lib is not None
+    blocks = np.ascontiguousarray(blocks, dtype=np.uint8)
+    nb_planes = np.ascontiguousarray(nb_planes, dtype=np.uint8)
+    cap = 6 * 32 * 512
+    while True:
+        out = np.empty(cap, dtype=np.uint32)
+        n = int(
+            lib.mesh_chunk_full(
+                blocks.ctypes.data_as(ctypes.c_void_p),
+                nb_planes.ctypes.data_as(ctypes.c_void_p),
+                out.ctypes.data_as(ctypes.c_void_p),
+                cap,
+            )
+        )
+        if n <= cap:
+            return out[:n].copy()
+        cap = n  # exact size known; one retry suffices
+
+
+class _LazyChunkMesher:
+    """Picklable callable that resolves the native lib lazily."""
+
+    def __call__(self, blocks: np.ndarray,
+                 nb_planes: np.ndarray) -> np.ndarray:
+        return _mesh_chunk_full_native(blocks, nb_planes)
+
+
+# Public handles: None if the native library is unavailable.
 greedy_mesh_masks = _LazyMesher() if _available() else None
+mesh_chunk_full = _LazyChunkMesher() if _available() else None
 
 
 def horizon_cull_native(centers, cam, bins, base_margin, margin_dist_factor,

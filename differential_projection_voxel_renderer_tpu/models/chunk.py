@@ -100,6 +100,7 @@ class Chunk:
                 (CHUNK_SIZE, CHUNK_SIZE, CHUNK_SIZE), int(self.data), dtype=np.uint8
             )
         self.data[z, y, x] = np.uint8(block)
+        self._solid_cache = None
 
     @property
     def position_key(self) -> tuple[int, int, int]:
@@ -120,8 +121,13 @@ class Chunk:
         return self.data
 
     def solid(self) -> np.ndarray:
-        """bool[z, y, x] solidity mask."""
-        return BLOCK_IS_SOLID[np.minimum(self.dense(), 3)]
+        """bool[z, y, x] solidity mask (cached; a meshed chunk's mask is
+        reread by up to 6 neighbor remeshes — invalidated by set_block)."""
+        cached = getattr(self, "_solid_cache", None)
+        if cached is None:
+            cached = BLOCK_IS_SOLID[np.minimum(self.dense(), 3)]
+            self._solid_cache = cached
+        return cached
 
     # ------------------------------------------------------------ builders
     @staticmethod

@@ -24,7 +24,8 @@ extern "C" {
 // Returns number of quads emitted (may exceed cap; only cap are written).
 //
 // Packing must match meshing/quad_format.py.
-int64_t greedy_mesh_masks(const uint32_t* masks, uint32_t* out, int64_t cap) {
+static int64_t greedy_merge_all(const uint32_t* masks, uint32_t* out,
+                                int64_t cap) {
     int64_t n = 0;
     for (int face = 0; face < 6; ++face) {
         for (int slice = 0; slice < 32; ++slice) {
@@ -75,6 +76,92 @@ int64_t greedy_mesh_masks(const uint32_t* masks, uint32_t* out, int64_t cap) {
         }
     }
     return n;
+}
+
+int64_t greedy_mesh_masks(const uint32_t* masks, uint32_t* out, int64_t cap) {
+    return greedy_merge_all(masks, out, cap);
+}
+
+// Full-chunk meshing in one native call: dense blocks + neighbor boundary
+// planes -> packed quads.  Fuses the mask construction (the numpy
+// pack_slice_masks path costs ~0.6 ms/chunk in Python-call overhead) with
+// the greedy merge.  Bit-identical to
+// mesh_from_masks(pack_slice_masks(exposed_faces(...))) — tested in
+// tests/test_meshing.py.
+//
+// blocks:    uint8[32][32][32], indexed [z][y][x] (chunk.rs:52 layout)
+// nb_planes: uint8[6][32][32] neighbor solidity planes, the layout of
+//            face_masks.neighbor_solid_planes (X faces [z][y],
+//            Y faces [z][x], Z faces [y][x])
+// out/cap:   packed quad output; returns the total emitted count (may
+//            exceed cap; only cap quads are written).
+int64_t mesh_chunk_full(const uint8_t* blocks, const uint8_t* nb_planes,
+                        uint32_t* out, int64_t cap) {
+    // solidity as bitmasks over x per (z, y); solid iff code != 0
+    // (models/chunk.py solid(): BLOCK_IS_SOLID[min(code, 3)])
+    uint32_t solid[32][32];
+    for (int z = 0; z < 32; ++z) {
+        for (int y = 0; y < 32; ++y) {
+            const uint8_t* rowp = blocks + ((z * 32 + y) * 32);
+            uint32_t m = 0;
+            for (int x = 0; x < 32; ++x)
+                m |= (uint32_t)(rowp[x] != 0) << x;
+            solid[z][y] = m;
+        }
+    }
+    // neighbor planes as x-bitmasks where the plane's minor axis is x
+    const uint8_t* pl = nb_planes;
+    uint32_t py[2][32], pz[2][32];  // +Y/-Y over [z], +Z/-Z over [y]
+    for (int f = 0; f < 2; ++f) {
+        const uint8_t* p2 = pl + (2 + f) * 32 * 32;  // [z][x]
+        const uint8_t* p4 = pl + (4 + f) * 32 * 32;  // [y][x]
+        for (int a = 0; a < 32; ++a) {
+            uint32_t m2 = 0, m4 = 0;
+            for (int x = 0; x < 32; ++x) {
+                m2 |= (uint32_t)(p2[a * 32 + x] != 0) << x;
+                m4 |= (uint32_t)(p4[a * 32 + x] != 0) << x;
+            }
+            py[f][a] = m2;
+            pz[f][a] = m4;
+        }
+    }
+
+    // per-(face, btype) slice masks, same layout as greedy_mesh_masks input
+    static thread_local uint32_t masks[6 * 4 * 32 * 32];
+    std::memset(masks, 0, sizeof(uint32_t) * 6 * 4 * 32 * 32);
+
+    for (int z = 0; z < 32; ++z) {
+        for (int y = 0; y < 32; ++y) {
+            const uint32_t s = solid[z][y];
+            if (!s) continue;
+            const uint8_t* rowp = blocks + ((z * 32 + y) * 32);
+            uint32_t ex[6];
+            // +X: neighbor occupancy at x+1 (border bit 31 from plane [z][y])
+            ex[0] = s & ~((s >> 1) |
+                          ((uint32_t)(pl[(0 * 32 + z) * 32 + y] != 0) << 31));
+            // -X: neighbor at x-1 (border bit 0)
+            ex[1] = s & ~((s << 1) |
+                          (uint32_t)(pl[(1 * 32 + z) * 32 + y] != 0));
+            ex[2] = s & ~(y < 31 ? solid[z][y + 1] : py[0][z]);
+            ex[3] = s & ~(y > 0 ? solid[z][y - 1] : py[1][z]);
+            ex[4] = s & ~(z < 31 ? solid[z + 1][y] : pz[0][y]);
+            ex[5] = s & ~(z > 0 ? solid[z - 1][y] : pz[1][y]);
+            for (int f = 0; f < 6; ++f) {
+                uint32_t m = ex[f];
+                while (m) {
+                    const int x = __builtin_ctz(m);
+                    m &= m - 1;
+                    const int bt = rowp[x];
+                    if (bt < 1 || bt > 3) continue;  // only types 1..3 emit
+                    uint32_t* mk = masks + ((f * 4 + bt) * 32) * 32;
+                    if (f < 2)       mk[x * 32 + y] |= 1u << z;  // slice=x,row=y,col=z
+                    else if (f < 4)  mk[y * 32 + x] |= 1u << z;  // slice=y,row=x,col=z
+                    else             mk[z * 32 + x] |= 1u << y;  // slice=z,row=x,col=y
+                }
+            }
+        }
+    }
+    return greedy_merge_all(masks, out, cap);
 }
 
 // Horizon culling (reference src/rendering/culling.rs:40-119).

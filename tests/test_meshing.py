@@ -228,3 +228,47 @@ def test_stale_mesh_neighbor_scenario():
     q_with = unpack_quads(mesh_chunk(a, [a, b]))
     assert 0 in q_alone["face"].tolist()
     assert 0 not in q_with["face"].tolist()
+
+
+def test_native_full_chunk_parity():
+    """The fused native mesher (mask construction + merge in one C++ call,
+    native/src/greedy_mesh.cpp mesh_chunk_full) emits byte-identical quad
+    streams to the numpy mask path for terrain, random, and bordered
+    chunks."""
+    from differential_projection_voxel_renderer_tpu.meshing import (
+        native_bridge,
+    )
+    from differential_projection_voxel_renderer_tpu.meshing.face_masks import (
+        neighbor_solid_planes,
+    )
+    from differential_projection_voxel_renderer_tpu.meshing.greedy import (
+        _neighbor_solid_grids,
+        mesh_from_masks,
+        slice_masks_for_chunk,
+    )
+
+    if native_bridge.mesh_chunk_full is None:
+        import pytest
+
+        pytest.skip("native library unavailable")
+
+    rng = np.random.default_rng(7)
+    chunks = [Chunk.generate_terrain((x, 0, z))
+              for x in range(2) for z in range(2)]
+    table = {c.position_key: c for c in chunks}
+    for c in chunks:
+        if c.is_uniform:
+            continue
+        planes = neighbor_solid_planes(_neighbor_solid_grids(c, table))
+        fast = native_bridge.mesh_chunk_full(c.dense(),
+                                             planes.astype(np.uint8))
+        slow = mesh_from_masks(slice_masks_for_chunk(c, table))
+        assert np.array_equal(fast, slow)
+    for density in (0.1, 0.5, 0.9):
+        blocks = (rng.random((32, 32, 32)) < density).astype(np.uint8) * \
+            rng.integers(1, 4, (32, 32, 32)).astype(np.uint8)
+        c = Chunk.varied((0, 0, 0), blocks)
+        fast = native_bridge.mesh_chunk_full(
+            c.dense(), np.zeros((6, 32, 32), np.uint8))
+        slow = mesh_from_masks(slice_masks_for_chunk(c, [c]))
+        assert np.array_equal(fast, slow)
