@@ -418,3 +418,343 @@ if os.environ.get("SOLO6"):
         make6("k3_any_arb", space="any", dimsem=pltpu.ARBITRARY)
     elif v == "k4_hbm_par":
         make6("k4_hbm_par", space="hbm", dimsem=pltpu.PARALLEL)
+
+
+def make7(label, n_bufs=2, manual_tps=2):
+    """Fully-manual output path: outputs live in ANY space, kernel writes
+    VMEM scratch accumulators and DMAs them out per step with rotating
+    semaphores.  Grid = tile steps as before."""
+    tile_h = 16
+    tiles_y, tiles_x = H // tile_h, W // 128
+    steps_x = tiles_x // manual_tps
+    n_steps = tiles_y * steps_x
+
+    def kernel(x_ref, meta_ref, color_hbm, depth_hbm, cbuf, dbuf, sem):
+        step = pl.program_id(0)
+        slot = jax.lax.rem(step, n_bufs)
+        ty = step // steps_x
+        tx0 = (step % steps_x) * manual_tps
+
+        # wait for the DMA that used this slot n_bufs steps ago
+        @pl.when(step >= n_bufs)
+        def _():
+            # wait descriptors must match the started copy's SHAPE (the
+            # semaphore counts bytes); offsets are irrelevant
+            pltpu.make_async_copy(
+                cbuf.at[slot],
+                color_hbm.at[pl.ds(0, tile_h), pl.ds(0, 128 * manual_tps)],
+                sem.at[slot, 0]).wait()
+            pltpu.make_async_copy(
+                dbuf.at[slot],
+                depth_hbm.at[pl.ds(0, tile_h), pl.ds(0, 128 * manual_tps)],
+                sem.at[slot, 1]).wait()
+
+        cbuf[slot] = jnp.full((tile_h, 128 * manual_tps), SKY, jnp.int32) \
+            + x_ref[0]
+        dbuf[slot] = jnp.full((tile_h, 128 * manual_tps), jnp.inf,
+                              jnp.float32)
+        pltpu.make_async_copy(
+            cbuf.at[slot],
+            color_hbm.at[pl.ds(ty * tile_h, tile_h),
+                         pl.ds(tx0 * 128, 128 * manual_tps)],
+            sem.at[slot, 0],
+        ).start()
+        pltpu.make_async_copy(
+            dbuf.at[slot],
+            depth_hbm.at[pl.ds(ty * tile_h, tile_h),
+                         pl.ds(tx0 * 128, 128 * manual_tps)],
+            sem.at[slot, 1],
+        ).start()
+
+        @pl.when(step == n_steps - 1)
+        def _():
+            # exactly one outstanding DMA pair per slot remains
+            for s in range(n_bufs):
+                pltpu.make_async_copy(
+                    cbuf.at[s],
+                    color_hbm.at[pl.ds(0, tile_h),
+                                 pl.ds(0, 128 * manual_tps)],
+                    sem.at[s, 0]).wait()
+                pltpu.make_async_copy(
+                    dbuf.at[s],
+                    depth_hbm.at[pl.ds(0, tile_h),
+                                 pl.ds(0, 128 * manual_tps)],
+                    sem.at[s, 1]).wait()
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_steps,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        out_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((n_bufs, tile_h, 128 * manual_tps), jnp.int32),
+            pltpu.VMEM((n_bufs, tile_h, 128 * manual_tps), jnp.float32),
+            pltpu.SemaphoreType.DMA((n_bufs, 2)),
+        ],
+    )
+    meta = jnp.zeros(256, jnp.int32)
+
+    def run(x):
+        return pl.pallas_call(
+            kernel, grid_spec=grid_spec,
+            out_shape=[jax.ShapeDtypeStruct((H, W), jnp.int32),
+                       jax.ShapeDtypeStruct((H, W), jnp.float32)],
+        )(x.reshape(1), meta)
+
+    timeit(jax.jit(run), label)
+
+
+if os.environ.get("SOLO7"):
+    v = os.environ["SOLO7"]
+    if v == "m1_manual2":
+        make7("m1_manual2", n_bufs=2)
+    elif v == "m2_manual4":
+        make7("m2_manual4", n_bufs=4)
+    elif v == "m3_manual4_tps10":
+        make7("m3_manual4_tps10", n_bufs=4, manual_tps=10)
+
+
+def make8(label, out_mode="full", any_in=True):
+    """Relayout-copy probe: ANY input present, vary output size/shape."""
+    tile_h, tps = 16, 2
+    tiles_y, tiles_x = H // tile_h, W // 128
+    steps_x = tiles_x // tps
+    n_steps = tiles_y * steps_x
+
+    if out_mode == "full":
+        out_shape = [jax.ShapeDtypeStruct((H, W), jnp.int32),
+                     jax.ShapeDtypeStruct((H, W), jnp.float32)]
+        out_specs = [
+            pl.BlockSpec((tile_h, 128 * tps),
+                         lambda st, *_: (st // steps_x, st % steps_x),
+                         memory_space=pltpu.VMEM)] * 2
+    elif out_mode == "tiny":
+        out_shape = [jax.ShapeDtypeStruct((tile_h, 256), jnp.int32),
+                     jax.ShapeDtypeStruct((tile_h, 256), jnp.float32)]
+        out_specs = [
+            pl.BlockSpec((tile_h, 256), lambda st, *_: (0, 0),
+                         memory_space=pltpu.VMEM)] * 2
+    elif out_mode == "flat1d":
+        n = H * W
+        blk = tile_h * 256
+        out_shape = [jax.ShapeDtypeStruct((n,), jnp.int32),
+                     jax.ShapeDtypeStruct((n,), jnp.float32)]
+        out_specs = [
+            pl.BlockSpec((blk,), lambda st, *_: (st,),
+                         memory_space=pltpu.VMEM)] * 2
+
+    def kernel(x_ref, *refs):
+        base = 1 if any_in else 0
+        color_ref, depth_ref = refs[base], refs[base + 1]
+        x = x_ref[0]
+        if out_mode == "flat1d":
+            color_ref[:] = jnp.full(color_ref.shape, SKY, jnp.int32) + x
+            depth_ref[:] = jnp.full(depth_ref.shape, jnp.inf, jnp.float32)
+        else:
+            color_ref[:] = jnp.full(color_ref.shape, SKY, jnp.int32) + x
+            depth_ref[:] = jnp.full(depth_ref.shape, jnp.inf, jnp.float32)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_steps,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] if any_in else [],
+        out_specs=out_specs,
+        scratch_shapes=[],
+    )
+    anyv = jnp.zeros(256, jnp.int32)
+
+    def run(x):
+        args = (x.reshape(1), anyv) if any_in else (x.reshape(1),)
+        return pl.pallas_call(
+            kernel, grid_spec=grid_spec, out_shape=out_shape,
+        )(*args)
+
+    timeit(jax.jit(run), label)
+
+
+if os.environ.get("SOLO8"):
+    v = os.environ["SOLO8"]
+    if v == "n1_full":
+        make8("n1_full", out_mode="full")
+    elif v == "n2_tiny":
+        make8("n2_tiny", out_mode="tiny")
+    elif v == "n3_flat1d":
+        make8("n3_flat1d", out_mode="flat1d")
+    elif v == "n4_big_any_in":
+        import builtins
+        make8("n4_big_any_in", out_mode="tiny")  # tiny outs (big ANY input separately below)
+
+
+if os.environ.get("SOLO9"):
+    v = os.environ["SOLO9"]
+    if v == "s1_scalar460":
+        make2("s1_scalar460", n_scalar=1, scalar_sizes=(460,))
+    elif v == "s2_scalars4big":
+        make2("s2_scalars4big", n_scalar=4)
+    elif v == "s3_idxmap":
+        # scalar-prefetch-driven out index map (the sparse-work-list
+        # pattern): does indexing via the prefetched array cost anything?
+        tile_h, tps = 16, 2
+        tiles_y, tiles_x = H // tile_h, W // 128
+        steps_x = tiles_x // tps
+        n_steps = tiles_y * steps_x
+
+        def kernel(x_ref, order_ref, color_ref, depth_ref):
+            write_tiles(color_ref, depth_ref, tile_h, tps, x_ref[0])
+
+        imap = lambda st, x_ref, order_ref: (order_ref[st] // steps_x,
+                                             order_ref[st] % steps_x)
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(n_steps,),
+            in_specs=[],
+            out_specs=[
+                pl.BlockSpec((tile_h, 128 * tps), imap,
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((tile_h, 128 * tps), imap,
+                             memory_space=pltpu.VMEM),
+            ],
+            scratch_shapes=[],
+        )
+        order = jnp.arange(n_steps, dtype=jnp.int32)
+
+        def run(x):
+            return pl.pallas_call(
+                kernel, grid_spec=grid_spec,
+                out_shape=[jax.ShapeDtypeStruct((H, W), jnp.int32),
+                           jax.ShapeDtypeStruct((H, W), jnp.float32)],
+            )(x.reshape(1), order)
+
+        timeit(jax.jit(run), "s3_idxmap")
+    elif v == "s4_blocked_in":
+        # blocked VMEM input streamed by a prefetched block index — the
+        # full sparse pattern the raster kernel would use
+        tile_h, tps = 16, 2
+        tiles_y, tiles_x = H // tile_h, W // 128
+        steps_x = tiles_x // tps
+        n_steps = tiles_y * steps_x
+        TKL = 98304
+
+        def kernel(x_ref, bidx_ref, rec_ref, color_ref, depth_ref):
+            write_tiles(color_ref, depth_ref, tile_h, tps,
+                        x_ref[0] + rec_ref[0, 0])
+
+        imap_o = lambda st, *_: (st // steps_x, st % steps_x)
+        imap_r = lambda st, x_ref, bidx_ref: (0, bidx_ref[st])
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(n_steps,),
+            in_specs=[pl.BlockSpec((24, 256), imap_r,
+                                   memory_space=pltpu.VMEM)],
+            out_specs=[
+                pl.BlockSpec((tile_h, 128 * tps), imap_o,
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((tile_h, 128 * tps), imap_o,
+                             memory_space=pltpu.VMEM),
+            ],
+            scratch_shapes=[],
+        )
+        bidx = (jnp.arange(n_steps, dtype=jnp.int32) % (TKL // 256))
+        recs = jnp.zeros((24, TKL), jnp.int32)
+
+        def run(x):
+            return pl.pallas_call(
+                kernel, grid_spec=grid_spec,
+                out_shape=[jax.ShapeDtypeStruct((H, W), jnp.int32),
+                           jax.ShapeDtypeStruct((H, W), jnp.float32)],
+            )(x.reshape(1), bidx, recs)
+
+        timeit(jax.jit(run), "s4_blocked_in")
+
+
+def make9(label, n_in=4, n_out=5, rows=1024, br=64):
+    """Operand-count bisect with geometry-kernel-shaped blocked pipelines:
+    trivial copy body, [br, 128] blocks, grid rows//br."""
+    grid = rows // br
+
+    def kernel(x_ref, *refs):
+        ins = refs[:n_in]
+        outs = refs[n_in:n_in + n_out]
+        v = ins[0][:] + x_ref[0]
+        for i, o in enumerate(outs):
+            o[:] = v + i
+
+    blk = lambda: pl.BlockSpec((br, 128), lambda s, *_: (s, 0),
+                               memory_space=pltpu.VMEM)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(grid,),
+        in_specs=[blk() for _ in range(n_in)],
+        out_specs=[blk() for _ in range(n_out)],
+        scratch_shapes=[],
+    )
+    ins = [jnp.zeros((rows, 128), jnp.int32) for _ in range(n_in)]
+
+    def run(x):
+        return pl.pallas_call(
+            kernel, grid_spec=grid_spec,
+            out_shape=[jax.ShapeDtypeStruct((rows, 128), jnp.int32)
+                       for _ in range(n_out)],
+        )(x.reshape(1), *ins)
+
+    timeit(jax.jit(run), label)
+
+
+if os.environ.get("SOLO10"):
+    v = os.environ["SOLO10"]
+    n_in, n_out = v.split("_")[1].split("x")
+    make9(v, n_in=int(n_in), n_out=int(n_out))
+
+
+def make10(label, alias=False, two_calls=False):
+    """input_output_aliasing probe: input disguised as aliased output."""
+    rows, br = 1024, 64
+    grid = rows // br
+
+    def kernel(x_ref, in_ref, out_ref, out2_ref):
+        out_ref[:] = in_ref[:] + x_ref[0]
+        out2_ref[:] = in_ref[:] * 2
+
+    blk = lambda: pl.BlockSpec((br, 128), lambda s, *_: (s, 0),
+                               memory_space=pltpu.VMEM)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(grid,),
+        in_specs=[blk()],
+        out_specs=[blk(), blk()],
+        scratch_shapes=[],
+    )
+    kw = {}
+    if alias:
+        kw["input_output_aliases"] = {1: 0}  # input idx (after scalar) -> out 0
+    x_in = jnp.zeros((rows, 128), jnp.int32)
+
+    def run(x):
+        o = pl.pallas_call(
+            kernel, grid_spec=grid_spec,
+            out_shape=[jax.ShapeDtypeStruct((rows, 128), jnp.int32)] * 2,
+            **kw,
+        )(x.reshape(1), x_in + x)
+        if two_calls:
+            o2 = pl.pallas_call(
+                kernel, grid_spec=grid_spec,
+                out_shape=[jax.ShapeDtypeStruct((rows, 128), jnp.int32)] * 2,
+                **kw,
+            )(x.reshape(1), o[0])
+            return o2
+        return o
+
+    timeit(jax.jit(run), label)
+
+
+if os.environ.get("SOLO11"):
+    v = os.environ["SOLO11"]
+    if v == "y1_noalias":
+        make10("y1_noalias")
+    elif v == "y2_alias":
+        make10("y2_alias", alias=True)
+    elif v == "y3_two_calls":
+        make10("y3_two_calls", two_calls=True)

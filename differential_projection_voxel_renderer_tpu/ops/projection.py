@@ -54,8 +54,12 @@ FACE_POSITIVE = np.array([1, 0, 1, 0, 1, 0], dtype=np.int32)
 
 
 def decode_quads(quads: jnp.ndarray) -> dict[str, jnp.ndarray]:
-    """Vectorized unpack of the 32-bit quad words (see quad_format.py)."""
-    q = quads.astype(jnp.uint32)
+    """Vectorized unpack of the 32-bit quad words (see quad_format.py).
+
+    Accepts uint32 or int32 (every field is masked after its shift, so
+    arithmetic-shift sign fill is harmless) — the Pallas geometry kernel
+    passes int32 because Mosaic has no uint32->f32 cast."""
+    q = quads if quads.dtype == jnp.int32 else quads.astype(jnp.uint32)
     u = (q & 0x1F).astype(jnp.float32)
     v = ((q >> 5) & 0x1F).astype(jnp.float32)
     w = (((q >> 10) & 0x3F) + 1).astype(jnp.float32)
@@ -103,6 +107,16 @@ def chunk_clip_origins(view_proj: jnp.ndarray, chunk_positions: jnp.ndarray):
     return tuple(clip[:, r] for r in range(4))
 
 
+def _vp_rows(vp) -> list[list]:
+    """Normalize a view-projection matrix to a nested [4][4] list of
+    scalars.  Accepts a jnp [4, 4] array (XLA path) or an already-nested
+    list (the Pallas geometry kernel passes SMEM scalar reads, where
+    2D-array indexing is unavailable)."""
+    if isinstance(vp, (list, tuple)):
+        return [list(r) for r in vp]
+    return [[vp[r, c] for c in range(4)] for r in range(4)]
+
+
 class _Basis:
     """Per-quad clip-space basis in SoA form: each of origin/tangent/
     bitangent is 4 separate [M] arrays (ox..ow, tx..tw, bx..bw).
@@ -119,15 +133,17 @@ class _Basis:
         t_axis = _select_axis(face, FACE_T_AXIS)
         b_axis = _select_axis(face, FACE_B_AXIS)
         n_axis = _select_axis(face, FACE_N_AXIS)
+        vpl = _vp_rows(vp)
         # vp columns as 12 scalars; per-quad column components by axis select
-        col = [[vp[r, a] for a in range(3)] for r in range(4)]
+        col = [[vpl[r][a] for a in range(3)] for r in range(4)]
         self.t = tuple(_select3(t_axis, col[r][0], col[r][1], col[r][2]) for r in range(4))
         self.b = tuple(_select3(b_axis, col[r][0], col[r][1], col[r][2]) for r in range(4))
         n = tuple(_select3(n_axis, col[r][0], col[r][1], col[r][2]) for r in range(4))
         ap = dec["axis_pos"]
         wx, wy, wz = quad_world
         self.o = tuple(
-            vp[r, 0] * wx + vp[r, 1] * wy + vp[r, 2] * wz + vp[r, 3] + ap * n[r]
+            vpl[r][0] * wx + vpl[r][1] * wy + vpl[r][2] * wz + vpl[r][3]
+            + ap * n[r]
             for r in range(4)
         )
 
@@ -185,9 +201,37 @@ def project_and_cull(
       most a sub-0.05 px^2 sliver.
     """
     dec = decode_quads(quads)
+    cam = tables.cam_pos
+    return stage_a_fields(
+        dec, quad_world, in_stream, tables.view_proj,
+        (cam[0], cam[1], cam[2]),
+        width=width, height=height, span_mode=span_mode,
+        backface_culling=backface_culling,
+        subpixel_culling=subpixel_culling,
+    )
+
+
+def stage_a_fields(
+    dec: dict[str, jnp.ndarray],
+    quad_world,
+    in_stream: jnp.ndarray,
+    vp,                          # jnp [4,4] or nested scalar list
+    cam,                         # 3-tuple of scalars
+    *,
+    width: int,
+    height: int,
+    span_mode: bool = False,
+    backface_culling: bool = True,
+    subpixel_culling: bool = True,
+) -> dict[str, jnp.ndarray]:
+    """Core of :func:`project_and_cull` on pre-decoded quads, shape-
+    agnostic: runs on full [N] streams (XLA) and on [R, 128] blocks inside
+    the Pallas geometry kernel (ops/geometry_pallas.py) with IDENTICAL
+    arithmetic — the full-frame pallas-vs-jnp equality gate depends on
+    this sharing."""
     face = dec["face"]
-    vp = tables.view_proj
-    basis = _Basis(dec, quad_world, vp)
+    vpl = _vp_rows(vp)
+    basis = _Basis(dec, quad_world, vpl)
     u0, u1, v0, v1 = dec["u0"], dec["u1"], dec["v0"], dec["v1"]
 
     eps = jnp.float32(NEAR_W_EPS)
@@ -235,17 +279,19 @@ def project_and_cull(
             # Hyper-Pipeline test: clip-space normal z < 0 keeps
             # (differential_projection.rs:78-82)
             n_axis = _select_axis(face, FACE_N_AXIS)
-            ncz = _select3(n_axis, vp[2, 0], vp[2, 1], vp[2, 2])
+            ncz = _select3(n_axis, vpl[2][0], vpl[2][1], vpl[2][2])
             sign = jnp.where(dec["is_pos"], 1.0, -1.0)
             front = sign * ncz < 0.0
         else:
             n_axis = _select_axis(face, FACE_N_AXIS)
             plane = _select3(n_axis, quad_world[0], quad_world[1],
                              quad_world[2]) + dec["axis_pos"]
-            cam = _select3(n_axis, tables.cam_pos[0], tables.cam_pos[1],
-                           tables.cam_pos[2])
-            d = cam - plane
-            front = jnp.where(dec["is_pos"], d > 0.0, d < 0.0)
+            cam_n = _select3(n_axis, cam[0], cam[1], cam[2])
+            d = cam_n - plane
+            # logical form (not a bool-bool where): Mosaic lowers a select
+            # of i1 vectors through an unsupported i8 truncation
+            is_pos = dec["is_pos"]
+            front = (is_pos & (d > 0.0)) | (~is_pos & (d < 0.0))
     else:
         front = jnp.ones_like(any_behind)
 

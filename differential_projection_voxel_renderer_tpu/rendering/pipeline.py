@@ -35,6 +35,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ..ops import geometry_pallas as geom_ops
 from ..ops import projection as proj_ops
 from ..ops import raster as raster_ops
 from ..ops.shading import build_quad_color_tables
@@ -84,13 +85,34 @@ def _render_step(
     in_stream = jnp.arange(gq, dtype=jnp.int32) < n_quads
     wq = (quad_world[0], quad_world[1], quad_world[2])
 
-    # ---- project + cull (stage A) — valid mask + screen bboxes
-    proj_a = proj_ops.project_and_cull(
-        quads, wq, in_stream, tables,
-        width=width, height=height, span_mode=span_mode,
-        backface_culling=backface_culling,
-    )
-    count = proj_a["valid"].sum().astype(jnp.int32)
+    # ---- project + cull (stage A) — valid mask + screen bboxes.  On the
+    # production TPU path this is the fused Pallas kernel
+    # (ops/geometry_pallas.py; identical math, ~10x less wall time than
+    # the XLA lowering of the same ops); span mode and the jnp path use
+    # the XLA form.
+    if use_pallas and not span_mode:
+        ga = geom_ops.project_cull_pallas(
+            quads, wq, n_quads, tables.view_proj, tables.cam_pos,
+            width=width, height=height,
+            backface_culling=backface_culling, interpret=interpret,
+        )
+        proj_a = None
+        valid_a = ga["valid"]
+        bbx_a, bby_a = ga["bbx"], ga["bby"]
+        dn_a = ga["depth_near"]
+        subpix_total = ga["subpixel"].sum().astype(jnp.int32)
+    else:
+        proj_a = proj_ops.project_and_cull(
+            quads, wq, in_stream, tables,
+            width=width, height=height, span_mode=span_mode,
+            backface_culling=backface_culling,
+        )
+        valid_a = proj_a["valid"]
+        bbx_a = proj_a["bb_x0"] | (proj_a["bb_x1"] << 16)
+        bby_a = proj_a["bb_y0"] | (proj_a["bb_y1"] << 16)
+        dn_a = proj_a["depth_near"]
+        subpix_total = proj_a["subpixel"].sum().astype(jnp.int32)
+    count = valid_a.sum().astype(jnp.int32)
 
     if use_pallas:
         # ---- compact the survivors FIRST with one multi-row gather (the
@@ -103,22 +125,20 @@ def _render_step(
         tiles_y, tiles_x = out_h // tile_h, width // tile_w
         rc = min(gq, render_cap)
         bcast = jax.lax.bitcast_convert_type
-        bbx = proj_a["bb_x0"] | (proj_a["bb_x1"] << 16)
-        bby = proj_a["bb_y0"] | (proj_a["bb_y1"] << 16)
         pre_rows = [bcast(quads, jnp.float32), wq[0], wq[1], wq[2],
-                    bcast(bbx, jnp.float32), bcast(bby, jnp.float32),
-                    proj_a["depth_near"]]
+                    bcast(bbx_a, jnp.float32), bcast(bby_a, jnp.float32),
+                    dn_a]
         if span_mode:
             pre_rows += [proj_a[k] for k in
                          ("nx_min", "nx_max", "ny_min", "ny_max")]
         # compaction indices via one flat sort (a searchsorted of rc
         # targets lowers to a per-target binary-search loop — measured
         # ~7 ms at this size; the sort is ~0.5 ms)
-        n_valid = proj_a["valid"].sum().astype(jnp.int32)
+        n_valid = count
         count_c = jnp.minimum(n_valid, rc)
         stream_q = jnp.arange(gq, dtype=jnp.int32)
         idx = jnp.sort(
-            jnp.where(proj_a["valid"], stream_q, jnp.int32(2**30))
+            jnp.where(valid_a, stream_q, jnp.int32(2**30))
         )[:rc]
         idx = jnp.minimum(idx, gq - 1)
         pre_c = jnp.stack(pre_rows)[:, idx]
@@ -242,7 +262,7 @@ def _render_step(
         )
         bin_overflow = jnp.int32(0)
     stats = jnp.stack([n_quads, count, overflow, bin_overflow,
-                       proj_a["subpixel"].sum().astype(jnp.int32)])
+                       subpix_total])
     return color, depth, stats
 
 
