@@ -92,6 +92,7 @@ def main():
 
     from differential_projection_voxel_renderer_tpu.ops import projection as P
     from differential_projection_voxel_renderer_tpu.ops import raster as R
+    from differential_projection_voxel_renderer_tpu.ops import raster_packed as RP
     from differential_projection_voxel_renderer_tpu.ops.shading import (
         build_quad_color_tables,
     )
@@ -254,10 +255,10 @@ def main():
             def body_raster(i, acc, records=records, tps=tps):
                 # vary a harmless record field per iteration to defeat CSE
                 r = records.at[23, 0].set(i)
-                c, d = R.rasterize_pallas(
+                # metadata from the pipeline is per-BIN now (packed kernel)
+                c, d = RP.rasterize_pallas_packed(
                     r, tile_starts, tile_counts, octet_rows, octet_zmin,
-                    height=H, width=W, tile_h=TH, tile_w=TW, out_h=out_h,
-                    tiles_per_step=tps)
+                    height=H, width=W, tile_h=TH, out_h=out_h)
                 return acc + c[0, 0].astype(jnp.float32)
 
             def run(x):

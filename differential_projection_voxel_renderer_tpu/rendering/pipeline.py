@@ -38,6 +38,7 @@ import numpy as np
 from ..ops import geometry_pallas as geom_ops
 from ..ops import projection as proj_ops
 from ..ops import raster as raster_ops
+from ..ops import raster_packed as packed_ops
 from ..ops.shading import build_quad_color_tables
 from ..ops.texture import TextureAtlas
 from ..utils.config import RenderConfig
@@ -52,6 +53,70 @@ class FrameStats:
     quads_rasterized: int
     overflow: int
     subpixel_culled: int = 0
+
+
+def _packed_tail(f_full, i_full, bbx_c, bby_c, count_c, overflow,
+                 n_quads, count, subpix_total, *,
+                 height, width, tile_h, out_h, tiles_y, tiles_x,
+                 tile_k_cap, interpret, debug_return_records):
+    """Binning + metadata + raster for the sub-column-packed kernel
+    (ops/raster_packed.py).  The compacted stream arrives front-to-back
+    (depth-keyed compaction sort), so bins need no order bits."""
+    bucketbox = proj_ops.pack_tilebox(
+        {"bb_x0": bbx_c & 0xFFFF, "bb_x1": bbx_c >> 16,
+         "bb_y0": bby_c & 0xFFFF, "bb_y1": bby_c >> 16},
+        tile_h=tile_h, tile_w=packed_ops.BUCKET_W,
+    )
+    flat, b_of_item, valid_slot, starts, counts, bin_overflow = (
+        packed_ops.build_bin_lists(
+            bucketbox, count_c, tiles_y=tiles_y, tiles_x=tiles_x,
+            item_cap=tile_k_cap,
+        )
+    )
+    f_binned = f_full[:, flat]
+    ig = i_full[:, flat]
+    # covered tile-local pixel-row range per item -> per-octet bounds;
+    # alignment-pad slots are forced inert (empty row range, +inf depth)
+    tpy0 = ((b_of_item // packed_ops.BINS_PER_TILE) // tiles_x) * tile_h
+    ly0 = jnp.clip((ig[4] & 0xFFFF) - tpy0, 0, tile_h - 1)
+    ly1 = jnp.clip((ig[4] >> 16) - tpy0, 0, tile_h - 1)
+    ly0 = jnp.where(valid_slot, ly0, tile_h - 1)
+    ly1 = jnp.where(valid_slot, ly1, 0)
+    n_oct = flat.shape[0] // 8
+    octet_rows = (jnp.min(ly0.reshape(n_oct, 8), axis=1)
+                  | (jnp.max(ly1.reshape(n_oct, 8), axis=1) << 8))
+    # suffix-min of near depth per BIN segment — the exact occlusion
+    # break key, now bucket-granular
+    dn_i = jnp.where(valid_slot,
+                     jax.lax.bitcast_convert_type(ig[5], jnp.float32),
+                     jnp.inf)
+
+    def _segmin(a, b):
+        return (b[0], jnp.where(a[0] == b[0],
+                                jnp.minimum(a[1], b[1]), b[1]))
+
+    _, dn_r = jax.lax.associative_scan(
+        _segmin, (b_of_item[::-1], dn_i[::-1]))
+    octet_zmin = dn_r[::-1].reshape(n_oct, 8)[:, 0]
+    records = jnp.concatenate([
+        jax.lax.bitcast_convert_type(f_binned, jnp.int32),
+        ig[:4],
+        jnp.zeros((24 - len(raster_ops.REC_FIELDS), flat.shape[0]),
+                  jnp.int32),
+    ])
+    if debug_return_records:  # stage profiling hook (benches/)
+        return records, starts, counts, octet_rows, octet_zmin
+    color, depth = packed_ops.rasterize_pallas_packed(
+        records, starts, counts, octet_rows, octet_zmin,
+        height=height, width=width, tile_h=tile_h, out_h=out_h,
+        interpret=interpret,
+    )
+    if out_h != height:
+        color = color[:height]
+        depth = depth[:height]
+    stats = jnp.stack([n_quads, count, overflow, bin_overflow,
+                       subpix_total])
+    return color, depth, stats
 
 
 def _render_step(
@@ -73,6 +138,7 @@ def _render_step(
     use_pallas: bool,
     interpret: bool,
     tile_k_cap: int = 8192,
+    packed_raster: bool = True,
     debug_return_records: bool = False,
 ):
     tables = proj_ops.view_tables(view_proj, cam_pos)
@@ -133,13 +199,27 @@ def _render_step(
                          ("nx_min", "nx_max", "ny_min", "ny_max")]
         # compaction indices via one flat sort (a searchsorted of rc
         # targets lowers to a per-target binary-search loop — measured
-        # ~7 ms at this size; the sort is ~0.5 ms)
+        # ~7 ms at this size; the sort is ~0.5 ms).  On the packed path
+        # the sort key carries the log-quantized near depth in its high
+        # bits, so the compacted stream comes out front-to-back and the
+        # binner needs no order bits at all (raster_packed.py).
         n_valid = count
         count_c = jnp.minimum(n_valid, rc)
         stream_q = jnp.arange(gq, dtype=jnp.int32)
-        idx = jnp.sort(
-            jnp.where(valid_a, stream_q, jnp.int32(2**30))
-        )[:rc]
+        use_packed = packed_raster and not span_mode
+        if use_packed:
+            qbits = max(1, (gq - 1).bit_length())
+            assert 16 << (qbits + 4) > 0  # dq4 + index fit int32
+            dq4_full = jnp.clip(
+                (-jnp.log2(jnp.maximum(1.0 - dn_a, 1e-9)))
+                .astype(jnp.int32), 0, 15)
+            ckey = jnp.where(valid_a, (dq4_full << qbits) | stream_q,
+                             jnp.int32(2**30))
+            idx = jnp.sort(ckey)[:rc] & ((1 << qbits) - 1)
+        else:
+            idx = jnp.sort(
+                jnp.where(valid_a, stream_q, jnp.int32(2**30))
+            )[:rc]
         idx = jnp.minimum(idx, gq - 1)
         pre_c = jnp.stack(pre_rows)[:, idx]
         overflow = jnp.maximum(n_valid - rc, 0)
@@ -171,6 +251,16 @@ def _render_step(
             bby_c,
             jax.lax.bitcast_convert_type(dn_c, jnp.int32),
         ])
+
+        if use_packed:
+            return _packed_tail(
+                f_full, i_full, bbx_c, bby_c, count_c, overflow,
+                n_quads, count, subpix_total,
+                height=height, width=width, tile_h=tile_h, out_h=out_h,
+                tiles_y=tiles_y, tiles_x=tiles_x, tile_k_cap=tile_k_cap,
+                interpret=interpret,
+                debug_return_records=debug_return_records,
+            )
 
         # ---- bin the compacted quads straight to framebuffer tiles
         tilebox = proj_ops.pack_tilebox(
@@ -363,6 +453,7 @@ class Renderer:
             use_pallas=use_pallas,
             interpret=False,
             tile_k_cap=cfg.tile_k_cap,
+            packed_raster=cfg.packed_raster,
         )
         self._step = jax.jit(
             functools.partial(_render_step, gather_cap=cfg.gather_cap,
@@ -475,6 +566,7 @@ def make_repeated_step(renderer: "Renderer", n_frames: int):
                 backface_culling=cfg.backface_culling,
                 use_pallas=use_pallas, interpret=False,
                 tile_k_cap=cfg.tile_k_cap,
+                packed_raster=cfg.packed_raster,
             )
             return color, depth, stats
 

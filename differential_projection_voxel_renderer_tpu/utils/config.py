@@ -124,6 +124,9 @@ class RenderConfig:
     tile_w: int = TILE_W
     # None => auto (pallas on TPU, jnp elsewhere)
     use_pallas: bool | None = None
+    # sub-column-packed raster kernel (ops/raster_packed.py): 4 narrow-quad
+    # buckets per [8,128] row evaluation; exact-mode pallas path only
+    packed_raster: bool = True
     # Collect per-frame pixel/quad counters (reference FUNCTION_COUNTERS,
     # src/perf/profiling.rs — compiled out unless --features profiling).
     profiling: bool = False
