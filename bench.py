@@ -39,6 +39,11 @@ def main():
 
     import jax
 
+    # persistent compile cache: the pipeline's two Pallas kernels take
+    # minutes to compile through the remote toolchain; cache across runs
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jaxcache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
     from differential_projection_voxel_renderer_tpu.app.engine import Engine
     from differential_projection_voxel_renderer_tpu.models.world import WorldConfig
     from differential_projection_voxel_renderer_tpu.utils.config import RenderConfig

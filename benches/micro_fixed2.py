@@ -758,3 +758,52 @@ if os.environ.get("SOLO11"):
         make10("y2_alias", alias=True)
     elif v == "y3_two_calls":
         make10("y3_two_calls", two_calls=True)
+
+
+def make11(label, n_chain=2, xla_between=False, reshape_between=False):
+    """Island-batching probe: chained pallas calls, optionally separated
+    by XLA ops."""
+    rows, br = 1024, 64
+    grid = rows // br
+
+    def kernel(x_ref, in_ref, o1, o2):
+        v = in_ref[:] + x_ref[0]
+        o1[:] = v
+        o2[:] = v + 1
+
+    blk = lambda: pl.BlockSpec((br, 128), lambda s, *_: (s, 0),
+                               memory_space=pltpu.VMEM)
+    gs = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1, grid=(grid,),
+        in_specs=[blk()], out_specs=[blk(), blk()], scratch_shapes=[])
+    x_in = jnp.zeros((rows, 128), jnp.int32)
+
+    def call(x, a):
+        return pl.pallas_call(kernel, grid_spec=gs,
+            out_shape=[jax.ShapeDtypeStruct((rows, 128), jnp.int32)] * 2,
+        )(x.reshape(1), a)
+
+    def run(x):
+        a = x_in + x
+        for i in range(n_chain):
+            o = call(x + i, a)
+            a = o[0]
+            if xla_between:
+                a = a + 1
+            if reshape_between:
+                a = a.reshape(rows * 128).reshape(rows, 128)
+        return o
+
+    timeit(jax.jit(run), label)
+
+
+if os.environ.get("SOLO12"):
+    v = os.environ["SOLO12"]
+    if v == "z1_chain4":
+        make11("z1_chain4", n_chain=4)
+    elif v == "z2_chain2_xla":
+        make11("z2_chain2_xla", n_chain=2, xla_between=True)
+    elif v == "z3_chain2_reshape":
+        make11("z3_chain2_reshape", n_chain=2, reshape_between=True)
+    elif v == "z4_chain4_xla":
+        make11("z4_chain4_xla", n_chain=4, xla_between=True)

@@ -102,6 +102,8 @@ def main():
     k = int(os.environ.get("PROF_K", "30"))
     stages = sys.argv[1:] or ["project", "compact", "coeffs", "bin",
                               "raster", "raster0", "full"]
+    # packed-pipeline probe: everything up to (and incl.) build_bin_lists
+    # + per-octet metadata, via the debug_return_records hook
     quads_np, quad_world_np, total, vp, cam = get_scene()
     gq_env = int(os.environ.get("PROF_GQ", "0"))
     if gq_env:
@@ -212,6 +214,34 @@ def main():
             timeit(loop(stage_project), (vps_d, cams_d), k, st)
         elif st in ("compact", "coeffs", "bin"):
             timeit(loop(make_through(st)), (vps_d, cams_d), k, st)
+        elif st in ("pbin1", "pbin2"):
+            mode = {"pbin1": "bin", "pbin2": "gather"}[st]
+            step_dbg3 = functools.partial(
+                PL._render_step, color_tables=tables, width=W, height=H,
+                tile_h=TH, tile_w=TW, gather_cap=GQ, render_cap=RC,
+                span_mode=False, backface_culling=True, use_pallas=True,
+                interpret=False, tile_k_cap=TK,
+                debug_return_records=mode)
+
+            def body_p12(vp1, cam1):
+                outs = step_dbg3(quads, qw, n_quads, vp1, cam1)
+                return sum(o.sum() for o in outs[:2]).astype(jnp.float32)
+
+            timeit(loop(body_p12), (vps_d, cams_d), k, st)
+        elif st == "pbin":
+            step_dbg2 = functools.partial(
+                PL._render_step, color_tables=tables, width=W, height=H,
+                tile_h=TH, tile_w=TW, gather_cap=GQ, render_cap=RC,
+                span_mode=False, backface_culling=True, use_pallas=True,
+                interpret=False, tile_k_cap=TK, debug_return_records=True)
+
+            def body_pbin(vp1, cam1):
+                recs, starts, counts, orows, ozmin = step_dbg2(
+                    quads, qw, n_quads, vp1, cam1)
+                return (recs[0, 0] + starts[0] + counts.sum()
+                        + orows[0] + ozmin[0]).astype(jnp.float32)
+
+            timeit(loop(body_pbin), (vps_d, cams_d), k, st)
         elif st == "full":
             step = functools.partial(
                 PL._render_step, color_tables=tables, width=W, height=H,
@@ -255,10 +285,17 @@ def main():
             def body_raster(i, acc, records=records, tps=tps):
                 # vary a harmless record field per iteration to defeat CSE
                 r = records.at[23, 0].set(i)
-                # metadata from the pipeline is per-BIN now (packed kernel)
-                c, d = RP.rasterize_pallas_packed(
-                    r, tile_starts, tile_counts, octet_rows, octet_zmin,
-                    height=H, width=W, tile_h=TH, out_h=out_h)
+                if int(np.asarray(tile_counts).shape[0]) > 2000:
+                    # per-BIN metadata -> the packed kernel
+                    c, d = RP.rasterize_pallas_packed(
+                        r, tile_starts, tile_counts, octet_rows,
+                        octet_zmin, height=H, width=W, tile_h=TH,
+                        out_h=out_h)
+                else:
+                    c, d = R.rasterize_pallas(
+                        r, tile_starts, tile_counts, octet_rows,
+                        octet_zmin, height=H, width=W, tile_h=TH,
+                        tile_w=TW, out_h=out_h, tiles_per_step=tps)
                 return acc + c[0, 0].astype(jnp.float32)
 
             def run(x):

@@ -279,10 +279,22 @@ def build_tile_lists(tilebox, count, *, tiles_y: int, tiles_x: int,
     big_dropped = jnp.maximum(n_big - big_cap, 0)
 
     skeys = jnp.sort(jnp.concatenate(keys))
-    bounds = jnp.searchsorted(
-        skeys, (jnp.arange(n_tiles + 1, dtype=jnp.int32) << shift_t),
-        side="left",
-    ).astype(jnp.int32)
+    # manual all-targets bisection: jnp.searchsorted lowers to a
+    # per-target binary-search loop on TPU (~0.7 us/target measured)
+    prefixes = (jnp.arange(n_tiles + 1, dtype=jnp.int32) << shift_t)
+    n_keys = skeys.shape[0]
+    lo = jnp.zeros(n_tiles + 1, jnp.int32)
+    hi = jnp.full(n_tiles + 1, n_keys, jnp.int32)
+
+    def _bisect(_, lohi):
+        lo, hi = lohi
+        mid = (lo + hi) >> 1
+        below = skeys[mid] < prefixes
+        return jnp.where(below, mid + 1, lo), jnp.where(below, hi, mid)
+
+    lo, hi = jax.lax.fori_loop(0, (n_keys - 1).bit_length() + 1, _bisect,
+                               (lo, hi))
+    bounds = lo
     starts = bounds[:-1]
     total = bounds[-1]
     kept_end = jnp.minimum(bounds[1:], item_cap)

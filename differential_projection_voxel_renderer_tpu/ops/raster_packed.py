@@ -61,30 +61,40 @@ CHAP_Q = CHAP_BLOCKS * BLOCK_Q  # 2048
 
 @functools.partial(jax.jit, static_argnames=("tiles_y", "tiles_x",
                                                "item_cap"))
-def build_bin_lists(bucketbox, count, *, tiles_y: int, tiles_x: int,
-                    item_cap: int):
-    """Bin quads into per-tile [wide, b0..b3] bins as ONE flat sorted,
-    8-aligned item stream.
+def build_bin_lists(bucketbox, count, order4, order4_dy1, *,
+                    tiles_y: int, tiles_x: int, item_cap: int):
+    """Bin quads into per-tile [wide, b0..b3] bins as ONE flat sorted item
+    stream (bin segments are NOT aligned; the kernel floor-aligns its
+    octet loads and masks the straddle, like the old kernel's tile
+    segments).
 
     ``bucketbox``: packed inclusive BUCKET-granular box per quad
     (bx0 | bx1<<8 | ty0<<16 | ty1<<24), bx in 0..4*tiles_x-1 — i.e.
-    ``pack_tilebox`` at tile_w=32.  The caller guarantees the stream is
-    already front-to-back ordered (the pipeline's compaction key), so the
-    ascending-index within-bin order IS the draw order.
+    ``pack_tilebox`` at tile_w=32.  ``order4``/``order4_dy1``: 4-bit
+    within-bin order (coarse 2-bit near depth, then 2-bit covered-row
+    band) for the quad's first / second covered tile row.
 
-    Returns (flat i32[item_cap]      — quad index per aligned slot,
-             b_of_item i32[item_cap] — bin id per slot,
+    Within-bin order = (dq2, band, stream index): depth-major coarse
+    (keeps the occlusion break early — band-major order measured ~60%
+    more raster work), row-coherent within a depth class (tight octet
+    row spans), and the compaction index refines by full 4-bit quantized
+    depth inside each class.  The uint32 key fits exactly:
+    bin(12) | dq2(2) | band(2) | index(16).
+
+    Returns (flat i32[item_cap]      — quad index per slot,
+             b_of_item i32[item_cap] — bin id per slot (n_bins if pad),
              valid_slot bool[item_cap],
-             starts i32[n_bins]      — 8-aligned segment starts,
-             counts i32[n_bins]      — REAL (unpadded) per-bin counts,
+             starts i32[n_bins], counts i32[n_bins],
              overflow i32).
     """
     m = bucketbox.shape[0]
     shift = max(1, (m - 1).bit_length())
+    order_bits = 4
+    shift_t = shift + order_bits
     n_bins = tiles_y * tiles_x * BINS_PER_TILE
-    assert n_bins << shift < 2**31, "bin/quad key would overflow int32"
+    assert (n_bins << shift_t) < 2**32, "bin/quad key would overflow u32"
     big_cap = 512
-    maxkey = jnp.int32(2**31 - 1)
+    maxkey = jnp.uint32(2**32 - 1)
 
     q = jnp.arange(m, dtype=jnp.int32)
     in_count = q < count
@@ -100,10 +110,16 @@ def build_bin_lists(bucketbox, count, *, tiles_y: int, tiles_x: int,
     small_wide = wide & (tx1 - tx0 <= 1) & (ty1 - ty0 <= 1)
     big = wide & ~small_wide
 
+    def ukey(binid, ob, qq):
+        return ((binid.astype(jnp.uint32) << shift_t)
+                | (ob.astype(jnp.uint32) << shift)
+                | qq.astype(jnp.uint32))
+
     # narrow and small-wide are disjoint: share the 4 (dy, j) key slots
     keys = []
     for dy in (0, 1):
         ty = ty0 + dy
+        ob = order4 if dy == 0 else order4_dy1
         for j in (0, 1):
             bx = bx0 + j
             ok_n = narrow & (bx <= bx1) & (ty <= ty1)
@@ -113,7 +129,7 @@ def build_bin_lists(bucketbox, count, *, tiles_y: int, tiles_x: int,
             bin_w = (ty * tiles_x + tx) * BINS_PER_TILE
             binid = jnp.where(ok_n, bin_n, bin_w)
             ok = ok_n | ok_w
-            keys.append(jnp.where(ok, (binid << shift) | q, maxkey))
+            keys.append(jnp.where(ok, ukey(binid, ob, q), maxkey))
 
     # big quads: compact and expand over the full tile grid (bin 0)
     n_tiles = tiles_y * tiles_x
@@ -134,41 +150,46 @@ def build_bin_lists(bucketbox, count, *, tiles_y: int, tiles_x: int,
         (txg >= btx0[None, :]) & (txg <= btx1[None, :])
         & (tyg >= bty0[None, :]) & (tyg <= bty1[None, :])
     )
+    bob = jnp.where(bvalid, order4[src], 0)[None, :]
     keys.append(
-        jnp.where(okb,
-                  ((t[:, None] * BINS_PER_TILE) << shift) | src[None, :],
+        jnp.where(okb, ukey(t[:, None] * BINS_PER_TILE, bob, src[None, :]),
                   maxkey).reshape(-1)
     )
     big_dropped = jnp.maximum(n_big - big_cap, 0)
 
     skeys = jnp.sort(jnp.concatenate(keys))
-    prefixes = (jnp.arange(n_bins + 1, dtype=jnp.int32) << shift)
-    bounds = jnp.searchsorted(skeys, prefixes, side="left").astype(jnp.int32)
-    rstarts = bounds[:-1]
-    rcounts = bounds[1:] - bounds[:-1]
-    items_sorted = (skeys & ((1 << shift) - 1)).astype(jnp.int32)
+    # segment bounds: jnp.searchsorted lowers to a PER-TARGET binary-
+    # search loop on TPU (measured ~1.7 ms at 2251 targets); this manual
+    # bisection advances ALL targets per round with one small gather
+    prefixes = (jnp.arange(n_bins + 1, dtype=jnp.uint32) << shift_t)
+    n_keys = skeys.shape[0]
+    lo = jnp.zeros(n_bins + 1, jnp.int32)
+    hi = jnp.full(n_bins + 1, n_keys, jnp.int32)
 
-    # ---- 8-aligned scatter-free re-layout
-    acounts = ((rcounts + 7) // 8) * 8
-    astart = jnp.concatenate([jnp.zeros(1, jnp.int32),
-                              jnp.cumsum(acounts)]).astype(jnp.int32)
-    atotal = astart[-1]
-    astarts = astart[:-1]
-    n_groups = item_cap // 8
-    bj_group = jnp.repeat(jnp.arange(n_bins, dtype=jnp.int32),
-                          acounts // 8, total_repeat_length=n_groups)
-    b_of_item = jnp.broadcast_to(bj_group[:, None],
-                                 (n_groups, 8)).reshape(item_cap)
-    j = jnp.arange(item_cap, dtype=jnp.int32)
-    rank = j - astarts[b_of_item]
-    valid_slot = (rank >= 0) & (rank < rcounts[b_of_item]) & (j < atotal)
-    src_i = jnp.clip(rstarts[b_of_item] + rank, 0, skeys.shape[0] - 1)
-    flat = jnp.where(valid_slot, items_sorted[src_i], 0)
+    def bisect(_, lohi):
+        lo, hi = lohi
+        mid = (lo + hi) >> 1
+        below = skeys[mid] < prefixes
+        return jnp.where(below, mid + 1, lo), jnp.where(below, hi, mid)
 
-    overflow = (jnp.maximum(atotal - item_cap, 0) + big_dropped
+    lo, hi = jax.lax.fori_loop(0, (n_keys - 1).bit_length() + 1, bisect,
+                               (lo, hi))
+    bounds = lo
+    total = bounds[-1]
+    kept_end = jnp.minimum(bounds[1:], item_cap)
+    kept_start = jnp.minimum(bounds[:-1], item_cap)
+    starts = kept_start.astype(jnp.int32)
+    counts = (kept_end - kept_start).astype(jnp.int32)
+    overflow = (jnp.maximum(total - item_cap, 0) + big_dropped
                 ).astype(jnp.int32)
-    starts = jnp.minimum(astarts, item_cap).astype(jnp.int32)
-    counts = jnp.minimum(rcounts, jnp.maximum(item_cap - starts, 0))
+
+    head = skeys[:item_cap]
+    j = jnp.arange(item_cap, dtype=jnp.int32)
+    valid_slot = j < jnp.minimum(total, item_cap)
+    flat = jnp.where(valid_slot,
+                     (head & ((1 << shift) - 1)).astype(jnp.int32), 0)
+    b_of_item = jnp.where(valid_slot,
+                          (head >> shift_t).astype(jnp.int32), n_bins - 1)
     return flat, b_of_item, valid_slot, starts, counts, overflow
 
 
@@ -223,10 +244,10 @@ def _raster_kernel_packed(starts_hbm, counts_hbm, rows_hbm, zmin_hbm,
     acc0 = tuple([inff, skyv] * n_sub)
 
     def tile_range(t):
-        """[lo, hi) aligned item range of tile t's five bins."""
+        """[lo, hi) item range of tile t's five bins (unaligned)."""
         b0 = t * BINS_PER_TILE
         lo = starts_ref[b0]
-        hi = starts_ref[b0 + 4] + ((counts_ref[b0 + 4] + 7) // 8) * 8
+        hi = starts_ref[b0 + 4] + counts_ref[b0 + 4]
         return lo, jnp.minimum(hi, n_groups * 8)
 
     def chapter_nblk(t, c):
@@ -352,16 +373,16 @@ def _raster_kernel_packed(starts_hbm, counts_hbm, rows_hbm, zmin_hbm,
                 start_chapter_dmas(t, c + 1, nbuf)
 
             def clip_seg(binid):
+                # (floor-aligned first octet, real start, real end) in
+                # chapter-local coords; straddle items die by kmask
                 s = starts_ref[binid]
                 cnt = counts_ref[binid]
                 s_c = jnp.clip(s, chap_lo, chap_hi) - chap_lo
-                e_c = jnp.clip(s + ((cnt + 7) // 8) * 8,
-                               chap_lo, chap_hi) - chap_lo
-                re_c = jnp.clip(s + cnt, chap_lo, chap_hi) - chap_lo
-                return s_c, e_c, re_c
+                e_c = jnp.clip(s + cnt, chap_lo, chap_hi) - chap_lo
+                return s_c & ~7, s_c, e_c
 
             # ---------------- wide phase (full-width octets)
-            w_lo, w_hi, w_re = clip_seg(t * BINS_PER_TILE)
+            w_o0, w_lo, w_hi = clip_seg(t * BINS_PER_TILE)
 
             def w_cond(st):
                 o, dmax, _ = st
@@ -370,39 +391,48 @@ def _raster_kernel_packed(starts_hbm, counts_hbm, rows_hbm, zmin_hbm,
 
             def w_body(st):
                 o, dmax, acc = st
-                fro, iro = load_octet(o, o, w_re)
+                fro, iro = load_octet(o, w_lo, w_hi)
                 ry0, ry1 = octet_meta(chap_lo, o, o >= w_hi)
 
                 def rows_body(i, acc):
-                    y = ry0 + i
-                    yv = jnp.full((8, 128), y, jnp.int32)
-                    d, cc = eval_row_groups(fro, iro, yv)
-                    d = jnp.where(y <= ry1, d, jnp.inf)
-                    return merge(acc, yv, d, cc)
+                    # FOUR independent row evaluations in flight per merge
+                    # round: each eval is a long serial dependency chain
+                    # (~175 ns alone, NOTES.md), so batching recovers the
+                    # old kernel's latency hiding
+                    y = ry0 + 4 * i
+                    evs = [eval_row_groups(
+                        fro, iro, jnp.full((8, 128), y + u, jnp.int32))
+                        for u in range(4)]
+                    for u, (d, cc) in enumerate(evs):
+                        d = jnp.where(y + u <= ry1, d, jnp.inf)
+                        acc = merge(acc, jnp.full((8, 128), y + u,
+                                                  jnp.int32), d, cc)
+                    return acc
 
-                acc = jax.lax.fori_loop(0, jnp.maximum(ry1 - ry0 + 1, 0),
+                acc = jax.lax.fori_loop(0, (ry1 - ry0 + 4) // 4,
                                         rows_body, acc)
                 dmax = jax.lax.cond((o & 8) == 8, _dmax_of,
                                     lambda a: dmax, acc)
                 return o + 8, dmax, acc
 
             _, dmax, acc = jax.lax.while_loop(w_cond, w_body,
-                                              (w_lo, dmax, acc))
+                                              (w_o0, dmax, acc))
 
             # ---------------- packed phase (4 buckets in lockstep)
             segs = [clip_seg(t * BINS_PER_TILE + 1 + b) for b in range(4)]
             n_super = jnp.maximum(
-                jnp.maximum(segs[0][1] - segs[0][0],
-                            segs[1][1] - segs[1][0]),
-                jnp.maximum(segs[2][1] - segs[2][0],
-                            segs[3][1] - segs[3][0])) // 8
+                jnp.maximum(segs[0][2] - segs[0][0],
+                            segs[1][2] - segs[1][0]),
+                jnp.maximum(segs[2][2] - segs[2][0],
+                            segs[3][2] - segs[3][0]))
+            n_super = (n_super + 7) // 8
 
             def p_cond(st):
                 k, dmax, _ = st
                 alive = jnp.bool_(False)
                 for b in range(4):
-                    s_c, e_c, _ = segs[b]
-                    o = s_c + k * 8
+                    o0, s_c, e_c = segs[b]
+                    o = o0 + k * 8
                     g = jnp.minimum((chap_lo + o) // 8, n_groups - 1)
                     alive = alive | ((o < e_c) & (zmin_ref[g] <= dmax))
                 return (k < n_super) & alive
@@ -411,10 +441,10 @@ def _raster_kernel_packed(starts_hbm, counts_hbm, rows_hbm, zmin_hbm,
                 k, dmax, acc = st
                 fro_g, iro_g, y0s, y1s = [], [], [], []
                 for b in range(4):
-                    s_c, e_c, re_c = segs[b]
-                    o = s_c + k * 8
+                    o0, s_c, e_c = segs[b]
+                    o = o0 + k * 8
                     dead = o >= e_c
-                    fro, iro = load_octet(o, o, re_c)
+                    fro, iro = load_octet(o, s_c, e_c)
                     ry0, ry1 = octet_meta(chap_lo, o, dead)
                     fro_g.append(fro)
                     iro_g.append(iro)
@@ -432,12 +462,16 @@ def _raster_kernel_packed(starts_hbm, counts_hbm, rows_hbm, zmin_hbm,
                     [y1s[b][0, 0] - y0s[b][0, 0] for b in range(4)]))
 
                 def rows_body(i, acc):
-                    yvec = y0v + i
-                    d, cc = eval_row_groups(fros, iros, yvec)
-                    d = jnp.where(yvec <= y1v, d, jnp.inf)
-                    return merge(acc, yvec, d, cc)
+                    # 4 independent row chains in flight (see wide phase)
+                    evs = [eval_row_groups(fros, iros, y0v + (4 * i + u))
+                           for u in range(4)]
+                    for u, (d, cc) in enumerate(evs):
+                        yvec = y0v + (4 * i + u)
+                        d = jnp.where(yvec <= y1v, d, jnp.inf)
+                        acc = merge(acc, yvec, d, cc)
+                    return acc
 
-                acc = jax.lax.fori_loop(0, jnp.maximum(span + 1, 0),
+                acc = jax.lax.fori_loop(0, (span + 4) // 4,
                                         rows_body, acc)
                 dmax = jax.lax.cond((k & 1) == 1, _dmax_of,
                                     lambda a: dmax, acc)

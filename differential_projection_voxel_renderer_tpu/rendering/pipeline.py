@@ -59,6 +59,8 @@ def _packed_tail(f_full, i_full, bbx_c, bby_c, count_c, overflow,
                  n_quads, count, subpix_total, *,
                  height, width, tile_h, out_h, tiles_y, tiles_x,
                  tile_k_cap, interpret, debug_return_records):
+    # debug_return_records: True -> full records; "bin" -> stop after
+    # build_bin_lists; "gather" -> stop after the record gather
     """Binning + metadata + raster for the sub-column-packed kernel
     (ops/raster_packed.py).  The compacted stream arrives front-to-back
     (depth-keyed compaction sort), so bins need no order bits."""
@@ -67,14 +69,29 @@ def _packed_tail(f_full, i_full, bbx_c, bby_c, count_c, overflow,
          "bb_y0": bby_c & 0xFFFF, "bb_y1": bby_c >> 16},
         tile_h=tile_h, tile_w=packed_ops.BUCKET_W,
     )
+    # within-bin order: coarse 2-bit near depth (early occlusion break)
+    # then the 2-bit covered-row band (row coherence); the compaction
+    # index refines by full quantized depth inside each class
+    by0 = bby_c & 0xFFFF
+    band2 = jnp.minimum(
+        jnp.clip(by0 - (by0 // tile_h) * tile_h, 0, tile_h - 1) >> 2, 3)
+    dn_c = jax.lax.bitcast_convert_type(i_full[5], jnp.float32)
+    dq2 = jnp.clip(
+        (-jnp.log2(jnp.maximum(1.0 - dn_c, 1e-9))).astype(jnp.int32) >> 2,
+        0, 3)
     flat, b_of_item, valid_slot, starts, counts, bin_overflow = (
         packed_ops.build_bin_lists(
-            bucketbox, count_c, tiles_y=tiles_y, tiles_x=tiles_x,
+            bucketbox, count_c, (dq2 << 2) | band2, dq2 << 2,
+            tiles_y=tiles_y, tiles_x=tiles_x,
             item_cap=tile_k_cap,
         )
     )
+    if debug_return_records == "bin":
+        return flat, b_of_item, valid_slot, starts, counts
     f_binned = f_full[:, flat]
     ig = i_full[:, flat]
+    if debug_return_records == "gather":
+        return f_binned, ig, starts, counts, b_of_item
     # covered tile-local pixel-row range per item -> per-octet bounds;
     # alignment-pad slots are forced inert (empty row range, +inf depth)
     tpy0 = ((b_of_item // packed_ops.BINS_PER_TILE) // tiles_x) * tile_h
@@ -86,18 +103,23 @@ def _packed_tail(f_full, i_full, bbx_c, bby_c, count_c, overflow,
     octet_rows = (jnp.min(ly0.reshape(n_oct, 8), axis=1)
                   | (jnp.max(ly1.reshape(n_oct, 8), axis=1) << 8))
     # suffix-min of near depth per BIN segment — the exact occlusion
-    # break key, now bucket-granular
+    # break key, bucket-granular.  Bin segments are 8-aligned, so the
+    # suffix only matters at GROUP granularity: reduce each 8-group to
+    # its min first and run the segmented scan over n_oct groups (8x
+    # fewer elements, and the scan's array reversals shrink with it).
     dn_i = jnp.where(valid_slot,
                      jax.lax.bitcast_convert_type(ig[5], jnp.float32),
                      jnp.inf)
+    group_min = dn_i.reshape(n_oct, 8).min(axis=1)
+    b_of_group = b_of_item.reshape(n_oct, 8)[:, 0]
 
     def _segmin(a, b):
         return (b[0], jnp.where(a[0] == b[0],
                                 jnp.minimum(a[1], b[1]), b[1]))
 
-    _, dn_r = jax.lax.associative_scan(
-        _segmin, (b_of_item[::-1], dn_i[::-1]))
-    octet_zmin = dn_r[::-1].reshape(n_oct, 8)[:, 0]
+    _, zmin_r = jax.lax.associative_scan(
+        _segmin, (b_of_group[::-1], group_min[::-1]))
+    octet_zmin = zmin_r[::-1]
     records = jnp.concatenate([
         jax.lax.bitcast_convert_type(f_binned, jnp.int32),
         ig[:4],
@@ -138,7 +160,7 @@ def _render_step(
     use_pallas: bool,
     interpret: bool,
     tile_k_cap: int = 8192,
-    packed_raster: bool = True,
+    packed_raster: bool = False,
     debug_return_records: bool = False,
 ):
     tables = proj_ops.view_tables(view_proj, cam_pos)
@@ -306,7 +328,7 @@ def _render_step(
         def _segmin(a, b):
             return (b[0], jnp.where(a[0] == b[0],
                                     jnp.minimum(a[1], b[1]), b[1]))
-        seg_r, dn_r = jax.lax.associative_scan(
+        _, dn_r = jax.lax.associative_scan(
             _segmin, (t_of_item[::-1], dn_i[::-1]))
         octet_zmin = dn_r[::-1].reshape(n_oct, 8)[:, 0]
         # field-major records [24, ITEM_CAP] (floats bitcast; rows padded

@@ -125,8 +125,11 @@ class RenderConfig:
     # None => auto (pallas on TPU, jnp elsewhere)
     use_pallas: bool | None = None
     # sub-column-packed raster kernel (ops/raster_packed.py): 4 narrow-quad
-    # buckets per [8,128] row evaluation; exact-mode pallas path only
-    packed_raster: bool = True
+    # buckets per [8,128] row evaluation.  Measured SLOWER than the octet
+    # kernel at vd12 on v5e (5.2 vs 3.0 ms: the [8,1] coefficient loads
+    # dominate once rows shrink, and either segment alignment or straddle
+    # handling costs ~1-2 ms) — kept as an opt-in experiment; see NOTES.md.
+    packed_raster: bool = False
     # Collect per-frame pixel/quad counters (reference FUNCTION_COUNTERS,
     # src/perf/profiling.rs — compiled out unless --features profiling).
     profiling: bool = False
