@@ -166,6 +166,7 @@ def main():
     try:
         t0 = time.time()
         eng.prime_all()  # warm the whole mesh cache first
+        eng.warm_streaming()  # compile streaming scatter shapes up front
         log(f"prime_all: {len(eng.pool.by_pos)} meshes "
             f"({time.time()-t0:.1f}s)")
         t0 = time.time()

@@ -152,13 +152,16 @@ class QuadPool:
                 self.insert_many(items[i:i + 512])
             return
         k = len(items)
-        # width bucket: smallest pow2 >= the batch's longest mesh (min 256)
-        # so the H2D transfer carries real quads, not qcap-wide zero pad
-        mc = 256
+        # width bucket: {512, qcap} only — each distinct (rows, width)
+        # shape retraces the donated scatter and costs ~0.6 s of compile
+        # through the remote toolchain (measured: shape churn, not device
+        # time, was the flythrough bottleneck); terrain meshes are almost
+        # always <= 512 quads so the small bucket dominates
+        mc = 512
         for _, quads in items:
-            if quads is not None:
-                mc = max(mc, min(len(quads), self.qcap))
-        mc = min(1 << (mc - 1).bit_length(), self.qcap)
+            if quads is not None and len(quads) > mc:
+                mc = self.qcap
+                break
         rows = np.zeros((k, mc), np.uint32)
         slots = np.zeros(k, np.int32)
         for i, (pos, quads) in enumerate(items):
@@ -180,7 +183,8 @@ class QuadPool:
             slots[i] = slot
             self.counts[slot] = n
             self.positions[slot] = key
-        kp = 1 << (k - 1).bit_length()
+        # batch-size ladder {16, 64, 512} (same shape-churn rationale)
+        kp = 16 if k <= 16 else (64 if k <= 64 else 512)
         if kp != k:  # pad with idempotent duplicates of entry 0
             rows = np.concatenate(
                 [rows, np.broadcast_to(rows[0], (kp - k, mc))])
@@ -200,8 +204,14 @@ class QuadPool:
 
     def retain(self, predicate) -> None:
         """Drop cache entries whose position fails the predicate
-        (main.rs:280 ``mesh_cache.retain``)."""
-        for key in [k for k in self.by_pos if not predicate(k)]:
+        (main.rs:280 ``mesh_cache.retain``).  Pass a dict/set for the
+        fast path (direct membership; a callable costs ~12 us/entry of
+        Python overhead across thousands of cached meshes)."""
+        if isinstance(predicate, (dict, set, frozenset)):
+            keys = [k for k in self.by_pos if k not in predicate]
+        else:
+            keys = [k for k in self.by_pos if not predicate(k)]
+        for key in keys:
             self.remove(key)
 
     def slot_of(self, pos) -> int | None:
@@ -368,6 +378,17 @@ class Engine:
         )
         self._remesh(visible)
 
+    def warm_streaming(self) -> None:
+        """Compile the streaming-path scatter shapes ahead of the frame
+        loop (each distinct donated-scatter shape costs ~0.6 s of compile
+        through the remote toolchain; cached persistently).  Inserts a
+        throwaway entry at each batch-ladder size, then removes it."""
+        fake = (10**6, 10**6, 10**6)
+        row = np.zeros(1, np.uint32)
+        for bs in (1, 17):  # -> kp 16 and 64 at mc 512
+            self.pool.insert_many([(fake, row)] * bs)
+        self.pool.remove(fake)
+
     def prime_all(self) -> None:
         """Mesh every loaded chunk (warm-cache steady state: rotating or
         moving the camera then hits the mesh cache, like the reference's
@@ -396,7 +417,7 @@ class Engine:
             if not (cam_same and world_v == self._seen_world_version):
                 self._remesh(visible)
                 if world_v != self._seen_world_version:
-                    self.pool.retain(self.world.contains_chunk)
+                    self.pool.retain(self.world.chunks)
             self._seen_vp = vp_now.copy()
             self._seen_world_version = self.world.version
 

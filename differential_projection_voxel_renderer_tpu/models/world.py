@@ -47,7 +47,10 @@ class World:
         self.config = config or WorldConfig()
         self.chunks: dict[tuple[int, int, int], Chunk] = {}
         self.last_camera_chunk: tuple[int, int, int] | None = None
-        self._pos_cache: tuple[list, np.ndarray] | None = None
+        # (keys list, position array, count) — appends are incremental
+        # (streaming adds ~16/frame; a full rebuild of a 7k-entry tuple
+        # array costs ~3 ms and dominated moving-camera frames)
+        self._pos_cache: tuple[list, np.ndarray, int] | None = None
         # camera chunk at which the view sphere was last found complete;
         # skips the O(candidates) generation scan on static frames
         self._filled_at: tuple[int, int, int] | None = None
@@ -61,7 +64,7 @@ class World:
         key = tuple(int(c) for c in chunk_pos)
         if key not in self.chunks:
             self.chunks[key] = Chunk.generate_terrain(key)
-            self._invalidate_cache()
+            self._note_add(key)
         return self.chunks[key]
 
     def contains_chunk(self, position) -> bool:
@@ -114,7 +117,7 @@ class World:
             pos = (cam[0] + int(off[0]), cam[1] + int(off[1]), cam[2] + int(off[2]))
             if pos not in self.chunks:
                 self.chunks[pos] = Chunk.generate_terrain(pos)
-                self._invalidate_cache()
+                self._note_add(pos)
                 generated += 1
                 if generated >= self.config.max_chunks_per_frame:
                     return True
@@ -138,15 +141,31 @@ class World:
 
     # ---------------------------------------------------------- visibility
     def _positions_array(self) -> tuple[list[tuple[int, int, int]], np.ndarray]:
-        """Cached key/position arrays — rebuilding a ~7k-entry array every
-        frame costs ~1 ms; the cache is invalidated on any mutation."""
-        if self._pos_cache is not None:
-            return self._pos_cache
-        keys = list(self.chunks.keys())
-        arr = (np.asarray(keys, dtype=np.int64) if keys
-               else np.zeros((0, 3), dtype=np.int64))
-        self._pos_cache = (keys, arr)
-        return self._pos_cache
+        """Cached key/position arrays; appends maintain them in place."""
+        if self._pos_cache is None:
+            keys = list(self.chunks.keys())
+            n = len(keys)
+            cap = max(64, 2 * n)
+            arr = np.zeros((cap, 3), dtype=np.int64)
+            if n:
+                arr[:n] = np.fromiter(
+                    (c for k in keys for c in k), dtype=np.int64,
+                    count=3 * n).reshape(n, 3)
+            self._pos_cache = (keys, arr, n)
+        keys, arr, n = self._pos_cache
+        return keys, arr[:n]
+
+    def _note_add(self, key) -> None:
+        """O(1) cache maintenance for a streamed-in chunk."""
+        self.version += 1
+        if self._pos_cache is None:
+            return
+        keys, arr, n = self._pos_cache
+        if n >= arr.shape[0]:
+            arr = np.resize(arr, (2 * arr.shape[0], 3))
+        arr[n] = key
+        keys.append(key)
+        self._pos_cache = (keys, arr, n + 1)
 
     def _invalidate_cache(self) -> None:
         self._pos_cache = None
@@ -189,4 +208,4 @@ class World:
                     key = (cx, cy, cz)
                     if key not in self.chunks:
                         self.chunks[key] = Chunk.generate_terrain(key)
-                        self._invalidate_cache()
+                        self._note_add(key)

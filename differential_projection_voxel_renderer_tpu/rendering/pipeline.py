@@ -432,19 +432,52 @@ def _expand_uploads(quad_pool, slots_sel, counts_sel, positions_sel, *,
                                 positions_sel, gather_cap)
 
 
-def _fused_frame(quad_pool, slots_sel, counts_sel, positions_sel, view_proj,
-                 cam_pos, *, gather_cap: int, **step_kw):
+def _pack_cam(view_proj, cam_pos) -> np.ndarray:
+    out = np.empty(19, np.float32)
+    out[:16] = np.asarray(view_proj, np.float32).ravel()
+    out[16:] = np.asarray(cam_pos, np.float32)
+    return out
+
+
+def _unpack_meta(meta_i, vcap: int):
+    """One consolidated int32 upload -> (slots, counts, positions).
+
+    Per-frame host->device transfers each cost a round trip on
+    relay-attached hosts, so the per-chunk draw-list arrays travel as a
+    single [vcap*5] array (slots | counts | positions.ravel)."""
+    slots = meta_i[:vcap]
+    counts = meta_i[vcap:2 * vcap]
+    positions = meta_i[2 * vcap:5 * vcap].reshape(vcap, 3)
+    return slots, counts, positions
+
+
+def _unpack_cam(cam_f):
+    """One consolidated f32 upload -> (view_proj [4,4], cam_pos [3])."""
+    return cam_f[:16].reshape(4, 4), cam_f[16:19]
+
+
+def _fused_frame(quad_pool, meta_i, cam_f, *, vcap: int,
+                 gather_cap: int, **step_kw):
     """Draw-list expansion + the full render step in ONE dispatch — the
     moving-camera path (NOTES.md item 4): frames whose draw list changed
     would otherwise pay two device round trips (prepare_uploads, then the
     step).  Also returns the expanded uploads so the caller can cache them
     for subsequent static-draw-list frames."""
+    slots_sel, counts_sel, positions_sel = _unpack_meta(meta_i, vcap)
+    view_proj, cam_pos = _unpack_cam(cam_f)
     quads, quad_world, total = _expand_uploads_impl(
         quad_pool, slots_sel, counts_sel, positions_sel, gather_cap)
     color, depth, stats = _render_step(
         quads, quad_world, total, view_proj, cam_pos,
         gather_cap=gather_cap, **step_kw)
     return color, depth, stats, quads, quad_world, total
+
+
+def _step_camf(quads, quad_world, n_quads, cam_f, *, gather_cap: int,
+               **step_kw):
+    view_proj, cam_pos = _unpack_cam(cam_f)
+    return _render_step(quads, quad_world, n_quads, view_proj, cam_pos,
+                        gather_cap=gather_cap, **step_kw)
 
 
 class Renderer:
@@ -478,12 +511,12 @@ class Renderer:
             packed_raster=cfg.packed_raster,
         )
         self._step = jax.jit(
-            functools.partial(_render_step, gather_cap=cfg.gather_cap,
+            functools.partial(_step_camf, gather_cap=cfg.gather_cap,
                               **step_kw)
         )
         self._fused = jax.jit(
             functools.partial(_fused_frame, gather_cap=cfg.gather_cap,
-                              **step_kw)
+                              vcap=cfg.visible_chunks_cap, **step_kw)
         )
 
     def _rebuild_tables(self) -> None:
@@ -528,7 +561,10 @@ class Renderer:
                      positions_sel, view_proj, cam_pos):
         """Draw-list expansion + render in ONE dispatch (the moving-camera
         path).  Returns (color, depth, stats, uploads) — cache ``uploads``
-        and call render_prepared while the draw list stays unchanged."""
+        and call render_prepared while the draw list stays unchanged.
+        All per-frame host state crosses as TWO consolidated uploads
+        (draw-list ints, camera floats) — each separate H2D costs a round
+        trip on relay-attached hosts."""
         counts_sel = np.asarray(counts_sel, np.int64)
         total = int(counts_sel.sum())
         cap = self.config.gather_cap
@@ -536,13 +572,15 @@ class Renderer:
             cum = np.cumsum(counts_sel)
             counts_sel = np.where(cum <= cap, counts_sel,
                                   np.maximum(cap - (cum - counts_sel), 0))
+        vcap = self.config.visible_chunks_cap
+        meta = np.empty(5 * vcap, np.int32)
+        meta[:vcap] = np.asarray(visible_slots, np.int32)
+        meta[vcap:2 * vcap] = counts_sel.astype(np.int32)
+        meta[2 * vcap:] = np.asarray(positions_sel, np.int32).ravel()
         color, depth, stats, quads, quad_world, total_dev = self._fused(
             quad_pool,
-            jnp.asarray(np.asarray(visible_slots, np.int32)),
-            jnp.asarray(counts_sel.astype(np.int32)),
-            jnp.asarray(np.asarray(positions_sel, np.int32)),
-            jnp.asarray(view_proj, jnp.float32),
-            jnp.asarray(cam_pos, jnp.float32),
+            jnp.asarray(meta),
+            jnp.asarray(_pack_cam(view_proj, cam_pos)),
         )
         return color, depth, stats, (quads, quad_world, total_dev)
 
@@ -550,8 +588,7 @@ class Renderer:
         quads, quad_world, total = uploads
         return self._step(
             quads, quad_world, total,
-            jnp.asarray(view_proj, jnp.float32),
-            jnp.asarray(cam_pos, jnp.float32),
+            jnp.asarray(_pack_cam(view_proj, cam_pos)),
         )
 
     def render(self, quad_pool, visible_slots, counts_sel, positions_sel,
