@@ -18,6 +18,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 import time
 
@@ -36,6 +37,33 @@ def main():
     ap.add_argument("--quick", action="store_true",
                     help="small scene for fast validation")
     args = ap.parse_args()
+
+    # Flythrough (BASELINE config 5) runs FIRST, in its own process,
+    # before this process touches the TPU: only one process can use the
+    # chip effectively, and sustained in-process use degrades throughput
+    # ~3x on this relay (NOTES.md), so neither ordering within one
+    # process measures it honestly.
+    fly_line = None
+    if not args.quick:
+        import subprocess
+
+        try:
+            out = subprocess.run(
+                [sys.executable,
+                 os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                              "benches", "flythrough_bench.py"),
+                 str(args.vd)],
+                capture_output=True, text=True, timeout=1800,
+            )
+            lines = [l for l in out.stdout.splitlines()
+                     if l.startswith("FLYTHROUGH")]
+            if lines:
+                _, f1, f2 = lines[0].split()
+                fly_line = (f"flythrough (streaming + remesh + moving "
+                            f"camera, fresh process): {f1} FPS primed / "
+                            f"{f2} FPS streaming")
+        except Exception as e:  # pragma: no cover
+            fly_line = f"(flythrough subprocess failed: {e})"
 
     import jax
 
@@ -79,6 +107,17 @@ def main():
     eng.prime()
     log(f"meshing: {len(eng.pool.by_pos)} cache entries "
         f"({time.time()-t0:.1f}s)")
+
+    # Mesh EVERYTHING up front (the reference's README numbers are taken
+    # in the warm-cache steady state), and do it BEFORE the warmup
+    # renders: interleaving a large mesh-upload burst between renders
+    # degrades all subsequent per-frame throughput ~3x on this relay
+    # toolchain (measured; mechanism unknown — allocator/queue state).
+    t0 = time.time()
+    eng.prime_all()
+    eng.warm_streaming()
+    jax.block_until_ready(eng.pool.quads)
+    log(f"prime_all: {len(eng.pool.by_pos)} meshes ({time.time()-t0:.1f}s)")
 
     # warmup (compile + caches)
     res = None
@@ -163,26 +202,8 @@ def main():
     except Exception as e:  # pragma: no cover
         log(f"(meshing secondary metric failed: {e})")
 
-    try:
-        t0 = time.time()
-        eng.prime_all()  # warm the whole mesh cache first
-        eng.warm_streaming()  # compile streaming scatter shapes up front
-        log(f"prime_all: {len(eng.pool.by_pos)} meshes "
-            f"({time.time()-t0:.1f}s)")
-        t0 = time.time()
-        nfly = 40
-        for i in range(nfly):
-            eng.camera.position += np.array([0.4, 0.0, -0.4], np.float32)
-            eng.camera.yaw += 0.01
-            res = eng.render_frame(dt=0.016)
-        jax.block_until_ready(res.color)
-        log(f"flythrough (streaming + remesh + moving camera): "
-            f"{nfly/(time.time()-t0):.1f} FPS")
-        log("  (moving-camera frames rebuild the draw list: 2-3 dispatches"
-            " + small H2D per frame — RTT-bound on this relay-attached"
-            " TPU; a local host pays microseconds)")
-    except Exception as e:  # pragma: no cover
-        log(f"(flythrough secondary metric failed: {e})")
+    if fly_line:
+        log(fly_line)
 
     print(json.dumps({
         "metric": f"fps_1280x720_vd{args.vd}_textured_shaded",

@@ -1,0 +1,72 @@
+"""Flythrough benchmark (BASELINE.md config 5): streaming + remesh +
+moving camera, measured in a FRESH process.
+
+Run standalone or via bench.py (which shells out to this script): per-frame
+throughput on this relay-attached TPU degrades ~3x after several minutes
+of sustained use in one process (mechanism unidentified — reproducible by
+reordering work; see NOTES.md), so an end-of-bench in-process flythrough
+measures that degradation, not the engine.
+
+Prints one line: ``FLYTHROUGH <first_pass_fps> <second_pass_fps>``.
+Pass 1 crosses mostly pre-primed terrain; pass 2 streams fresh chunks
+(~8 generated + meshed + uploaded per frame at this camera speed).
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jaxcache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    from differential_projection_voxel_renderer_tpu.app.engine import Engine
+    from differential_projection_voxel_renderer_tpu.models.world import (
+        WorldConfig,
+    )
+    from differential_projection_voxel_renderer_tpu.utils.config import (
+        RenderConfig,
+    )
+
+    vd = int(sys.argv[1]) if len(sys.argv) > 1 else 12
+    eng = Engine(
+        render_config=RenderConfig(width=1280, height=720),
+        world_config=WorldConfig(view_distance=vd, frustum_culling=True,
+                                 max_chunks_per_frame=16),
+        pool_slots=8192,
+    )
+    eng.camera.position = np.array([0.0, 10.0, 20.0], np.float32)
+    eng.camera.look_at(np.array([0.0, 0.0, -60.0]))
+    while eng.world.update(eng.camera.position):
+        pass
+    eng.prime_all()
+    eng.warm_streaming()
+    for _ in range(8):
+        res = eng.render_frame(dt=0.0)
+    jax.block_until_ready(res.color)
+    jax.block_until_ready(eng.pool.quads)
+
+    fps = []
+    for _ in range(2):
+        t0 = time.time()
+        n = 40
+        for _ in range(n):
+            eng.camera.position += np.array([0.4, 0.0, -0.4], np.float32)
+            eng.camera.yaw += 0.01
+            res = eng.render_frame(dt=0.016)
+        jax.block_until_ready(res.color)
+        fps.append(n / (time.time() - t0))
+    print(f"FLYTHROUGH {fps[0]:.1f} {fps[1]:.1f}", flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -151,17 +151,22 @@ class QuadPool:
             for i in range(0, len(items), 512):
                 self.insert_many(items[i:i + 512])
             return
+        # width ladder {512, 1024, qcap}: each distinct (rows, width)
+        # shape retraces the donated scatter (~0.6 s of remote compile),
+        # and one oversized mesh must not drag the whole batch to a wide
+        # bucket (H2D through the relay is ~100 ms/MB; 23% of terrain
+        # meshes exceed 512 quads, p99 ~850) — split the batch by bucket.
+        def bucket(it):
+            n = 0 if it[1] is None else len(it[1])
+            return 512 if n <= 512 else (1024 if n <= 1024 else self.qcap)
+
+        buckets = {bucket(it) for it in items}
+        if len(buckets) > 1:
+            for b in sorted(buckets):
+                self.insert_many([it for it in items if bucket(it) == b])
+            return
         k = len(items)
-        # width bucket: {512, qcap} only — each distinct (rows, width)
-        # shape retraces the donated scatter and costs ~0.6 s of compile
-        # through the remote toolchain (measured: shape churn, not device
-        # time, was the flythrough bottleneck); terrain meshes are almost
-        # always <= 512 quads so the small bucket dominates
-        mc = 512
-        for _, quads in items:
-            if quads is not None and len(quads) > mc:
-                mc = self.qcap
-                break
+        mc = buckets.pop()
         rows = np.zeros((k, mc), np.uint32)
         slots = np.zeros(k, np.int32)
         for i, (pos, quads) in enumerate(items):
@@ -384,9 +389,10 @@ class Engine:
         through the remote toolchain; cached persistently).  Inserts a
         throwaway entry at each batch-ladder size, then removes it."""
         fake = (10**6, 10**6, 10**6)
-        row = np.zeros(1, np.uint32)
-        for bs in (1, 17):  # -> kp 16 and 64 at mc 512
-            self.pool.insert_many([(fake, row)] * bs)
+        for width in (1, 513):  # -> mc 512 and 1024
+            row = np.zeros(width, np.uint32)
+            for bs in (1, 17):  # -> kp 16 and 64
+                self.pool.insert_many([(fake, row)] * bs)
         self.pool.remove(fake)
 
     def prime_all(self) -> None:

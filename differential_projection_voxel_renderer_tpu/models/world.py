@@ -112,10 +112,28 @@ class World:
         offs = offs[dist_sq <= float(vd * vd)]
         # Reference iterates x-outer / y / z-inner (world.rs:66-68);
         # meshgrid(indexing="ij") preserves that order.
+        #
+        # Vectorized missing-scan: a Python membership loop over the
+        # ~7k-candidate sphere cost ~5 ms per streaming frame.  Both
+        # sides pack (x, y, z) into one int64 (21 bits per axis) and one
+        # np.isin finds the missing candidates in reference order.
+        cand = offs + np.asarray(cam, dtype=np.int64)
+        _, loaded = self._positions_array()
+
+        def pack(a):
+            m = np.int64(0x1FFFFF)
+            return (((a[:, 0] & m) << 42) | ((a[:, 1] & m) << 21)
+                    | (a[:, 2] & m))
+
+        if len(loaded):
+            missing = ~np.isin(pack(cand), pack(loaded),
+                               assume_unique=False)
+        else:
+            missing = np.ones(len(cand), dtype=bool)
         generated = 0
-        for off in offs:
-            pos = (cam[0] + int(off[0]), cam[1] + int(off[1]), cam[2] + int(off[2]))
-            if pos not in self.chunks:
+        for i in np.nonzero(missing)[0]:
+            pos = (int(cand[i, 0]), int(cand[i, 1]), int(cand[i, 2]))
+            if pos not in self.chunks:  # paranoia vs pack collisions
                 self.chunks[pos] = Chunk.generate_terrain(pos)
                 self._note_add(pos)
                 generated += 1
@@ -141,7 +159,10 @@ class World:
 
     # ---------------------------------------------------------- visibility
     def _positions_array(self) -> tuple[list[tuple[int, int, int]], np.ndarray]:
-        """Cached key/position arrays; appends maintain them in place."""
+        """Cached key/position arrays; appends maintain them in place.
+        A float32 world-space AABB-min array rides along for the frustum
+        test (recomputing int64 -> f32 * CHUNK_SIZE per frame cost ~1 ms
+        at 8k chunks)."""
         if self._pos_cache is None:
             keys = list(self.chunks.keys())
             n = len(keys)
@@ -151,21 +172,29 @@ class World:
                 arr[:n] = np.fromiter(
                     (c for k in keys for c in k), dtype=np.int64,
                     count=3 * n).reshape(n, 3)
-            self._pos_cache = (keys, arr, n)
-        keys, arr, n = self._pos_cache
+            minsf = arr.astype(np.float32) * CHUNK_SIZE
+            self._pos_cache = (keys, arr, n, minsf)
+        keys, arr, n, _ = self._pos_cache
         return keys, arr[:n]
+
+    def _mins_f32(self) -> np.ndarray:
+        self._positions_array()
+        keys, arr, n, minsf = self._pos_cache
+        return minsf[:n]
 
     def _note_add(self, key) -> None:
         """O(1) cache maintenance for a streamed-in chunk."""
         self.version += 1
         if self._pos_cache is None:
             return
-        keys, arr, n = self._pos_cache
+        keys, arr, n, minsf = self._pos_cache
         if n >= arr.shape[0]:
             arr = np.resize(arr, (2 * arr.shape[0], 3))
+            minsf = np.resize(minsf, (2 * minsf.shape[0], 3))
         arr[n] = key
+        minsf[n] = np.asarray(key, np.float32) * CHUNK_SIZE
         keys.append(key)
-        self._pos_cache = (keys, arr, n + 1)
+        self._pos_cache = (keys, arr, n + 1, minsf)
 
     def _invalidate_cache(self) -> None:
         self._pos_cache = None
@@ -193,7 +222,7 @@ class World:
         dist_sq = ((pos - cam) ** 2).sum(-1).astype(np.float32)
         keep = dist_sq <= np.float32(self.config.view_distance**2)
         if self.config.frustum_culling and frustum is not None:
-            mins = (pos.astype(np.float32)) * CHUNK_SIZE
+            mins = self._mins_f32()
             maxs = mins + np.float32(CHUNK_SIZE)
             inside = frustum.intersects_aabb(mins, maxs)
             keep &= np.atleast_1d(inside)

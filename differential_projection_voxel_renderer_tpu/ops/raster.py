@@ -381,9 +381,9 @@ def _raster_kernel(starts_hbm, counts_hbm, rows_hbm, zmin_hbm, rec_hbm,
     skyv = jnp.full((8, 128), SKY_I32, jnp.int32)
     acc0 = tuple([inff, skyv] * n_sub)
 
-    def tile_geo(j):
-        ty = step // steps_x
-        tx = (step % steps_x) * tiles_per_step + j
+    def tile_geo(st, j):
+        ty = st // steps_x
+        tx = (st % steps_x) * tiles_per_step + j
         t = ty * tiles_x + tx
         count = counts_ref[t]
         base = starts_ref[t]
@@ -400,13 +400,23 @@ def _raster_kernel(starts_hbm, counts_hbm, rows_hbm, zmin_hbm, rec_hbm,
             sem.at[slot],
         )
 
-    geo = [tile_geo(j) for j in range(tiles_per_step)]
-    for j in range(tiles_per_step):  # both first blocks in flight up front
-        _, _, _, _, _, first_blk, nblocks = geo[j]
+    geo = [tile_geo(step, j) for j in range(tiles_per_step)]
 
-        @pl.when(nblocks > 0)
-        def _(first_blk=first_blk):
-            dma(2 * j, first_blk, 0).start()
+    # cross-step prefetch: every step's first record blocks are started at
+    # the END of the previous step, so their DMA latency hides behind a
+    # whole tile-pair of compute instead of a few address calculations.
+    # Step 0 starts its own.
+    def start_first_blocks(st):
+        for j in range(tiles_per_step):
+            _, _, _, _, _, fb, nb = tile_geo(st, j)
+
+            @pl.when(nb > 0)
+            def _(fb=fb, j=j):
+                dma(2 * j, fb, 0).start()
+
+    @pl.when(step == 0)
+    def _():
+        start_first_blocks(step)
 
     def do_tile(j):
         t, tx, ty, count, base, first_blk, nblocks = geo[j]
@@ -556,6 +566,10 @@ def _raster_kernel(starts_hbm, counts_hbm, rows_hbm, zmin_hbm, rec_hbm,
 
     for j in range(tiles_per_step):
         do_tile(j)
+
+    @pl.when(step + 1 < pl.num_programs(0))
+    def _():
+        start_first_blocks(step + 1)
 
 
 @functools.partial(
