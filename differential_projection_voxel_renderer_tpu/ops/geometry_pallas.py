@@ -40,6 +40,7 @@ def _geom_kernel(scalf_ref, scali_ref, q_ref, wx_ref, wy_ref, wz_ref,
     vpl = [[scalf_ref[4 * r + c] for c in range(4)] for r in range(4)]
     cam = (scalf_ref[16], scalf_ref[17], scalf_ref[18])
     n_quads = scali_ref[0]
+    skip = scali_ref[1]
 
     step = pl.program_id(0)
     base = step * (block_rows * 128)
@@ -47,7 +48,7 @@ def _geom_kernel(scalf_ref, scali_ref, q_ref, wx_ref, wy_ref, wz_ref,
         jax.lax.broadcasted_iota(jnp.int32, (block_rows, 128), 0) * 128
         + jax.lax.broadcasted_iota(jnp.int32, (block_rows, 128), 1)
     )
-    in_stream = idx < n_quads
+    in_stream = (idx < n_quads) & (idx >= skip)
 
     dec = proj_ops.decode_quads(q_ref[:])  # int32 in-kernel decode
     pr = proj_ops.stage_a_fields(
@@ -69,7 +70,8 @@ def project_cull_pallas(quads, quad_world, n_quads, view_proj, cam_pos, *,
                         width: int, height: int,
                         backface_culling: bool = True,
                         subpixel_culling: bool = True,
-                        interpret: bool = False):
+                        interpret: bool = False,
+                        skip_quads=0):
     """Fused Stage A over the gather stream (exact mode only).
 
     Returns a dict of flat [GQ] arrays: ``valid`` (bool), packed ``bbx`` /
@@ -91,7 +93,8 @@ def project_cull_pallas(quads, quad_world, n_quads, view_proj, cam_pos, *,
         view_proj.astype(jnp.float32).reshape(16),
         cam_pos.astype(jnp.float32),
     ])
-    scali = jnp.asarray(n_quads, jnp.int32).reshape(1)
+    scali = jnp.stack([jnp.asarray(n_quads, jnp.int32),
+                       jnp.asarray(skip_quads, jnp.int32)])
 
     kernel = functools.partial(
         _geom_kernel, width=width, height=height,

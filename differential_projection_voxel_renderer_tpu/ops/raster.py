@@ -157,7 +157,8 @@ def _blend_one_quad(nx, ny, fro, iro, color, depth):
 
 @functools.partial(jax.jit, static_argnames=("height", "width", "band_h"))
 def rasterize_jnp(fcoef, icoef, count, *, height: int, width: int,
-                  y0=0, band_h: int | None = None):
+                  y0=0, band_h: int | None = None,
+                  init_color=None, init_depth=None):
     """Full-frame fori_loop rasterizer — bit-identical math to the kernel,
     including the N_ACCUM rotating-buffer accumulation (see N_ACCUM note).
     ``fcoef``/``icoef`` are quad-major ([N, 16] / [N, 4]).
@@ -170,8 +171,13 @@ def rasterize_jnp(fcoef, icoef, count, *, height: int, width: int,
     band_h = height if band_h is None else band_h
     nx, ny = _pixel_ndc(height, width, jnp.asarray(y0, jnp.int32), 0,
                         band_h, width)
-    color0 = jnp.full((band_h, width), SKY_I32, jnp.int32)
-    depth0 = jnp.full((band_h, width), jnp.inf, jnp.float32)
+    # optional initial framebuffer (the two-pass occlusion mode continues
+    # blending onto the near pass's output; blend commutativity makes the
+    # result identical to one pass over the union)
+    color0 = (jnp.full((band_h, width), SKY_I32, jnp.int32)
+              if init_color is None else init_color)
+    depth0 = (jnp.full((band_h, width), jnp.inf, jnp.float32)
+              if init_depth is None else init_depth)
 
     def body(k, carry):
         color, depth = carry
@@ -323,11 +329,18 @@ REC_FIELDS = F_FIELDS + I_FIELDS
 
 
 def _raster_kernel(starts_hbm, counts_hbm, rows_hbm, zmin_hbm, rec_hbm,
-                   color_ref, depth_ref,
-                   starts_ref, counts_ref, rows_ref, zmin_ref,
-                   rec_vmem, rec_t, sem, meta_sem,
-                   *, height, width, tile_h, tile_w, tiles_x,
-                   tiles_per_step, pin_mul):
+                   *refs,
+                   height, width, tile_h, tile_w, tiles_x,
+                   tiles_per_step, pin_mul, with_init):
+    if with_init:
+        (initc_ref, initd_ref, color_ref, depth_ref,
+         starts_ref, counts_ref, rows_ref, zmin_ref,
+         rec_vmem, rec_t, sem, meta_sem) = refs
+    else:
+        (color_ref, depth_ref,
+         starts_ref, counts_ref, rows_ref, zmin_ref,
+         rec_vmem, rec_t, sem, meta_sem) = refs
+        initc_ref = initd_ref = None
     """Octet rasterizer: per 16x128 framebuffer tile (VREG-resident
     accumulator, 2 sublane-groups), the tile's item stream is DMA'd
     HBM -> VMEM in double-buffered 256-record blocks and processed 8 quads
@@ -379,7 +392,15 @@ def _raster_kernel(starts_hbm, counts_hbm, rows_hbm, zmin_hbm, rec_hbm,
     hf = jnp.float32(height)
     inff = jnp.full((8, 128), jnp.inf, jnp.float32)
     skyv = jnp.full((8, 128), SKY_I32, jnp.int32)
-    acc0 = tuple([inff, skyv] * n_sub)
+
+    def tile_acc0(j):
+        if not with_init:
+            return tuple([inff, skyv] * n_sub)
+        out = []
+        for i in range(n_sub):
+            out.append(initd_ref[pl.ds(i * 8, 8), pl.ds(128 * j, 128)])
+            out.append(initc_ref[pl.ds(i * 8, 8), pl.ds(128 * j, 128)])
+        return tuple(out)
 
     def tile_geo(st, j):
         ty = st // steps_x
@@ -559,7 +580,7 @@ def _raster_kernel(starts_hbm, counts_hbm, rows_hbm, zmin_hbm, rec_hbm,
             return acc, dmax
 
         acc, _ = jax.lax.fori_loop(0, nblocks, block_body,
-                                   (acc0, jnp.float32(jnp.inf)))
+                                   (tile_acc0(j), jnp.float32(jnp.inf)))
         for i in range(n_sub):
             depth_ref[pl.ds(i * 8, 8), pl.ds(128 * j, 128)] = acc[2 * i]
             color_ref[pl.ds(i * 8, 8), pl.ds(128 * j, 128)] = acc[2 * i + 1]
@@ -578,7 +599,7 @@ def _raster_kernel(starts_hbm, counts_hbm, rows_hbm, zmin_hbm, rec_hbm,
                      "interpret", "tiles_per_step"),
 )
 def rasterize_pallas(records, tile_starts, tile_counts, octet_rows,
-                     octet_zmin, *,
+                     octet_zmin, init_color=None, init_depth=None, *,
                      height: int, width: int, tile_h: int, tile_w: int,
                      out_h: int | None = None,
                      interpret: bool = False,
@@ -609,12 +630,13 @@ def rasterize_pallas(records, tile_starts, tile_counts, octet_rows,
         tps = tiles_per_step
         assert tiles_x % tps == 0
 
+    with_init = init_color is not None
     kernel = functools.partial(
         _raster_kernel, height=height, width=width, tile_h=tile_h,
         tile_w=tile_w, tiles_x=tiles_x, tiles_per_step=tps,
         # interpret mode runs through XLA and must pin mul rounding like
         # the jnp twin; Mosaic-compiled kernels never contract
-        pin_mul=interpret,
+        pin_mul=interpret, with_init=with_init,
     )
     steps_x = tiles_x // tps
     n_oct = records.shape[1] // 8
@@ -629,7 +651,14 @@ def rasterize_pallas(records, tile_starts, tile_counts, octet_rows,
             pl.BlockSpec(memory_space=pltpu.ANY),  # octet rows
             pl.BlockSpec(memory_space=pltpu.ANY),  # octet zmin
             pl.BlockSpec(memory_space=pltpu.ANY),  # records
-        ],
+        ] + ([
+            pl.BlockSpec((tile_h, 128 * tps),
+                         lambda st: (st // steps_x, st % steps_x),
+                         memory_space=pltpu.VMEM),  # init color
+            pl.BlockSpec((tile_h, 128 * tps),
+                         lambda st: (st // steps_x, st % steps_x),
+                         memory_space=pltpu.VMEM),  # init depth
+        ] if with_init else []),
         out_specs=[
             pl.BlockSpec((tile_h, 128 * tps),
                          lambda st: (st // steps_x, st % steps_x),
@@ -657,7 +686,8 @@ def rasterize_pallas(records, tile_starts, tile_counts, octet_rows,
             jax.ShapeDtypeStruct((out_h, width), jnp.float32),
         ],
         interpret=interpret,
-    )(tile_starts, tile_counts, octet_rows, octet_zmin, records)
+    )(tile_starts, tile_counts, octet_rows, octet_zmin, records,
+      *((init_color, init_depth) if with_init else ()))
     return color, depth
 
 

@@ -17,11 +17,16 @@ Reference components (SURVEY.md section 2.5) and their TPU forms:
   per-tile cost is bounded by the sub-block loop (ops/raster.py PIECE_*).
 - ``render_frame_macrotile`` (macrotile_renderer.rs:51-170): the alternative
   frame orchestrator.  Here: the standard pipeline with 128x128 tiles —
-  provided as :func:`macrotile_renderer` for API parity.  Note the
-  reference plumbs a Hi-Z buffer but never consults it
-  (macrotile_renderer.rs:68-70, an unfinished integration); our Hi-Z lives
-  in ops/hiz.py and is exercised by tests, with per-quad occlusion queries
-  available via ``hiz.is_occluded_batch``.
+  provided as :func:`macrotile_renderer` for API parity.
+- the Hi-Z consult the reference plumbs but never wires
+  (macrotile_renderer.rs:68-70, an unfinished integration) is COMPLETED
+  here as ``use_hiz=True``: the exact two-pass occlusion mode
+  (pipeline._two_pass_step) renders the nearest ``near_quads`` of the
+  front-to-back stream, builds a rendered-depth max pyramid
+  (ops/hiz.build_max_pyramid), culls far quads that PROVABLY cannot win a
+  blend before their geometry/binning cost, and finishes on the near
+  pass's framebuffer.  Commutative blending makes the two-pass frame
+  bit-identical to the single-pass frame (tests/test_macrotile.py).
 """
 
 from __future__ import annotations
@@ -37,7 +42,10 @@ class MacrotileRenderConfig:
     """macrotile_renderer.rs:26-40."""
 
     tile_size: int = MACROTILE_SIZE
-    use_hiz: bool = False  # plumbed-but-unused in the reference too
+    # exact two-pass Hi-Z occlusion (the consult the reference left
+    # unwired); near_quads = the front-to-back prefix of the first pass
+    use_hiz: bool = False
+    near_quads: int = 8192
     parallel: bool = True  # tiles are grid programs; always "parallel"
 
 
@@ -60,6 +68,8 @@ def macrotile_renderer(width: int = 1280, height: int = 768,
     from ..ops.raster import pick_tile
 
     th, tw = pick_tile(height, width)
-    rc = RenderConfig(width=width, height=height, tile_h=th, tile_w=tw,
-                      **render_kwargs)
+    rc = RenderConfig(
+        width=width, height=height, tile_h=th, tile_w=tw,
+        two_pass_near_quads=(cfg.near_quads if cfg.use_hiz else 0),
+        **render_kwargs)
     return Renderer(rc)

@@ -36,6 +36,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..ops import geometry_pallas as geom_ops
+from ..ops import hiz as hiz_ops
 from ..ops import projection as proj_ops
 from ..ops import raster as raster_ops
 from ..ops import raster_packed as packed_ops
@@ -137,7 +138,7 @@ def _packed_tail(f_full, i_full, bbx_c, bby_c, count_c, overflow,
         color = color[:height]
         depth = depth[:height]
     stats = jnp.stack([n_quads, count, overflow, bin_overflow,
-                       subpix_total])
+                       subpix_total, jnp.int32(0)])
     return color, depth, stats
 
 
@@ -162,6 +163,10 @@ def _render_step(
     tile_k_cap: int = 8192,
     packed_raster: bool = False,
     debug_return_records: bool = False,
+    skip_quads=0,         # exclude stream[:skip_quads] (two-pass far pass)
+    hiz_level1=None,      # rendered-depth max pyramid: exact far-quad cull
+    init_color=None,      # initial framebuffer (continue blending onto it)
+    init_depth=None,
 ):
     tables = proj_ops.view_tables(view_proj, cam_pos)
 
@@ -170,7 +175,8 @@ def _render_step(
     # in prepare_uploads (device gather, cached across frames) — ~2 ms of
     # per-frame gathers in the steady state otherwise.
     gq = quads.shape[0]
-    in_stream = jnp.arange(gq, dtype=jnp.int32) < n_quads
+    stream_idx = jnp.arange(gq, dtype=jnp.int32)
+    in_stream = (stream_idx < n_quads) & (stream_idx >= skip_quads)
     wq = (quad_world[0], quad_world[1], quad_world[2])
 
     # ---- project + cull (stage A) — valid mask + screen bboxes.  On the
@@ -183,6 +189,7 @@ def _render_step(
             quads, wq, n_quads, tables.view_proj, tables.cam_pos,
             width=width, height=height,
             backface_culling=backface_culling, interpret=interpret,
+            skip_quads=skip_quads,
         )
         proj_a = None
         valid_a = ga["valid"]
@@ -200,6 +207,17 @@ def _render_step(
         bby_a = proj_a["bb_y0"] | (proj_a["bb_y1"] << 16)
         dn_a = proj_a["depth_near"]
         subpix_total = proj_a["subpixel"].sum().astype(jnp.int32)
+    if hiz_level1 is not None:
+        # exact-conservative occlusion against the near pass's rendered
+        # depth (ops/hiz.build_max_pyramid): culled quads PROVABLY lose
+        # every blend, so the two-pass frame is identical to one pass
+        occ = hiz_ops.quads_occluded_exact(
+            hiz_level1, bbx_a, bby_a, dn_a, height=height, width=width)
+        occ = occ & valid_a
+        valid_a = valid_a & ~occ
+        hiz_culled = occ.sum().astype(jnp.int32)
+    else:
+        hiz_culled = jnp.int32(0)
     count = valid_a.sum().astype(jnp.int32)
 
     if use_pallas:
@@ -341,8 +359,18 @@ def _render_step(
         ])
         if debug_return_records:  # stage profiling hook (benches/)
             return records, tile_starts, tile_counts, octet_rows, octet_zmin
+        if init_color is not None and out_h != height:
+            # pad the init framebuffer back to the tile multiple; padded
+            # rows are cropped again below and cannot affect real rows
+            init_color = jnp.pad(
+                init_color, ((0, out_h - height), (0, 0)),
+                constant_values=raster_ops.SKY_I32)
+            init_depth = jnp.pad(
+                init_depth, ((0, out_h - height), (0, 0)),
+                constant_values=jnp.inf)
         color, depth = raster_ops.rasterize_pallas(
             records, tile_starts, tile_counts, octet_rows, octet_zmin,
+            init_color, init_depth,
             height=height, width=width,
             tile_h=tile_h, tile_w=tile_w, out_h=out_h,
             interpret=interpret,
@@ -371,10 +399,11 @@ def _render_step(
         fcoef, icoef = raster_ops.pack_coeffs_quadmajor(coeffs)
         color, depth = raster_ops.rasterize_jnp(
             fcoef, icoef, count_c, height=height, width=width,
+            init_color=init_color, init_depth=init_depth,
         )
         bin_overflow = jnp.int32(0)
     stats = jnp.stack([n_quads, count, overflow, bin_overflow,
-                       subpix_total])
+                       subpix_total, hiz_culled])
     return color, depth, stats
 
 
@@ -432,6 +461,31 @@ def _expand_uploads(quad_pool, slots_sel, counts_sel, positions_sel, *,
                                 positions_sel, gather_cap)
 
 
+def _two_pass_step(quads, quad_world, n_quads, view_proj, cam_pos, *,
+                   near_quads: int, gather_cap: int, **step_kw):
+    """Exact two-pass occlusion (the reference's never-wired HiZ consult,
+    macrotile_renderer.rs:68-70, completed): render the nearest
+    ``near_quads`` of the front-to-back stream, build a max-depth pyramid
+    of the result (ops/hiz.build_max_pyramid), PROVABLY-losing far quads
+    are culled before their geometry/binning cost, and the far pass
+    blends onto the near pass's framebuffer.  Commutative blending makes
+    the output bit-identical to the single-pass frame (tested)."""
+    n1 = jnp.minimum(n_quads, jnp.int32(near_quads))
+    color1, depth1, s1 = _render_step(
+        quads, quad_world, n1, view_proj, cam_pos,
+        gather_cap=gather_cap, **step_kw)
+    hiz1 = hiz_ops.build_max_pyramid(depth1)
+    color, depth, s2 = _render_step(
+        quads, quad_world, n_quads, view_proj, cam_pos,
+        gather_cap=gather_cap, skip_quads=jnp.int32(near_quads),
+        hiz_level1=hiz1, init_color=color1, init_depth=depth1, **step_kw)
+    stats = jnp.stack([
+        s2[0], s1[1] + s2[1], s1[2] + s2[2], s1[3] + s2[3],
+        s1[4] + s2[4], s2[5],
+    ])
+    return color, depth, stats
+
+
 def _pack_cam(view_proj, cam_pos) -> np.ndarray:
     out = np.empty(19, np.float32)
     out[:16] = np.asarray(view_proj, np.float32).ravel()
@@ -467,15 +521,25 @@ def _fused_frame(quad_pool, meta_i, cam_f, *, vcap: int,
     view_proj, cam_pos = _unpack_cam(cam_f)
     quads, quad_world, total = _expand_uploads_impl(
         quad_pool, slots_sel, counts_sel, positions_sel, gather_cap)
-    color, depth, stats = _render_step(
-        quads, quad_world, total, view_proj, cam_pos,
-        gather_cap=gather_cap, **step_kw)
+    near_quads = step_kw.pop("near_quads", 0)
+    if near_quads:
+        color, depth, stats = _two_pass_step(
+            quads, quad_world, total, view_proj, cam_pos,
+            near_quads=near_quads, gather_cap=gather_cap, **step_kw)
+    else:
+        color, depth, stats = _render_step(
+            quads, quad_world, total, view_proj, cam_pos,
+            gather_cap=gather_cap, **step_kw)
     return color, depth, stats, quads, quad_world, total
 
 
 def _step_camf(quads, quad_world, n_quads, cam_f, *, gather_cap: int,
-               **step_kw):
+               near_quads: int = 0, **step_kw):
     view_proj, cam_pos = _unpack_cam(cam_f)
+    if near_quads:
+        return _two_pass_step(quads, quad_world, n_quads, view_proj,
+                              cam_pos, near_quads=near_quads,
+                              gather_cap=gather_cap, **step_kw)
     return _render_step(quads, quad_world, n_quads, view_proj, cam_pos,
                         gather_cap=gather_cap, **step_kw)
 
@@ -509,6 +573,7 @@ class Renderer:
             interpret=False,
             tile_k_cap=cfg.tile_k_cap,
             packed_raster=cfg.packed_raster,
+            near_quads=cfg.two_pass_near_quads,
         )
         self._step = jax.jit(
             functools.partial(_step_camf, gather_cap=cfg.gather_cap,

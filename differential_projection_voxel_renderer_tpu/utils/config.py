@@ -124,6 +124,13 @@ class RenderConfig:
     tile_w: int = TILE_W
     # None => auto (pallas on TPU, jnp elsewhere)
     use_pallas: bool | None = None
+    # exact two-pass occlusion (rendering/macrotile.py): render the
+    # nearest N quads, build a rendered-depth max pyramid, cull
+    # provably-losing far quads before their geometry cost, continue
+    # blending onto the near framebuffer.  0 = single pass.  Output is
+    # bit-identical either way (tested); worthwhile when occlusion is
+    # high and dispatch overhead low.
+    two_pass_near_quads: int = 0
     # sub-column-packed raster kernel (ops/raster_packed.py): 4 narrow-quad
     # buckets per [8,128] row evaluation.  Measured SLOWER than the octet
     # kernel at vd12 on v5e (5.2 vs 3.0 ms: the [8,1] coefficient loads
