@@ -646,11 +646,11 @@ def rasterize_pallas(records, tile_starts, tile_counts, octet_rows,
         in_specs=[
             # metadata + records all stay in HBM; the kernel DMAs the
             # metadata to persistent SMEM once (see _raster_kernel note)
-            pl.BlockSpec(memory_space=pltpu.ANY),  # tile starts
-            pl.BlockSpec(memory_space=pltpu.ANY),  # tile counts
-            pl.BlockSpec(memory_space=pltpu.ANY),  # octet rows
-            pl.BlockSpec(memory_space=pltpu.ANY),  # octet zmin
-            pl.BlockSpec(memory_space=pltpu.ANY),  # records
+            pl.BlockSpec(memory_space=pl.ANY),  # tile starts
+            pl.BlockSpec(memory_space=pl.ANY),  # tile counts
+            pl.BlockSpec(memory_space=pl.ANY),  # octet rows
+            pl.BlockSpec(memory_space=pl.ANY),  # octet zmin
+            pl.BlockSpec(memory_space=pl.ANY),  # records
         ] + ([
             pl.BlockSpec((tile_h, 128 * tps),
                          lambda st: (st // steps_x, st % steps_x),

@@ -535,7 +535,7 @@ def rasterize_pallas_packed(records, starts, counts, octet_rows,
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=0,
         grid=(n_tiles,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] * 5,
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 5,
         out_specs=[
             pl.BlockSpec((tile_h, 128),
                          lambda t: (t // tiles_x, t % tiles_x),

@@ -148,6 +148,11 @@ def _assert_kernel_parity_boundary(c1, d1, c2, d2, records, *,
     f = np.asarray(records)[:16].view(np.float32).astype(np.float64)
     H_, W_ = d1.shape
     for yy, xx in mism:
+        if (c1[yy, xx] == c2[yy, xx]
+                and np.isfinite(d1[yy, xx]) and np.isfinite(d2[yy, xx])
+                and abs(d1[yy, xx] - d2[yy, xx]) <= 4 * np.spacing(
+                    np.float32(max(abs(d1[yy, xx]), 1.0)))):
+            continue  # pure z-linear-form rounding variance, same winner
         nx = (2.0 * (xx + 0.5) - W_) / W_
         ny = 1.0 - 2.0 * (yy + 0.5) / H_
         qu = f[0] * nx + f[1] * ny + f[2]
@@ -157,17 +162,36 @@ def _assert_kernel_parity_boundary(c1, d1, c2, d2, records, *,
             np.abs(qu - f[12] * qw), np.abs(qu - f[13] * qw),
             np.abs(qv - f[14] * qw), np.abs(qv - f[15] * qw),
         ])
-        scale = np.maximum.reduce(
-            [np.abs(qu), np.abs(qv), np.ones_like(qu)])
-        ulp = np.spacing(scale.astype(np.float32)).astype(np.float64)
+        # f32 evaluation error scales with the largest TERM, not the
+        # (possibly cancelled) result — e.g. qu = m1 + m2 + c with
+        # |m1| >> |qu| carries ~ulp(|m1|) of absolute error
+        term = np.maximum.reduce([
+            np.abs(f[0] * nx), np.abs(f[1] * ny), np.abs(f[2]),
+            np.abs(f[3] * nx), np.abs(f[4] * ny), np.abs(f[5]),
+            np.abs(f[12] * qw), np.abs(f[13] * qw),
+            np.abs(f[14] * qw), np.abs(f[15] * qw),
+            np.ones_like(qu),
+        ])
+        ulp = np.spacing(term.astype(np.float32)).astype(np.float64)
         on_edge = (qw > 0) & (margins.min(axis=0) <= 4.0 * ulp)
         assert on_edge.any(), (
             f"pixel ({yy},{xx}) differs but no record is within 4 ulps "
             f"of a coverage edge there — a real kernel bug")
-        # depth divergence at an edge pixel stays within 4 ulps
-        if np.isfinite(d1[yy, xx]) and np.isfinite(d2[yy, xx]):
-            assert abs(d1[yy, xx] - d2[yy, xx]) <= 4 * np.spacing(
-                np.float32(max(abs(d1[yy, xx]), 1.0))), (yy, xx)
+        # each path's output depth must be SOME plausibly-covering
+        # record's planar depth at this pixel (an edge flip makes the
+        # loser fall through to the next quad, whose depth may be
+        # arbitrarily farther — but never to a value no record produces)
+        slack = 4.0 * ulp
+        covers = ((qw > 0)
+                  & (qu >= f[12] * qw - slack) & (qu <= f[13] * qw + slack)
+                  & (qv >= f[14] * qw - slack) & (qv <= f[15] * qw + slack))
+        z = f[9] * nx + f[10] * ny + f[11]
+        for dv in (d1[yy, xx], d2[yy, xx]):
+            if np.isfinite(dv):
+                zt = 4 * np.spacing(np.float32(max(abs(dv), 1.0)))
+                assert (covers & (np.abs(z - dv) <= zt)).any(), (
+                    f"pixel ({yy},{xx}): depth {dv} matches no covering "
+                    f"record — a real kernel bug")
 
 
 def _packed_records(renderer, args, **kw):
