@@ -138,8 +138,8 @@ def main():
         res = eng.render_frame(dt=0.0)
     jax.block_until_ready(res.color)
     elapsed = time.time() - t0
-    fps = args.frames / elapsed
-    log(f"{args.frames} frames in {elapsed:.3f}s -> {fps:.1f} FPS "
+    wall_fps = args.frames / elapsed
+    log(f"{args.frames} frames in {elapsed:.3f}s -> {wall_fps:.1f} FPS "
         f"({elapsed/args.frames*1000:.3f} ms/frame)")
 
     # host-side share of the loop (culling funnel + dispatch)
@@ -176,8 +176,13 @@ def main():
     log(f"device per-frame (single dispatch x{k}): {device_ms:.3f} ms")
 
     eff_ms = max(host_ms, device_ms)
-    fps = 1000.0 / eff_ms
-    log(f"effective pipelined FPS (max of host, device): {fps:.1f}")
+    log(f"conservative FPS (max of host, device): {1000.0/eff_ms:.1f}")
+    # headline = the measured wall clock of the full per-frame pipeline
+    # over {args.frames} async-dispatched frames, blocked at the end —
+    # a real end-to-end measurement, not the max(host, device) model
+    # (per-pallas-call overheads overlap under async dispatch; the
+    # in-one-jit device loop above can even overstate device time)
+    fps = wall_fps
 
     nonsky = (res.color_numpy() != np.uint32(0xFF87CEEB)).sum()
     log(f"final frame non-sky pixels: {nonsky}")

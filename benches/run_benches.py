@@ -228,9 +228,37 @@ def bench_rendering():
         out = r.render_prepared(up, cam.view_projection_matrix(),
                                 cam.position)
         jax.block_until_ready(out[0])
-        timeit(name, lambda: np.asarray(
-            r.render_prepared(up, cam.view_projection_matrix(),
-                              cam.position)[2])[:1], n=20)
+        # device time with K frames inside ONE jit (per-dispatch syncs
+        # through the relay would measure the tunnel, not the renderer)
+        from differential_projection_voxel_renderer_tpu.rendering.pipeline import (
+            make_repeated_step,
+        )
+
+        k = 20
+        rep = make_repeated_step(r, k)
+        rng = np.random.default_rng(0)
+        cams = np.repeat(cam.position[None], k, 0).astype(np.float32)
+        cams += rng.normal(0, 0.01, cams.shape).astype(np.float32)
+        vps = np.repeat(cam.view_projection_matrix()[None], k,
+                        0).astype(np.float32)
+        quads_s, qw_s, tot = up
+        args = (quads_s, qw_s, tot, jnp.asarray(vps), jnp.asarray(cams))
+        jax.block_until_ready(rep(*args))
+        t0 = time.perf_counter()
+        jax.block_until_ready(rep(*args))
+        loop_ms = (time.perf_counter() - t0) / k * 1000
+        # async wall clock over k separate dispatches (the per-call
+        # overhead amortizes inside one jit, so tiny scenes need both)
+        vpj = cam.view_projection_matrix()
+        out = r.render_prepared(up, vpj, cam.position)
+        jax.block_until_ready(out[0])
+        t0 = time.perf_counter()
+        for _ in range(k):
+            out = r.render_prepared(up, vpj, cam.position)
+        jax.block_until_ready(out[0])
+        disp_ms = (time.perf_counter() - t0) / k * 1000
+        print(f"{name}: {loop_ms:.3f} ms/frame in-loop, "
+              f"{disp_ms:.3f} ms/frame async-dispatched")
 
     frame([Chunk.generate_test_solid((0, 0, 0))], 256, 256,
           "single solid chunk frame 256x256")

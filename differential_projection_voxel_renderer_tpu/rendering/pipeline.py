@@ -697,7 +697,7 @@ def make_repeated_step(renderer: "Renderer", n_frames: int):
         init = (
             jnp.zeros((cfg.height, cfg.width), jnp.int32),
             jnp.zeros((cfg.height, cfg.width), jnp.float32),
-            jnp.zeros(5, jnp.int32),
+            jnp.zeros(6, jnp.int32),
         )
         return jax.lax.fori_loop(0, n_frames, body, init)
 
