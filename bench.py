@@ -83,8 +83,10 @@ def main():
     log(f"backend: {jax.default_backend()}, devices: {jax.devices()}")
 
     t0 = time.time()
+    two_pass = int(os.environ.get("DPVR_TWO_PASS", "0"))
     eng = Engine(
-        render_config=RenderConfig(width=1280, height=720),
+        render_config=RenderConfig(width=1280, height=720,
+                                   two_pass_near_quads=two_pass),
         world_config=WorldConfig(
             view_distance=args.vd, frustum_culling=True, max_chunks_per_frame=16
         ),
