@@ -114,7 +114,7 @@ def main():
         f"backend {jax.default_backend()}")
     tables = build_quad_color_tables(TextureAtlas().kernel_tables())
 
-    W, H, TH, TW = 1280, 720, 16, 128
+    W, H, TH, TW = 1280, 720, int(os.environ.get("PROF_TH", "16")), 128
     GQ = quads_np.shape[0]
     RC = int(os.environ.get("PROF_RC", "49152"))
     TK = int(os.environ.get("PROF_TK", "98304"))

@@ -232,9 +232,12 @@ def build_tile_lists(tilebox, count, *, tiles_y: int, tiles_x: int,
     n_tiles = tiles_y * tiles_x
     order_bits = 0 if order6 is None else 6
     shift_t = shift + order_bits
-    assert n_tiles << shift_t < 2**31, "tile/quad key would overflow int32"
+    assert n_tiles << shift_t < 2**32, "tile/quad key would overflow u32"
     big_cap = 512
-    maxkey = jnp.int32(2**31 - 1)
+    maxkey = jnp.uint32(2**32 - 1)
+
+    def u32(x):
+        return x.astype(jnp.uint32)
 
     q = jnp.arange(m, dtype=jnp.int32)
     in_count = q < count
@@ -256,7 +259,7 @@ def build_tile_lists(tilebox, count, *, tiles_y: int, tiles_x: int,
             src6 = order6 if (dy == 0 or order6_dy1 is None) else order6_dy1
             obits = 0 if src6 is None else (src6 << shift)
             keys.append(jnp.where(
-                ok, (tid << shift_t) | obits | q, maxkey))
+                ok, (u32(tid) << shift_t) | u32(obits) | u32(q), maxkey))
 
     # compact big quads (few hundred at most) and expand over the full grid
     csum = jnp.cumsum(is_big.astype(jnp.int32))
@@ -276,10 +279,11 @@ def build_tile_lists(tilebox, count, *, tiles_y: int, tiles_x: int,
         (txg >= btx0[None, :]) & (txg <= btx1[None, :])
         & (tyg >= bty0[None, :]) & (tyg <= bty1[None, :])
     )
-    bob = 0 if order6 is None else \
-        (jnp.where(bvalid, order6[src], 0) << shift)[None, :]
+    bob = (jnp.zeros((1, big_cap), jnp.uint32) if order6 is None else
+           (u32(jnp.where(bvalid, order6[src], 0)) << shift)[None, :])
     keys.append(
-        jnp.where(okb, (t[:, None] << shift_t) | bob | src[None, :],
+        jnp.where(okb,
+                  (u32(t)[:, None] << shift_t) | bob | u32(src)[None, :],
                   maxkey).reshape(-1)
     )
     big_dropped = jnp.maximum(n_big - big_cap, 0)
@@ -287,7 +291,7 @@ def build_tile_lists(tilebox, count, *, tiles_y: int, tiles_x: int,
     skeys = jnp.sort(jnp.concatenate(keys))
     # manual all-targets bisection: jnp.searchsorted lowers to a
     # per-target binary-search loop on TPU (~0.7 us/target measured)
-    prefixes = (jnp.arange(n_tiles + 1, dtype=jnp.int32) << shift_t)
+    prefixes = (jnp.arange(n_tiles + 1, dtype=jnp.uint32) << shift_t)
     n_keys = skeys.shape[0]
     lo = jnp.zeros(n_tiles + 1, jnp.int32)
     hi = jnp.full(n_tiles + 1, n_keys, jnp.int32)
@@ -310,8 +314,8 @@ def build_tile_lists(tilebox, count, *, tiles_y: int, tiles_x: int,
 
     mask = jnp.arange(item_cap, dtype=jnp.int32) < jnp.minimum(total, item_cap)
     head = skeys[:item_cap]
-    items = jnp.where(mask, head & ((1 << shift) - 1), 0)
-    t_of_item = jnp.where(mask, head >> shift_t, 0).astype(jnp.int32)
+    items = jnp.where(mask, (head & ((1 << shift) - 1)).astype(jnp.int32), 0)
+    t_of_item = jnp.where(mask, (head >> shift_t).astype(jnp.int32), 0)
     return items, t_of_item, kept_start, counts, overflow
 
 
@@ -694,9 +698,11 @@ def rasterize_pallas(records, tile_starts, tile_counts, octet_rows,
 def pick_tile(height: int, width: int) -> tuple[int, int]:
     """Choose a tile for the octet kernel: width exactly one lane group
     (128); height 16 always — non-multiple framebuffer heights render
-    into a padded buffer and crop (rendering/pipeline.py).  (24-row
-    tiles were measured: the grid-step saving is eaten by the extra merge
-    select per row and a coarser within-tile row ordering.)"""
+    into a padded buffer and crop (rendering/pipeline.py).  Both
+    neighbors were measured worse at vd12: 24-row tiles (grid-step saving
+    eaten by the extra merge select per row and coarser row ordering) and
+    8-row tiles (raster 4.3 vs 3.1 ms: tile duplication and doubled
+    per-tile machinery beat the halved row spans)."""
     if width % 128:
         raise ValueError(f"width {width} must be divisible by 128")
     return 16, 128
