@@ -90,9 +90,22 @@ def quads_occluded_exact(level1_max: jnp.ndarray, bbx: jnp.ndarray,
     px1 = jnp.clip(bbx >> 16, 0, width - 1)
     py0 = jnp.clip(bby & 0xFFFF, 0, height - 1)
     py1 = jnp.clip(bby >> 16, 0, height - 1)
+    # Pad level1 up to a block multiple before the level-2 pool: VALID
+    # with a non-multiple shape (e.g. 720p -> level1 90x160, 90 % 8 != 0)
+    # would DROP the trailing blocks, and corner_max's clamp would then
+    # test edge quads against a block that excludes their real (possibly
+    # undrawn, +inf) pixels — an unsound cull.  -inf padding keeps edge
+    # blocks exact: the padded entries never raise a max, and every real
+    # level-1 block a clipped quad can touch is now covered.
+    l1h, l1w = level1_max.shape
+    ph = (-l1h) % b
+    pw = (-l1w) % b
+    l1p = (jnp.pad(level1_max, ((0, ph), (0, pw)),
+                   constant_values=-jnp.inf)
+           if (ph or pw) else level1_max)
     level2_max = jax.lax.reduce_window(
-        level1_max, -jnp.inf, jax.lax.max, (b, b), (b, b), "VALID"
-    ) if min(level1_max.shape) >= b else None
+        l1p, -jnp.inf, jax.lax.max, (b, b), (b, b), "VALID"
+    ) if min(l1p.shape) >= b else None
 
     def corner_max(level, bs):
         x0 = px0 // bs

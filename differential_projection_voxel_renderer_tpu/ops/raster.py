@@ -298,9 +298,13 @@ def build_tile_lists(tilebox, count, *, tiles_y: int, tiles_x: int,
 
     def _bisect(_, lohi):
         lo, hi = lohi
-        mid = (lo + hi) >> 1
+        # clamp: converged state lo == hi == n_keys would otherwise read
+        # skeys[n_keys] (JAX clamps the gather to the LAST key, which can
+        # compare < prefix and push lo to n_keys + 1, inflating totals)
+        mid = jnp.minimum((lo + hi) >> 1, n_keys - 1)
         below = skeys[mid] < prefixes
-        return jnp.where(below, mid + 1, lo), jnp.where(below, hi, mid)
+        return jnp.where(below, jnp.minimum(mid + 1, n_keys), lo), \
+            jnp.where(below, hi, mid)
 
     lo, hi = jax.lax.fori_loop(0, (n_keys - 1).bit_length() + 1, _bisect,
                                (lo, hi))

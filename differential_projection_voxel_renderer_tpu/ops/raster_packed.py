@@ -168,9 +168,13 @@ def build_bin_lists(bucketbox, count, order4, order4_dy1, *,
 
     def bisect(_, lohi):
         lo, hi = lohi
-        mid = (lo + hi) >> 1
+        # clamp mid so the converged lo == hi == n_keys state is stable
+        # (unclamped, JAX's gather clamp reads the LAST key and can push
+        # lo to n_keys + 1 — see build_tile_lists in raster.py)
+        mid = jnp.minimum((lo + hi) >> 1, n_keys - 1)
         below = skeys[mid] < prefixes
-        return jnp.where(below, mid + 1, lo), jnp.where(below, hi, mid)
+        return jnp.where(below, jnp.minimum(mid + 1, n_keys), lo), \
+            jnp.where(below, hi, mid)
 
     lo, hi = jax.lax.fori_loop(0, (n_keys - 1).bit_length() + 1, bisect,
                                (lo, hi))

@@ -247,6 +247,13 @@ def _render_step(
         count_c = jnp.minimum(n_valid, rc)
         stream_q = jnp.arange(gq, dtype=jnp.int32)
         use_packed = packed_raster and not span_mode
+        if use_packed and (init_color is not None or hiz_level1 is not None):
+            # the packed kernel has no init-framebuffer path: silently
+            # dropping the near pass's output would render a wrong frame
+            raise ValueError(
+                "packed_raster cannot run as a two-pass far pass "
+                "(no init framebuffer support); disable "
+                "two_pass_near_quads or packed_raster")
         if use_packed:
             qbits = max(1, (gq - 1).bit_length())
             assert 16 << (qbits + 4) > 0  # dq4 + index fit int32
@@ -555,6 +562,11 @@ class Renderer:
         self.atlas = atlas or TextureAtlas()
         self._rebuild_tables()
         cfg = self.config
+        if cfg.packed_raster and cfg.two_pass_near_quads:
+            raise ValueError(
+                "packed_raster and two_pass_near_quads are mutually "
+                "exclusive: the packed kernel cannot blend onto the near "
+                "pass's framebuffer (no init support)")
         use_pallas = cfg.resolve_use_pallas()
         tile_h, tile_w = (cfg.tile_h, cfg.tile_w)
         if cfg.height % tile_h or cfg.width % tile_w:

@@ -95,6 +95,39 @@ def test_build_max_pyramid_matches_numpy():
     np.testing.assert_array_equal(l1, ref)
 
 
+def test_hiz_exact_edge_blocks_not_dropped():
+    """Regression: at non-block-multiple level-1 shapes (720p -> level1
+    90x160, 90 % 8 != 0) the level-2 VALID pool used to DROP the trailing
+    level-1 rows, and corner_max's clamp then tested bottom-edge quads
+    against a block excluding their real (undrawn, +inf) pixels — an
+    unsound cull.  The padded pool must keep them un-culled."""
+    H720, W720 = 720, 1280
+    l1 = np.full((90, 160), 5.0, np.float32)
+    l1[88:, :] = np.inf  # bottom 16 pixel rows undrawn
+    # quad at pixels y 688..719: spans 4 level-1 blocks (fits1 False) but
+    # 2 level-2 blocks, the second of which only exists in the padded pool
+    bbx = jnp.asarray([0 | (16 << 16)], jnp.int32)
+    bby = jnp.asarray([688 | (719 << 16)], jnp.int32)
+    depth_near = jnp.asarray([10.0], jnp.float32)
+    occ = np.asarray(hiz.quads_occluded_exact(
+        jnp.asarray(l1), bbx, bby, depth_near, height=H720, width=W720))
+    assert not occ[0], "edge quad over undrawn pixels must not be culled"
+    # sanity: the same quad in the interior (fully covered, all nearer)
+    # IS culled — the pad must not disable level-2 culling
+    bby_in = jnp.asarray([320 | (351 << 16)], jnp.int32)
+    occ_in = np.asarray(hiz.quads_occluded_exact(
+        jnp.asarray(l1), bbx, bby_in, depth_near, height=H720, width=W720))
+    assert occ_in[0]
+
+
+def test_packed_two_pass_config_rejected():
+    """packed_raster has no init-framebuffer path; combining it with the
+    two-pass mode must fail loudly instead of dropping the near pass."""
+    with pytest.raises(ValueError):
+        Renderer(RenderConfig(width=W, height=H, use_pallas=False,
+                              packed_raster=True, two_pass_near_quads=16))
+
+
 @pytest.mark.parametrize("use_pallas", [False, True])
 def test_two_pass_bit_identical(use_pallas):
     renderer = Renderer(RenderConfig(width=W, height=H, use_pallas=False))
