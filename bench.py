@@ -36,7 +36,24 @@ def main():
     ap.add_argument("--vd", type=int, default=12)
     ap.add_argument("--quick", action="store_true",
                     help="small scene for fast validation")
+    ap.add_argument("--selftest", action="store_true",
+                    help="run ONLY the on-hardware kernel parity gate")
     args = ap.parse_args()
+
+    if args.selftest:
+        import jax
+
+        jax.config.update("jax_compilation_cache_dir", "/tmp/jaxcache")
+        from differential_projection_voxel_renderer_tpu.rendering import (
+            parity,
+        )
+
+        verdict = parity.run_hardware_selftest(interpret=False)
+        log(f"PARITY: octet kernel vs jnp twin on "
+            f"{jax.default_backend()}: {verdict}")
+        print(json.dumps({"metric": "kernel_parity", "value": 1,
+                          "unit": "pass", "vs_baseline": 1.0}))
+        return
 
     # Flythrough (BASELINE config 5) runs FIRST, in its own process,
     # before this process touches the TPU: only one process can use the
@@ -208,6 +225,22 @@ def main():
             f"chunk (host, native)")
     except Exception as e:  # pragma: no cover
         log(f"(meshing secondary metric failed: {e})")
+
+    # ---- on-hardware kernel parity gate (the reference's SIMD-vs-scalar
+    # discipline, span_walker.rs:914-1141, run with the REAL compiled
+    # kernel): Mosaic-compiled octet kernel vs the jnp twin on this
+    # backend, frame-equality (or proven-boundary) gated.  Runs LAST so
+    # its extra compilations cannot perturb the measurements above.
+    try:
+        from differential_projection_voxel_renderer_tpu.rendering import (
+            parity,
+        )
+
+        verdict = parity.run_hardware_selftest(interpret=False)
+        log(f"PARITY: octet kernel vs jnp twin on "
+            f"{jax.default_backend()}: {verdict}")
+    except Exception as e:  # pragma: no cover — a REAL kernel divergence
+        log(f"PARITY: FAIL — {e}")
 
     if fly_line:
         log(fly_line)

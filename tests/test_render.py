@@ -19,6 +19,7 @@ from differential_projection_voxel_renderer_tpu.meshing.greedy import mesh_chunk
 from differential_projection_voxel_renderer_tpu.models.camera import Camera
 from differential_projection_voxel_renderer_tpu.models.chunk import Chunk
 from differential_projection_voxel_renderer_tpu.rendering import oracle
+from differential_projection_voxel_renderer_tpu.rendering import parity
 from differential_projection_voxel_renderer_tpu.rendering.pipeline import (
     Renderer,
     _render_step,
@@ -113,85 +114,10 @@ def fuzz_scene():
     return chunk, quads, cam, renderer, args
 
 
-def _assert_kernel_parity(c1, d1, c2, d2):
-    """Kernel-parity gate: pallas (interpret) vs jnp, FULL-FRAME equality —
-    the reference's SIMD-vs-scalar discipline (span_walker.rs:914-1141).
-    The blend is a commutative lexicographic (depth, color-bits) min
-    (ops/raster._blend_one_quad), so binning/reduction order cannot cause
-    divergence; any mismatch is a real kernel bug."""
-    np.testing.assert_array_equal(d1, d2)
-    np.testing.assert_array_equal(c1, c2)
-
-
-def _assert_kernel_parity_boundary(c1, d1, c2, d2, records, *,
-                                   max_frac=5e-4):
-    """Parity gate for the packed kernel: equality except at pixels that
-    PROVABLY sit on a closed coverage edge.
-
-    The reference gets SIMD-vs-scalar bit-equality from Rust's
-    no-contraction FP semantics.  XLA/LLVM freely contract ``a*nx +
-    b*ny + c`` into FMAs, and different lowerings of the same jnp
-    expression pick different patterns, so two compilations may disagree
-    by 1 ulp in a linear form — visible ONLY when a pixel center lies
-    exactly on a quad's closed edge (``qu == u1*qw``).  This gate
-    therefore demands, for every mismatching pixel, a float64 PROOF that
-    some record's coverage margin at that pixel is below 4 f32 ulps —
-    i.e. the divergence is the documented edge ambiguity, not a kernel
-    bug — plus a hard cap on the mismatch fraction.  Any off-boundary
-    mismatch still fails loudly."""
-    mism = np.argwhere((d1 != d2) | (c1 != c2))
-    if len(mism) == 0:
-        return
-    total = d1.size
-    assert len(mism) <= max(1, int(max_frac * total)), (
-        f"{len(mism)} mismatching pixels (> {max_frac:.1e} of frame)")
-    f = np.asarray(records)[:16].view(np.float32).astype(np.float64)
-    H_, W_ = d1.shape
-    for yy, xx in mism:
-        if (c1[yy, xx] == c2[yy, xx]
-                and np.isfinite(d1[yy, xx]) and np.isfinite(d2[yy, xx])
-                and abs(d1[yy, xx] - d2[yy, xx]) <= 4 * np.spacing(
-                    np.float32(max(abs(d1[yy, xx]), 1.0)))):
-            continue  # pure z-linear-form rounding variance, same winner
-        nx = (2.0 * (xx + 0.5) - W_) / W_
-        ny = 1.0 - 2.0 * (yy + 0.5) / H_
-        qu = f[0] * nx + f[1] * ny + f[2]
-        qv = f[3] * nx + f[4] * ny + f[5]
-        qw = f[6] * nx + f[7] * ny + f[8]
-        margins = np.stack([
-            np.abs(qu - f[12] * qw), np.abs(qu - f[13] * qw),
-            np.abs(qv - f[14] * qw), np.abs(qv - f[15] * qw),
-        ])
-        # f32 evaluation error scales with the largest TERM, not the
-        # (possibly cancelled) result — e.g. qu = m1 + m2 + c with
-        # |m1| >> |qu| carries ~ulp(|m1|) of absolute error
-        term = np.maximum.reduce([
-            np.abs(f[0] * nx), np.abs(f[1] * ny), np.abs(f[2]),
-            np.abs(f[3] * nx), np.abs(f[4] * ny), np.abs(f[5]),
-            np.abs(f[12] * qw), np.abs(f[13] * qw),
-            np.abs(f[14] * qw), np.abs(f[15] * qw),
-            np.ones_like(qu),
-        ])
-        ulp = np.spacing(term.astype(np.float32)).astype(np.float64)
-        on_edge = (qw > 0) & (margins.min(axis=0) <= 4.0 * ulp)
-        assert on_edge.any(), (
-            f"pixel ({yy},{xx}) differs but no record is within 4 ulps "
-            f"of a coverage edge there — a real kernel bug")
-        # each path's output depth must be SOME plausibly-covering
-        # record's planar depth at this pixel (an edge flip makes the
-        # loser fall through to the next quad, whose depth may be
-        # arbitrarily farther — but never to a value no record produces)
-        slack = 4.0 * ulp
-        covers = ((qw > 0)
-                  & (qu >= f[12] * qw - slack) & (qu <= f[13] * qw + slack)
-                  & (qv >= f[14] * qw - slack) & (qv <= f[15] * qw + slack))
-        z = f[9] * nx + f[10] * ny + f[11]
-        for dv in (d1[yy, xx], d2[yy, xx]):
-            if np.isfinite(dv):
-                zt = 4 * np.spacing(np.float32(max(abs(dv), 1.0)))
-                assert (covers & (np.abs(z - dv) <= zt)).any(), (
-                    f"pixel ({yy},{xx}): depth {dv} matches no covering "
-                    f"record — a real kernel bug")
+# parity gates live in the package (rendering/parity.py) so bench.py's
+# on-hardware self-test applies the SAME gates with interpret=False
+_assert_kernel_parity = parity.assert_kernel_parity
+_assert_kernel_parity_boundary = parity.assert_kernel_parity_boundary
 
 
 def _packed_records(renderer, args, **kw):
