@@ -336,8 +336,8 @@ PIECE_W = 128
 REC_FIELDS = F_FIELDS + I_FIELDS
 
 
-def _raster_kernel(starts_hbm, counts_hbm, rows_hbm, zmin_hbm, rec_hbm,
-                   *refs,
+def _raster_kernel(y0_ref, starts_hbm, counts_hbm, rows_hbm, zmin_hbm,
+                   rec_hbm, *refs,
                    height, width, tile_h, tile_w, tiles_x,
                    tiles_per_step, pin_mul, with_init):
     if with_init:
@@ -450,7 +450,13 @@ def _raster_kernel(starts_hbm, counts_hbm, rows_hbm, zmin_hbm, rec_hbm,
     def do_tile(j):
         t, tx, ty, count, base, first_blk, nblocks = geo[j]
         slot0 = 2 * j
-        py0 = ty * tile_h
+        # y0_ref[0]: global pixel row of the buffer's first row — nonzero
+        # when rasterizing a row BAND of a larger frame (tp-sharded
+        # rendering, possibly a traced per-shard axis_index product); NDC
+        # math stays global while tiles/rows stay band-local.  Rides as a
+        # 1-element scalar-prefetch operand: single-element prefetch
+        # arrays do NOT trigger the flat per-call input tax (NOTES.md)
+        py0 = y0_ref[0] + ty * tile_h
         px0 = tx * 128
         px = jnp.float32(px0) + lane.astype(jnp.float32)
         nxv = (2.0 * (px + 0.5) - wf) / wf  # matches _pixel_ndc bit-exact
@@ -611,7 +617,8 @@ def rasterize_pallas(records, tile_starts, tile_counts, octet_rows,
                      height: int, width: int, tile_h: int, tile_w: int,
                      out_h: int | None = None,
                      interpret: bool = False,
-                     tiles_per_step: int | None = None):
+                     tiles_per_step: int | None = None,
+                     y0_px=0):
     """Binned, streamed, tiled Pallas rasterizer over the flat item stream.
 
     ``records`` i32[24, ITEM_CAP] — field-major quad records (floats
@@ -648,8 +655,12 @@ def rasterize_pallas(records, tile_starts, tile_counts, octet_rows,
     )
     steps_x = tiles_x // tps
     n_oct = records.shape[1] // 8
+
+    def _fb_block(st, _y0r):
+        return (st // steps_x, st % steps_x)
+
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=0,
+        num_scalar_prefetch=1,  # y0_px (band row offset), 1 element
         grid=(n_tiles // tps,),
         in_specs=[
             # metadata + records all stay in HBM; the kernel DMAs the
@@ -660,19 +671,15 @@ def rasterize_pallas(records, tile_starts, tile_counts, octet_rows,
             pl.BlockSpec(memory_space=pl.ANY),  # octet zmin
             pl.BlockSpec(memory_space=pl.ANY),  # records
         ] + ([
-            pl.BlockSpec((tile_h, 128 * tps),
-                         lambda st: (st // steps_x, st % steps_x),
+            pl.BlockSpec((tile_h, 128 * tps), _fb_block,
                          memory_space=pltpu.VMEM),  # init color
-            pl.BlockSpec((tile_h, 128 * tps),
-                         lambda st: (st // steps_x, st % steps_x),
+            pl.BlockSpec((tile_h, 128 * tps), _fb_block,
                          memory_space=pltpu.VMEM),  # init depth
         ] if with_init else []),
         out_specs=[
-            pl.BlockSpec((tile_h, 128 * tps),
-                         lambda st: (st // steps_x, st % steps_x),
+            pl.BlockSpec((tile_h, 128 * tps), _fb_block,
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((tile_h, 128 * tps),
-                         lambda st: (st // steps_x, st % steps_x),
+            pl.BlockSpec((tile_h, 128 * tps), _fb_block,
                          memory_space=pltpu.VMEM),
         ],
         scratch_shapes=[
@@ -686,6 +693,7 @@ def rasterize_pallas(records, tile_starts, tile_counts, octet_rows,
             pltpu.SemaphoreType.DMA((4,)),
         ],
     )
+    y0_arr = jnp.asarray(y0_px, jnp.int32).reshape(1)
     color, depth = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
@@ -694,7 +702,7 @@ def rasterize_pallas(records, tile_starts, tile_counts, octet_rows,
             jax.ShapeDtypeStruct((out_h, width), jnp.float32),
         ],
         interpret=interpret,
-    )(tile_starts, tile_counts, octet_rows, octet_zmin, records,
+    )(y0_arr, tile_starts, tile_counts, octet_rows, octet_zmin, records,
       *((init_color, init_depth) if with_init else ()))
     return color, depth
 

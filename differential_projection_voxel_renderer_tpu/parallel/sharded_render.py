@@ -17,9 +17,12 @@ backend"):
   collective is a tiny ``psum`` of the frame counters across ``tp`` — the
   "small psum of a stats grid" case from SURVEY.md section 2.7.
 
-Everything here is the pure-jnp path (it must run on any backend, including
-the CPU-mesh dryrun); the Pallas kernel slots in per-shard on real
-multi-chip hardware since each band is just a smaller framebuffer.
+Both modes run the PRODUCTION pipeline (rendering/pipeline._render_step)
+per shard: the octet Pallas kernel on TPU backends, its bit-identical jnp
+twin elsewhere (so the virtual-CPU-mesh dryrun executes the exact same
+sharding program).  A tp band is just a smaller framebuffer: _render_step's
+``band_y0``/``band_h`` keep NDC global while tiles stay band-local, and
+stacking bands reproduces the full frame bit-exactly (tests/test_parallel).
 """
 
 from __future__ import annotations
@@ -30,7 +33,14 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+try:  # jax >= 0.8 promotes shard_map out of experimental (check_vma)
+    from jax import shard_map as _shard_map
+
+    def shard_map(f, *, mesh, in_specs, out_specs, check_rep=False):
+        return _shard_map(f, mesh=mesh, in_specs=in_specs,
+                          out_specs=out_specs, check_vma=check_rep)
+except ImportError:  # pragma: no cover
+    from jax.experimental.shard_map import shard_map
 
 from ..ops import projection as proj_ops
 from ..ops import raster as raster_ops
@@ -55,16 +65,21 @@ def make_mesh(n_devices: int | None = None) -> Mesh:
 
 def _render_one_camera(pool, counts_all, positions, visible_slots, n_visible,
                        view_proj, cam_pos, color_tables, *, width, height,
-                       gather_cap, render_cap, band_y0, band_h, span_mode):
-    """Geometry + band rasterization for a single camera (jnp path).
-    Mirrors rendering/pipeline._render_step, restricted to a row band."""
+                       gather_cap, render_cap, band_y0, band_h, span_mode,
+                       use_pallas=False, tile_k_cap=8192):
+    """Gather + the PRODUCTION render step for a single camera, restricted
+    to a row band — the reference runs its real rasterizer inside every
+    parallel stripe (main.rs:581-597); so does this (octet Pallas kernel
+    when ``use_pallas``, jnp twin otherwise — same band semantics,
+    tests/test_parallel.py asserts band-stacked == full-frame through
+    _render_step itself)."""
+    from ..rendering.pipeline import _render_step
+
     vcap = visible_slots.shape[0]
-    tables = proj_ops.view_tables(view_proj, cam_pos)
     sel = jnp.clip(visible_slots, 0, pool.shape[0] - 1)
     counts = jnp.where(jnp.arange(vcap) < n_visible, counts_all[sel], 0)
     counts = counts.astype(jnp.int32)
     pos = positions[sel]
-    chunk_clip = proj_ops.chunk_clip_origins(view_proj, pos)
     world = pos.astype(jnp.float32) * 32.0
     chunk_world = tuple(world[:, a] for a in range(3))
 
@@ -76,38 +91,26 @@ def _render_one_camera(pool, counts_all, positions, visible_slots, n_visible,
     )
     base = jnp.where(chunk_of > 0, cum[jnp.maximum(chunk_of - 1, 0)], 0)
     within = jnp.clip(i - base, 0, pool.shape[1] - 1)
-    in_stream = i < jnp.minimum(total, gather_cap)
     quads = pool[sel[chunk_of], within]
     wq = proj_ops.quad_world_from_slots(chunk_world, chunk_of)
 
-    proj_a = proj_ops.project_and_cull(
-        quads, wq, in_stream, tables,
-        width=width, height=height, span_mode=span_mode,
+    tile_h, tile_w = raster_ops.pick_tile(height, width)
+    color, depth, stats = _render_step(
+        quads, jnp.stack(wq), jnp.minimum(total, gather_cap),
+        view_proj, cam_pos,
+        color_tables=color_tables, width=width, height=height,
+        tile_h=tile_h, tile_w=tile_w, gather_cap=gather_cap,
+        render_cap=render_cap, span_mode=span_mode,
+        backface_culling=True, use_pallas=use_pallas, interpret=False,
+        tile_k_cap=tile_k_cap, band_y0=band_y0, band_h=band_h,
     )
-    count, _, (q_c, wx_c, wy_c, wz_c) = proj_ops.compact_stream(
-        proj_a["valid"], render_cap, (quads, wq[0], wq[1], wq[2])
-    )
-    wq_c = (wx_c, wy_c, wz_c)
-    in_render = jnp.arange(render_cap, dtype=jnp.int32) < count
-    proj_b = proj_ops.project_and_cull(
-        q_c, wq_c, in_render, tables,
-        width=width, height=height, span_mode=span_mode,
-    )
-    coeffs = proj_ops.quad_coefficients(
-        q_c, wq_c, proj_b if span_mode else None, tables,
-        color_tables, width=width, height=height, span_mode=span_mode,
-    )
-    fcoef, icoef = raster_ops.pack_coeffs_quadmajor(coeffs)
-    color, depth = raster_ops.rasterize_jnp(
-        fcoef, icoef, count, height=height, width=width,
-        y0=band_y0, band_h=band_h,
-    )
-    return color, depth, count
+    return color, depth, stats[1]
 
 
 def make_sharded_render(mesh: Mesh, *, width: int, height: int,
                         gather_cap: int = 8192, render_cap: int = 4096,
-                        color_tables=None, span_mode: bool = False):
+                        color_tables=None, span_mode: bool = False,
+                        use_pallas: bool | None = None):
     """Builds the jitted multi-device render step.
 
     Inputs (global shapes):
@@ -117,6 +120,13 @@ def make_sharded_render(mesh: Mesh, *, width: int, height: int,
     Outputs:
     - color i32[B, H, W], depth f32[B, H, W]: sharded (dp, tp) over (B, H)
     - total quads rasterized per frame i32[B] (psum across tp)
+
+    Every tp band runs the PRODUCTION pipeline (_render_step: fused
+    geometry, compaction sort, tile binning, octet Pallas kernel) on its
+    own rows — ``use_pallas`` defaults by backend (Pallas on TPU, jnp
+    twin elsewhere so the virtual-CPU-mesh dryrun exercises the same
+    sharding).  Reference: stripes run the real rasterizer
+    (main.rs:581-597).
     """
     if color_tables is None:
         from ..ops.shading import build_quad_color_tables
@@ -126,19 +136,25 @@ def make_sharded_render(mesh: Mesh, *, width: int, height: int,
     tp = mesh.shape["tp"]
     assert height % (tp * 8) == 0, "height must split into 8-aligned bands"
     band_h = height // tp
+    if use_pallas is None:
+        use_pallas = jax.default_backend() == "tpu"
 
     def shard_fn(pool, counts, positions, visible_slots, n_visible, vp, cam):
         band_y0 = jax.lax.axis_index("tp") * band_h
 
-        def one(vs, nv, vp1, cam1):
+        def one(args):
+            vs, nv, vp1, cam1 = args
             return _render_one_camera(
                 pool, counts, positions, vs, nv, vp1, cam1, color_tables,
                 width=width, height=height, gather_cap=gather_cap,
                 render_cap=render_cap, band_y0=band_y0, band_h=band_h,
-                span_mode=span_mode,
+                span_mode=span_mode, use_pallas=use_pallas,
             )
 
-        color, depth, count = jax.vmap(one)(visible_slots, n_visible, vp, cam)
+        # lax.map over the local camera sub-batch (usually 1): the Pallas
+        # call is not vmappable; a sequential map is exact either way
+        color, depth, count = jax.lax.map(
+            one, (visible_slots, n_visible, vp, cam))
         # tiny ICI collective: frame counters agree across tp shards;
         # psum-mean keeps them identical and exercises the collective path
         count = jax.lax.psum(count, "tp") // tp

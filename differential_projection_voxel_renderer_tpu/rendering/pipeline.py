@@ -167,6 +167,9 @@ def _render_step(
     hiz_level1=None,      # rendered-depth max pyramid: exact far-quad cull
     init_color=None,      # initial framebuffer (continue blending onto it)
     init_depth=None,
+    band_y0: int = 0,     # rasterize only rows [band_y0, band_y0+band_h)
+    band_h: int | None = None,  # (tp-sharded band rendering; NDC stays
+                          # global, output is the band-sized buffer)
 ):
     tables = proj_ops.view_tables(view_proj, cam_pos)
 
@@ -218,6 +221,19 @@ def _render_step(
         hiz_culled = occ.sum().astype(jnp.int32)
     else:
         hiz_culled = jnp.int32(0)
+    if band_h is not None and use_pallas:
+        # band restriction: drop quads with no row overlap and rebase the
+        # row bbox to band-local coordinates.  Projection/culling above is
+        # global; the rasterizer below gets y0_px so pixel NDC stays
+        # global too — stacking the bands reproduces the full frame
+        # bit-exactly (tested: tests/test_parallel.py).  (The jnp branch
+        # instead passes the band straight to rasterize_jnp.)
+        assert init_color is None and hiz_level1 is None and not packed_raster
+        y0q = bby_a & 0xFFFF
+        y1q = bby_a >> 16
+        valid_a = valid_a & (y1q >= band_y0) & (y0q <= band_y0 + band_h - 1)
+        bby_a = (jnp.clip(y0q - band_y0, 0, band_h - 1)
+                 | (jnp.clip(y1q - band_y0, 0, band_h - 1) << 16))
     count = valid_a.sum().astype(jnp.int32)
 
     if use_pallas:
@@ -227,7 +243,8 @@ def _render_step(
         # compaction as rows of one f32 array (ints bitcast), because on
         # TPU a [R, N][:, idx] gather costs ~one flat gather while R
         # separate flat gathers cost R x (measured).
-        out_h = -height % tile_h + height  # pad to a tile multiple; crop
+        bh = band_h if band_h is not None else height
+        out_h = -bh % tile_h + bh  # pad to a tile multiple; crop
         tiles_y, tiles_x = out_h // tile_h, width // tile_w
         rc = min(gq, render_cap)
         bcast = jax.lax.bitcast_convert_type
@@ -366,25 +383,25 @@ def _render_step(
         ])
         if debug_return_records:  # stage profiling hook (benches/)
             return records, tile_starts, tile_counts, octet_rows, octet_zmin
-        if init_color is not None and out_h != height:
+        if init_color is not None and out_h != bh:
             # pad the init framebuffer back to the tile multiple; padded
             # rows are cropped again below and cannot affect real rows
             init_color = jnp.pad(
-                init_color, ((0, out_h - height), (0, 0)),
+                init_color, ((0, out_h - bh), (0, 0)),
                 constant_values=raster_ops.SKY_I32)
             init_depth = jnp.pad(
-                init_depth, ((0, out_h - height), (0, 0)),
+                init_depth, ((0, out_h - bh), (0, 0)),
                 constant_values=jnp.inf)
         color, depth = raster_ops.rasterize_pallas(
             records, tile_starts, tile_counts, octet_rows, octet_zmin,
             init_color, init_depth,
             height=height, width=width,
             tile_h=tile_h, tile_w=tile_w, out_h=out_h,
-            interpret=interpret,
+            interpret=interpret, y0_px=band_y0,
         )
-        if out_h != height:
-            color = color[:height]
-            depth = depth[:height]
+        if out_h != bh:
+            color = color[:bh]
+            depth = depth[:bh]
     else:
         # jnp path: compact first (keeps the full-frame loop short), then
         # rasterize the survivors in stream order
@@ -407,6 +424,7 @@ def _render_step(
         color, depth = raster_ops.rasterize_jnp(
             fcoef, icoef, count_c, height=height, width=width,
             init_color=init_color, init_depth=init_depth,
+            y0=band_y0, band_h=band_h,
         )
         bin_overflow = jnp.int32(0)
     stats = jnp.stack([n_quads, count, overflow, bin_overflow,

@@ -128,6 +128,46 @@ def test_band_rasterization_matches_full():
                                       np.asarray(bd))
 
 
+@pytest.mark.parametrize("use_pallas", [False, True])
+def test_band_render_step_matches_full(scene, use_pallas):
+    """_render_step band mode (the tp-sharded per-band production path,
+    octet kernel included) must reproduce the full frame when bands are
+    stacked — the reference's stripes run the REAL rasterizer
+    (main.rs:581-597); so must ours."""
+    from differential_projection_voxel_renderer_tpu.rendering.pipeline import (
+        _render_step,
+    )
+
+    pool, counts, positions, cam = scene
+    W = H = 128
+    gq = 1024
+    nq = int(counts[0])
+    stream = np.zeros(gq, np.uint32)
+    stream[:nq] = pool[0, :nq]
+    qw = np.zeros((3, gq), np.float32)
+    kw = dict(
+        color_tables=Renderer(
+            RenderConfig(width=W, height=H, use_pallas=False))._tables_np,
+        width=W, height=H, tile_h=16, tile_w=128, gather_cap=gq,
+        render_cap=512, span_mode=False, backface_culling=True,
+        use_pallas=use_pallas, interpret=use_pallas, tile_k_cap=512,
+    )
+    args = (jnp.asarray(stream), jnp.asarray(qw), jnp.int32(nq),
+            jnp.asarray(cam.view_projection_matrix(), jnp.float32),
+            jnp.asarray(cam.position, jnp.float32))
+    full_c, full_d, _ = _render_step(*args, **kw)
+    for bands in (2, 4):
+        bh = H // bands
+        cs, ds = [], []
+        for b in range(bands):
+            bc, bd, _ = _render_step(*args, band_y0=b * bh, band_h=bh, **kw)
+            assert bc.shape == (bh, W)
+            cs.append(np.asarray(bc))
+            ds.append(np.asarray(bd))
+        np.testing.assert_array_equal(np.concatenate(cs), np.asarray(full_c))
+        np.testing.assert_array_equal(np.concatenate(ds), np.asarray(full_d))
+
+
 def test_dp_sharded_full_pipeline_matches_single_device(scene):
     """make_sharded_render_dp: every camera of the batch renders its full
     frame on its own device via the production pipeline; shard 0 must
