@@ -217,12 +217,16 @@ def main():
         )
 
         terr = [Chunk.generate_terrain((x, 0, 0)) for x in range(8)]
-        t0 = time.time()
-        for _ in range(5):
+        for c in terr:  # warm (library load, allocator, caches)
+            mesh_chunk(c)
+        reps, best = 5, float("inf")
+        for _ in range(reps):  # best-of to shed scheduler noise at this
+            t0 = time.time()   # late-in-process measurement point
             for c in terr:
                 mesh_chunk(c)
-        log(f"meshing: {(time.time()-t0)/40*1000:.3f} ms per 32^3 terrain "
-            f"chunk (host, native)")
+            best = min(best, (time.time() - t0) / len(terr))
+        log(f"meshing: {best*1000:.3f} ms per 32^3 terrain "
+            f"chunk (host, native, best of {reps})")
     except Exception as e:  # pragma: no cover
         log(f"(meshing secondary metric failed: {e})")
 

@@ -82,6 +82,8 @@ class QuadPool:
         self._free: list[int] = list(range(slots - 1, -1, -1))
         self.overflow_drops = 0
         self._dev_cache: tuple | None = None  # (counts, positions) on device
+        self._used = np.zeros(slots, bool)  # slot occupancy (lookup_slots)
+        self._lookup_cache: tuple | None = None  # sorted (keys, slots)
 
     def device_tables(self):
         """Device copy of positions, re-uploaded only after pool mutations
@@ -105,6 +107,7 @@ class QuadPool:
                 )
             slot = self._free.pop()
             self.by_pos[key] = slot
+            self._used[slot] = True
         n = 0
         row = np.zeros(self.qcap, np.uint32)
         if quads is not None:
@@ -116,6 +119,7 @@ class QuadPool:
         self.counts[slot] = n
         self.positions[slot] = key
         self._dev_cache = None
+        self._lookup_cache = None
 
     def insert_rows_device(self, positions, quad_rows, counts) -> None:
         """Batched insert of device-resident quad rows (the device-meshing
@@ -133,12 +137,14 @@ class QuadPool:
                         "(mesh cache capacity)")
                 slot = self._free.pop()
                 self.by_pos[key] = slot
+                self._used[slot] = True
             slots[i] = slot
             self.counts[slot] = int(counts[i])
             self.positions[slot] = key
         self.quads = _pool_set_rows(self.quads, jnp.asarray(slots),
                                     quad_rows)
         self._dev_cache = None
+        self._lookup_cache = None
 
     def insert_many(self, items) -> None:
         """Batched insert of [(pos, quads-or-None), ...]: ONE donated
@@ -179,6 +185,7 @@ class QuadPool:
                         "(mesh cache capacity)")
                 slot = self._free.pop()
                 self.by_pos[key] = slot
+                self._used[slot] = True
             n = 0
             if quads is not None:
                 n = min(len(quads), self.qcap)
@@ -198,14 +205,17 @@ class QuadPool:
         self.quads = _pool_set_rows_prefix(self.quads, jnp.asarray(slots),
                                            jnp.asarray(rows))
         self._dev_cache = None
+        self._lookup_cache = None
 
     def remove(self, pos) -> None:
         key = tuple(int(c) for c in pos)
         slot = self.by_pos.pop(key, None)
         if slot is not None:
             self.counts[slot] = 0
+            self._used[slot] = False
             self._free.append(slot)
             self._dev_cache = None
+        self._lookup_cache = None
 
     def retain(self, predicate) -> None:
         """Drop cache entries whose position fails the predicate
@@ -221,6 +231,35 @@ class QuadPool:
 
     def slot_of(self, pos) -> int | None:
         return self.by_pos.get(tuple(int(c) for c in pos))
+
+    @staticmethod
+    def _pack_keys(pos: np.ndarray) -> np.ndarray:
+        """[N, 3] int chunk coords -> sortable int64 keys (21 bits/axis,
+        biased)."""
+        p = np.asarray(pos, np.int64)
+        b = np.int64(1 << 20)
+        return (((p[:, 0] + b) << 42) | ((p[:, 1] + b) << 21)
+                | (p[:, 2] + b))
+
+    def lookup_slots(self, pos: np.ndarray):
+        """Vectorized pos -> slot join: returns (slots i32[N], has bool[N])
+        where ``has`` marks positions with a cache entry (even count-0
+        ones, matching ``in self.by_pos``).  One sorted-key binary search
+        replaces the per-chunk dict loop of the frame funnel (measured
+        ~0.85 ms of Python at vd12); the sorted table rebuilds lazily only
+        after pool mutations."""
+        if self._lookup_cache is None:
+            used = np.nonzero(self._used)[0].astype(np.int32)
+            keys = self._pack_keys(self.positions[used])
+            o = np.argsort(keys)
+            self._lookup_cache = (keys[o], used[o])
+        pk, ps = self._lookup_cache
+        q = self._pack_keys(pos)
+        if len(pk) == 0 or len(q) == 0:
+            return (np.zeros(len(q), np.int32), np.zeros(len(q), bool))
+        ii = np.minimum(np.searchsorted(pk, q), len(pk) - 1)
+        hit = pk[ii] == q
+        return ps[ii].astype(np.int32), hit
 
 
 @dataclass
@@ -298,6 +337,30 @@ class Engine:
                     np_ = (pos[0] + off[0], pos[1] + off[1], pos[2] + off[2])
                     if np_ in loaded and np_ in meshed:
                         to_mesh.append(np_)
+        return self._mesh_list(to_mesh)
+
+    def _remesh_positions(self, vis_pos: np.ndarray) -> int:
+        """Vectorized form of :meth:`_remesh` for the per-frame funnel:
+        the missing-chunk scan is one sorted-key join (lookup_slots)
+        instead of a Python loop over every visible chunk (~0.4 ms at
+        vd12); the Python neighbor walk only runs over the (few) missing
+        positions."""
+        _, has = self.pool.lookup_slots(vis_pos)
+        if has.all():
+            return 0
+        meshed = self.pool.by_pos
+        loaded = self.world.chunks
+        to_mesh: list[tuple[int, int, int]] = []
+        for p in vis_pos[~has].tolist():
+            pos = (p[0], p[1], p[2])
+            to_mesh.append(pos)
+            for off in self._neighbor_offsets:
+                np_ = (pos[0] + off[0], pos[1] + off[1], pos[2] + off[2])
+                if np_ in loaded and np_ in meshed:
+                    to_mesh.append(np_)
+        return self._mesh_list(to_mesh)
+
+    def _mesh_list(self, to_mesh) -> int:
         if not to_mesh:
             return 0
         to_mesh = sorted(set(to_mesh))
@@ -413,38 +476,30 @@ class Engine:
         cam_same = (self._seen_vp is not None
                     and np.array_equal(self._seen_vp, vp_now))
         if cam_same and world_v == self._seen_world_version                 and self._visible_cache is not None:
-            visible = self._visible_cache
+            vis_pos = self._visible_cache
         else:
             frustum = cam.extract_frustum()
-            visible = self.world.get_visible_chunks_frustum(
+            vis_pos = self.world.get_visible_positions(
                 cam.position, frustum
             )
-            self._visible_cache = visible
+            self._visible_cache = vis_pos
             if not (cam_same and world_v == self._seen_world_version):
-                self._remesh(visible)
+                self._remesh_positions(vis_pos)
                 if world_v != self._seen_world_version:
                     self.pool.retain(self.world.chunks)
             self._seen_vp = vp_now.copy()
             self._seen_world_version = self.world.version
 
-        # visible meshes: pool slots with quads among visible chunks
-        # (dict lookups per chunk, vectorized center math)
-        by_pos = self.pool.by_pos
-        counts = self.pool.counts
-        slot_list = []
-        pos_list = []
-        for chunk in visible:
-            slot = by_pos.get(chunk.position)
-            if slot is not None and counts[slot] > 0:
-                slot_list.append(slot)
-                pos_list.append(chunk.position)
-        slots = np.asarray(slot_list, np.int32)
-        centers = (
-            np.asarray(pos_list, np.float32) * CHUNK_SIZE + 16.0
-            if pos_list
-            else np.zeros((0, 3), np.float32)
-        )
-        n_visible_meshes = len(slot_list)
+        # visible meshes: pool slots with quads among visible chunks —
+        # one vectorized sorted-key join (lookup_slots) instead of a
+        # per-chunk dict loop (~0.85 ms of Python at vd12)
+        slots_all, has = self.pool.lookup_slots(vis_pos)
+        hs = slots_all[has]
+        nz = self.pool.counts[hs] > 0
+        slots = hs[nz]
+        centers = (vis_pos[has][nz].astype(np.float32) * CHUNK_SIZE + 16.0
+                   if len(slots) else np.zeros((0, 3), np.float32))
+        n_visible_meshes = len(slots)
         vp = cam.view_projection_matrix()
 
         if n_visible_meshes:

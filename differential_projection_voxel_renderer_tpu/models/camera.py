@@ -106,16 +106,41 @@ class Frustum:
 
     planes: np.ndarray  # [6, 4] f32
 
+    # r3 ± rk combinations as one constant matmul (bit-identical to the
+    # stacked adds: the zero-coefficient terms add exact zeros)
+    _GH = np.array([[1, 0, 0, 1], [-1, 0, 0, 1], [0, 1, 0, 1],
+                    [0, -1, 0, 1], [0, 0, 1, 1], [0, 0, -1, 1]], np.float32)
+
     @staticmethod
     def from_view_projection(vp: np.ndarray) -> "Frustum":
         vp = np.asarray(vp, dtype=np.float32)
-        r0, r1, r2, r3 = vp[0], vp[1], vp[2], vp[3]
-        raw = np.stack(
-            [r3 + r0, r3 - r0, r3 + r1, r3 - r1, r3 + r2, r3 - r2]
-        ).astype(np.float32)
-        lens = np.linalg.norm(raw[:, :3], axis=1).astype(np.float32)
-        scale = np.where(lens > 1e-4, 1.0 / lens, 1.0).astype(np.float32)
-        return Frustum((raw * scale[:, None]).astype(np.float32))
+        raw = Frustum._GH @ vp
+        lens = np.sqrt((raw[:, :3] * raw[:, :3]).sum(axis=1),
+                       dtype=np.float32)
+        scale = np.where(lens > 1e-4, np.float32(1.0) / lens,
+                         np.float32(1.0))
+        return Frustum(raw * scale[:, None])
+
+    def inside_mins(self, mins: np.ndarray, size: float) -> np.ndarray:
+        """Positive-vertex test for N equal-size axis-aligned cubes given
+        their min corners — ONE [N, 3] @ [3, 6] matmul.
+
+        Algebra: with ``maxs = mins + size``,
+        ``maxs @ max(n,0)^T + mins @ min(n,0)^T
+          == mins @ n^T + size * rowsum(max(n,0))``;
+        the per-plane constant folds into the offset.  (FP note: the
+        refactored sum order can differ from :meth:`intersects_aabb` by an
+        ulp for chunks EXACTLY on a plane; golden-frame tests pass — the
+        test is conservative either way.)"""
+        key = getattr(self, "_mins_key", None)
+        if key != size:
+            n = self.planes[:, :3]
+            self._nT = np.ascontiguousarray(n.T)
+            self._off = (np.float32(size) * np.maximum(n, 0.0).sum(axis=1)
+                         + self.planes[:, 3]).astype(np.float32)
+            self._mins_key = size
+        dist = mins @ self._nT + self._off[None, :]
+        return (dist >= 0.0).all(axis=1)
 
     def intersects_aabb(self, mins, maxs) -> np.ndarray | bool:
         """Positive-vertex AABB test (camera/mod.rs:164-183).

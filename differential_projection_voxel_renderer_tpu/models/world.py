@@ -210,23 +210,36 @@ class World:
         vd_sq = np.float32(self.config.view_distance**2)
         return [self.chunks[keys[i]] for i in np.nonzero(dist_sq <= vd_sq)[0]]
 
-    def get_visible_chunks_frustum(
-        self, camera_position, frustum: Frustum | None
-    ) -> list[Chunk]:
+    def get_visible_positions(self, camera_position,
+                              frustum: Frustum | None) -> np.ndarray:
         """Sphere + optional frustum AABB visibility (src/world.rs:118-146),
-        vectorized over the whole chunk table in one pass."""
+        vectorized over the whole chunk table in one pass.  Returns the
+        visible chunk POSITIONS as int64[V, 3] in table order — the
+        allocation-free form the per-frame funnel consumes (building a
+        Python Chunk list cost ~0.55 ms at vd12; see
+        get_visible_chunks_frustum for the object-returning wrapper)."""
         cam = np.asarray(world_to_chunk_pos(camera_position), dtype=np.int64)
         keys, pos = self._positions_array()
         if not keys:
-            return []
-        dist_sq = ((pos - cam) ** 2).sum(-1).astype(np.float32)
+            return np.zeros((0, 3), np.int64)
+        # f32 distance: chunk-grid deltas are small integers, so squares
+        # and sums are exact — identical keep mask, ~3x cheaper than int64
+        mins = self._mins_f32()
+        d = mins * np.float32(1.0 / CHUNK_SIZE) - cam.astype(np.float32)
+        dist_sq = np.einsum("ij,ij->i", d, d)
         keep = dist_sq <= np.float32(self.config.view_distance**2)
         if self.config.frustum_culling and frustum is not None:
-            mins = self._mins_f32()
-            maxs = mins + np.float32(CHUNK_SIZE)
-            inside = frustum.intersects_aabb(mins, maxs)
-            keep &= np.atleast_1d(inside)
-        return [self.chunks[keys[i]] for i in np.nonzero(keep)[0]]
+            keep &= frustum.inside_mins(mins, float(CHUNK_SIZE))
+        return pos[keep]
+
+    def get_visible_chunks_frustum(
+        self, camera_position, frustum: Frustum | None
+    ) -> list[Chunk]:
+        """Object-returning wrapper over :meth:`get_visible_positions`
+        (API parity with the reference's Vec<&Chunk> return)."""
+        vis = self.get_visible_positions(camera_position, frustum)
+        return [self.chunks[(int(p[0]), int(p[1]), int(p[2]))]
+                for p in vis]
 
     # ------------------------------------------------------------- helpers
     def generate_region(self, mins, maxs) -> None:
