@@ -261,34 +261,67 @@ def build_tile_lists(tilebox, count, *, tiles_y: int, tiles_x: int,
             keys.append(jnp.where(
                 ok, (u32(tid) << shift_t) | u32(obits) | u32(q), maxkey))
 
-    # compact big quads (few hundred at most) and expand over the full grid
-    csum = jnp.cumsum(is_big.astype(jnp.int32))
-    n_big = csum[-1]
-    targets = jnp.arange(1, big_cap + 1, dtype=jnp.int32)
-    src = jnp.minimum(jnp.searchsorted(csum, targets, side="left"), m - 1)
-    src = src.astype(jnp.int32)
-    bvalid = targets <= n_big
-    btx0 = jnp.where(bvalid, tx0[src], 1)
-    btx1 = jnp.where(bvalid, tx1[src], 0)
-    bty0 = jnp.where(bvalid, ty0[src], 1)
-    bty1 = jnp.where(bvalid, ty1[src], 0)
+    # Big quads split into two compacted classes (measured at vd12: ~260
+    # "big" quads cover ~4 tiles each; ~31 near-plane conservative boxes
+    # cover the WHOLE grid — expanding all of them over n_tiles cost
+    # n_tiles*512 = 230k mostly-maxkey sort keys, more than half the sort):
+    # - big  (<= max_tiles_big tiles): enumerate exactly their covered
+    #   tiles, row-major, in a [max_tiles_big, big_cap] block
+    # - huge (>  max_tiles_big tiles): full-grid expansion, small cap
+    # The final key array is padded to a power of two (TPU sorts want
+    # pow2 lengths — NOTES.md).
+    max_tiles_big = 64
+    huge_cap = 64
+    spanx = tx1 - tx0 + 1
+    spany = ty1 - ty0 + 1
+    ntile_of = spanx * spany
+    is_huge = is_big & (ntile_of > max_tiles_big)
+    is_bigb = is_big & ~is_huge
+
+    def compact_class(mask, cap):
+        # indices of the first `cap` set entries via one flat sort
+        ck = jnp.sort(jnp.where(mask, q, jnp.int32(2**30)))[:cap]
+        valid = ck < 2**30
+        return jnp.minimum(ck, m - 1), valid, mask.sum().astype(jnp.int32)
+
+    src, bvalid, n_bigb = compact_class(is_bigb, big_cap)
+    ob_src = (jnp.zeros(big_cap, jnp.uint32) if order6 is None else
+              u32(jnp.where(bvalid, order6[src], 0)) << shift)
+    j = jnp.arange(max_tiles_big, dtype=jnp.int32)[:, None]
+    bsx = jnp.maximum(jnp.where(bvalid, spanx[src], 1), 1)[None, :]
+    ty_b = jnp.where(bvalid, ty0[src], 0)[None, :] + j // bsx
+    tx_b = jnp.where(bvalid, tx0[src], 0)[None, :] + j % bsx
+    okb = bvalid[None, :] & (j < jnp.where(bvalid, ntile_of[src], 0)[None, :])
+    tid_b = ty_b * tiles_x + tx_b
+    keys.append(jnp.where(
+        okb, (u32(tid_b) << shift_t) | ob_src[None, :] | u32(src)[None, :],
+        maxkey).reshape(-1))
+
+    hsrc, hvalid, n_huge = compact_class(is_huge, huge_cap)
     t = jnp.arange(n_tiles, dtype=jnp.int32)
     tyg = (t // tiles_x)[:, None]
     txg = (t % tiles_x)[:, None]
-    okb = (
-        (txg >= btx0[None, :]) & (txg <= btx1[None, :])
-        & (tyg >= bty0[None, :]) & (tyg <= bty1[None, :])
-    )
-    bob = (jnp.zeros((1, big_cap), jnp.uint32) if order6 is None else
-           (u32(jnp.where(bvalid, order6[src], 0)) << shift)[None, :])
+    okh = (hvalid[None, :]
+           & (txg >= jnp.where(hvalid, tx0[hsrc], 1)[None, :])
+           & (txg <= jnp.where(hvalid, tx1[hsrc], 0)[None, :])
+           & (tyg >= jnp.where(hvalid, ty0[hsrc], 1)[None, :])
+           & (tyg <= jnp.where(hvalid, ty1[hsrc], 0)[None, :]))
+    oh = (jnp.zeros((1, huge_cap), jnp.uint32) if order6 is None else
+          (u32(jnp.where(hvalid, order6[hsrc], 0)) << shift)[None, :])
     keys.append(
-        jnp.where(okb,
-                  (u32(t)[:, None] << shift_t) | bob | u32(src)[None, :],
+        jnp.where(okh,
+                  (u32(t)[:, None] << shift_t) | oh | u32(hsrc)[None, :],
                   maxkey).reshape(-1)
     )
-    big_dropped = jnp.maximum(n_big - big_cap, 0)
+    big_dropped = (jnp.maximum(n_bigb - big_cap, 0)
+                   + jnp.maximum(n_huge - huge_cap, 0))
 
-    skeys = jnp.sort(jnp.concatenate(keys))
+    raw = jnp.concatenate(keys)
+    n_raw = raw.shape[0]
+    pow2 = 1 << (n_raw - 1).bit_length()
+    if pow2 != n_raw:
+        raw = jnp.concatenate([raw, jnp.full(pow2 - n_raw, maxkey)])
+    skeys = jnp.sort(raw)
     # manual all-targets bisection: jnp.searchsorted lowers to a
     # per-target binary-search loop on TPU (~0.7 us/target measured)
     prefixes = (jnp.arange(n_tiles + 1, dtype=jnp.uint32) << shift_t)
