@@ -255,11 +255,15 @@ def main():
 
             timeit(loop(body_full), (vps_d, cams_d), k, st)
         elif st.startswith("raster"):
-            # raster / raster0 with optional _tpsN suffix
+            # raster / raster0 with optional _tpsN / _opiN suffixes
             tps = None
+            opi = 2
             base = st
-            if "_tps" in st:
-                base, t = st.split("_tps")
+            if "_opi" in base:
+                base, t = base.split("_opi")
+                opi = int(t)
+            if "_tps" in base:
+                base, t = base.split("_tps")
                 tps = int(t)
             # build records once from the real camera, on device
             step_dbg = functools.partial(
@@ -282,7 +286,7 @@ def main():
             log(f"{st}: {int(nit)} binned items over "
                 f"{int((np.asarray(tile_counts) > 0).sum())} tiles")
 
-            def body_raster(i, acc, records=records, tps=tps):
+            def body_raster(i, acc, records=records, tps=tps, opi=opi):
                 # vary a harmless record field per iteration to defeat CSE
                 r = records.at[23, 0].set(i)
                 if int(np.asarray(tile_counts).shape[0]) > 2000:
@@ -295,7 +299,8 @@ def main():
                     c, d = R.rasterize_pallas(
                         r, tile_starts, tile_counts, octet_rows,
                         octet_zmin, height=H, width=W, tile_h=TH,
-                        tile_w=TW, out_h=out_h, tiles_per_step=tps)
+                        tile_w=TW, out_h=out_h, tiles_per_step=tps,
+                        octets_per_iter=opi)
                 return acc + c[0, 0].astype(jnp.float32)
 
             def run(x):

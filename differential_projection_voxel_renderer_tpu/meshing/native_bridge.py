@@ -100,6 +100,15 @@ def _build_and_load() -> ctypes.CDLL | None:
                 ctypes.c_uint32, ctypes.c_void_p, ctypes.c_void_p,
                 ctypes.c_int64, ctypes.c_void_p,
             ]
+            lib.terrain_heights.restype = None
+            lib.terrain_heights.argtypes = [
+                ctypes.c_uint32, ctypes.c_int64, ctypes.c_int64,
+                ctypes.c_void_p,
+            ]
+            lib.terrain_fill.restype = None
+            lib.terrain_fill.argtypes = [
+                ctypes.c_void_p, ctypes.c_int32, ctypes.c_void_p,
+            ]
             _LIB = lib
         except Exception:
             _LIB = None

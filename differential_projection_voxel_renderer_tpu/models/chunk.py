@@ -47,14 +47,33 @@ _HEIGHT_CACHE: dict[tuple[int, int, int], np.ndarray] = {}
 _HEIGHT_CACHE_MAX = 8192
 
 
+def _native_lib():
+    """The C++ runtime library, or None (lazy; meshing/native_bridge)."""
+    from ..meshing import native_bridge
+
+    return native_bridge._build_and_load()
+
+
 def _column_heights(px: int, pz: int, seed: int) -> np.ndarray:
     key = (px, pz, seed)
     h = _HEIGHT_CACHE.get(key)
     if h is None:
-        xs = np.arange(CHUNK_SIZE, dtype=np.int64) + px * CHUNK_SIZE
-        zs = np.arange(CHUNK_SIZE, dtype=np.int64) + pz * CHUNK_SIZE
-        zz, xx = np.meshgrid(zs, xs, indexing="ij")
-        h = sample_terrain_height(xx, zz, seed=seed)
+        lib = _native_lib()
+        if lib is not None:
+            # native fast path: same bits as the numpy sampler (the noise
+            # goes through the parity-tested perlin_grid_twin; fresh-column
+            # generation measured 0.32 ms numpy -> ~0.01 ms native)
+            import ctypes
+
+            h = np.empty((CHUNK_SIZE, CHUNK_SIZE), np.int32)
+            lib.terrain_heights(ctypes.c_uint32(seed & 0xFFFFFFFF),
+                                ctypes.c_int64(px), ctypes.c_int64(pz),
+                                h.ctypes.data_as(ctypes.c_void_p))
+        else:
+            xs = np.arange(CHUNK_SIZE, dtype=np.int64) + px * CHUNK_SIZE
+            zs = np.arange(CHUNK_SIZE, dtype=np.int64) + pz * CHUNK_SIZE
+            zz, xx = np.meshgrid(zs, xs, indexing="ij")
+            h = sample_terrain_height(xx, zz, seed=seed)
         if len(_HEIGHT_CACHE) >= _HEIGHT_CACHE_MAX:
             _HEIGHT_CACHE.clear()
         _HEIGHT_CACHE[key] = h
@@ -171,6 +190,19 @@ class Chunk:
             return Chunk.uniform(position, BlockType.AIR)
         if chunk_max_y < min_h - TERRAIN_SOLID_MARGIN:
             return Chunk.uniform(position, BlockType.STONE)
+
+        lib = _native_lib()
+        if lib is not None:
+            import ctypes
+
+            heights_i32 = np.ascontiguousarray(heights, np.int32)
+            blocks = np.empty((CHUNK_SIZE, CHUNK_SIZE, CHUNK_SIZE),
+                              np.uint8)
+            lib.terrain_fill(
+                heights_i32.ctypes.data_as(ctypes.c_void_p),
+                ctypes.c_int32(wy0),
+                blocks.ctypes.data_as(ctypes.c_void_p))
+            return Chunk(tuple(int(c) for c in position), blocks)
 
         # world_y[y] broadcast against heights[z, x]
         wy = (np.arange(CHUNK_SIZE, dtype=np.int32) + wy0)[None, :, None]

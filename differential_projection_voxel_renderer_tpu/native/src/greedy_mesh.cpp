@@ -344,6 +344,43 @@ void perlin_table_twin(uint32_t seed, uint8_t* out256) {
 }
 
 void perlin_grid_twin(uint32_t seed, const double* xs, const double* ys,
+                      int64_t n, double* out);
+
+// Terrain generation fast path (models/chunk.py generate_terrain;
+// reference src/voxel/chunk.rs:114-170).  Noise math goes through
+// perlin_grid_twin VERBATIM so the bits match the parity-tested path;
+// constants mirror utils/config.py (TERRAIN_SCALE 0.01, AMPLITUDE 20,
+// DIRT_DEPTH 3).  The Python column-height cache sits above this.
+void terrain_heights(uint32_t seed, int64_t px, int64_t pz,
+                     int32_t* out1024) {
+    double xs[1024], ys[1024], v[1024];
+    for (int z = 0; z < 32; z++)
+        for (int x = 0; x < 32; x++) {
+            xs[z * 32 + x] = (double)(px * 32 + x) * 0.01;
+            ys[z * 32 + x] = (double)(pz * 32 + z) * 0.01;
+        }
+    perlin_grid_twin(seed, xs, ys, 1024, v);
+    // Rust `as i32` truncates toward zero == np.trunc().astype(int32)
+    for (int i = 0; i < 1024; i++) out1024[i] = (int32_t)(v[i] * 20.0);
+}
+
+// heights[z*32+x] + chunk base world-y -> dense blocks u8[z][y][x]
+// (grass surface / 3 dirt / stone, chunk.rs:137-158)
+void terrain_fill(const int32_t* heights, int32_t wy0, uint8_t* out) {
+    for (int z = 0; z < 32; z++) {
+        const int32_t* hrow = heights + z * 32;
+        for (int y = 0; y < 32; y++) {
+            int32_t wy = wy0 + y;
+            uint8_t* row = out + (int64_t)(z * 32 + y) * 32;
+            for (int x = 0; x < 32; x++) {
+                int32_t h = hrow[x];
+                row[x] = wy > h ? 0 : (wy == h ? 1 : (wy > h - 3 ? 2 : 3));
+            }
+        }
+    }
+}
+
+void perlin_grid_twin(uint32_t seed, const double* xs, const double* ys,
                       int64_t n, double* out) {
     uint8_t t[256];
     perlin_twin::table_from_seed(seed, t);

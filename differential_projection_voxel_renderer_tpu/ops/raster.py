@@ -372,7 +372,7 @@ REC_FIELDS = F_FIELDS + I_FIELDS
 def _raster_kernel(y0_ref, starts_hbm, counts_hbm, rows_hbm, zmin_hbm,
                    rec_hbm, *refs,
                    height, width, tile_h, tile_w, tiles_x,
-                   tiles_per_step, pin_mul, with_init):
+                   tiles_per_step, pin_mul, with_init, opi=2):
     if with_init:
         (initc_ref, initd_ref, color_ref, depth_ref,
          starts_ref, counts_ref, rows_ref, zmin_ref,
@@ -570,15 +570,16 @@ def _raster_kernel(y0_ref, starts_hbm, counts_hbm, rows_hbm, zmin_hbm,
                 return tuple(out)
 
             def octet_pair_body(o, acc):
-                # TWO octets x 4 rows per iteration: each row's
+                # opi octets x 4 rows per iteration: each row's
                 # eval+reduce is one long serial dependency chain
-                # (measured 175 ns/row alone), so 8 independent rows in
-                # flight hide most of the latency
-                a = load_octet(o)
-                bq = load_octet(o + 1)
+                # (measured 175 ns/row alone), so 4*opi independent rows
+                # in flight hide most of the latency.  Larger opi buys
+                # more ILP but wastes evals when grouped octets have
+                # uneven row spans (iters = max span over the group).
+                group = [load_octet(o + jj) for jj in range(opi)]
 
                 def rows_body(i, acc):
-                    for fro, iro, ry0, ry1 in (a, bq):
+                    for fro, iro, ry0, ry1 in group:
                         y = ry0 + 4 * i
                         evs = [eval_row(fro, iro, y + u) for u in range(4)]
                         for u, (d, c) in enumerate(evs):
@@ -588,9 +589,12 @@ def _raster_kernel(y0_ref, starts_hbm, counts_hbm, rows_hbm, zmin_hbm,
                             acc = merge(acc, y + u, d, c)
                     return acc
 
-                iters = jnp.maximum((a[3] - a[2] + 4) // 4,
-                                    jnp.where(o + 1 < o_hi,
-                                              (bq[3] - bq[2] + 4) // 4, 0))
+                iters = (group[0][3] - group[0][2] + 4) // 4
+                for jj in range(1, opi):
+                    g = group[jj]
+                    iters = jnp.maximum(
+                        iters, jnp.where(o + jj < o_hi,
+                                         (g[3] - g[2] + 4) // 4, 0))
                 return jax.lax.fori_loop(0, iters, rows_body, acc)
 
             # exact occlusion break: items are sorted front-to-back per
@@ -609,7 +613,7 @@ def _raster_kernel(y0_ref, starts_hbm, counts_hbm, rows_hbm, zmin_hbm,
             def w_body(st):
                 o, dmax, acc = st
                 acc = octet_pair_body(o, acc)
-                # farthest accumulated pixel, refreshed every other pair
+                # farthest accumulated pixel, refreshed every ~4 octets
                 # (the full cross-lane reduce serializes against the
                 # blend chain — a stale dmax is merely conservative)
                 def _dmax(a):
@@ -618,9 +622,12 @@ def _raster_kernel(y0_ref, starts_hbm, counts_hbm, rows_hbm, zmin_hbm,
                         m = jnp.maximum(m, a[2 * i])
                     return jnp.max(m)
 
-                dmax = jax.lax.cond((o & 2) == 2, _dmax, lambda a: dmax,
-                                    acc)
-                return o + 2, dmax, acc
+                if opi >= 4:
+                    dmax = _dmax(acc)
+                else:
+                    dmax = jax.lax.cond((o & 2) == 2, _dmax, lambda a: dmax,
+                                        acc)
+                return o + opi, dmax, acc
 
             _, dmax, acc = jax.lax.while_loop(w_cond, w_body,
                                               (k_lo // 8, dmax, acc))
@@ -643,7 +650,7 @@ def _raster_kernel(y0_ref, starts_hbm, counts_hbm, rows_hbm, zmin_hbm,
 @functools.partial(
     jax.jit,
     static_argnames=("height", "width", "tile_h", "tile_w", "out_h",
-                     "interpret", "tiles_per_step"),
+                     "interpret", "tiles_per_step", "octets_per_iter"),
 )
 def rasterize_pallas(records, tile_starts, tile_counts, octet_rows,
                      octet_zmin, init_color=None, init_depth=None, *,
@@ -651,7 +658,7 @@ def rasterize_pallas(records, tile_starts, tile_counts, octet_rows,
                      out_h: int | None = None,
                      interpret: bool = False,
                      tiles_per_step: int | None = None,
-                     y0_px=0):
+                     y0_px=0, octets_per_iter: int = 2):
     """Binned, streamed, tiled Pallas rasterizer over the flat item stream.
 
     ``records`` i32[24, ITEM_CAP] — field-major quad records (floats
@@ -673,7 +680,11 @@ def rasterize_pallas(records, tile_starts, tile_counts, octet_rows,
     tiles_y, tiles_x = out_h // tile_h, width // tile_w
     n_tiles = tiles_y * tiles_x
     if tiles_per_step is None:
-        tps = 2 if tiles_x % 2 == 0 else 1  # tiles per grid step
+        # widest even divisor with a <=1024-lane out block: more tiles per
+        # step = fewer grid steps and deeper cross-tile DMA prefetch
+        # (tps=5 measured ~0.1-0.3 ms faster than tps=2 at 720p/vd12)
+        tps = next((t for t in (8, 6, 5, 4, 3, 2, 1)
+                    if tiles_x % t == 0 and 128 * t <= 1024), 1)
     else:
         tps = tiles_per_step
         assert tiles_x % tps == 0
@@ -684,7 +695,7 @@ def rasterize_pallas(records, tile_starts, tile_counts, octet_rows,
         tile_w=tile_w, tiles_x=tiles_x, tiles_per_step=tps,
         # interpret mode runs through XLA and must pin mul rounding like
         # the jnp twin; Mosaic-compiled kernels never contract
-        pin_mul=interpret, with_init=with_init,
+        pin_mul=interpret, with_init=with_init, opi=octets_per_iter,
     )
     steps_x = tiles_x // tps
     n_oct = records.shape[1] // 8

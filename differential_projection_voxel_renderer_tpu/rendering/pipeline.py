@@ -29,6 +29,7 @@ slot list (culling funnel) and the camera matrices.
 from __future__ import annotations
 
 import functools
+import os
 from dataclasses import dataclass
 
 import jax
@@ -335,19 +336,32 @@ def _render_step(
         # within-tile order: log-quantized near depth (4 bits — drives
         # how early the occlusion break fires) then the covered 4-row
         # band (2 bits — keeps octet row spans tight); suffix-min keeps
-        # the break EXACT regardless of this key's quality
+        # the break EXACT regardless of this key's quality.
+        # DPVR_BIN_ORDER selects the depth/row bit split (experiment
+        # knob; every split renders the identical frame — the blend is
+        # commutative — only raster economics change): "42" depth4.row2
+        # (default), "24" depth2.row4, "06" row4 only.
         dq4 = jnp.clip(
             (-jnp.log2(jnp.maximum(1.0 - dn_c, 1e-9)))
             .astype(jnp.int32), 0, 15)
         ty0_c = (bby_c & 0xFFFF) // tile_h
-        band = jnp.minimum(
-            jnp.clip((bby_c & 0xFFFF) - ty0_c * tile_h,
-                     0, tile_h - 1) >> 2, 3)
+        ly0_c = jnp.clip((bby_c & 0xFFFF) - ty0_c * tile_h, 0, tile_h - 1)
+        mode = os.environ.get("DPVR_BIN_ORDER", "42")
+        if mode == "24":
+            dq2 = dq4 >> 2
+            row4 = jnp.minimum(ly0_c, 15)
+            order6, order6_dy1 = (dq2 << 4) | row4, dq2 << 4
+        elif mode == "06":
+            order6, order6_dy1 = jnp.minimum(ly0_c, 15) << 2, \
+                jnp.zeros_like(ly0_c)
+        else:
+            band = jnp.minimum(ly0_c >> 2, 3)
+            order6, order6_dy1 = (dq4 << 2) | band, dq4 << 2
         flat, t_of_item, tile_starts, tile_counts, bin_overflow = (
             raster_ops.build_tile_lists(
                 tilebox, count_c, tiles_y=tiles_y, tiles_x=tiles_x,
                 item_cap=tile_k_cap,
-                order6=(dq4 << 2) | band, order6_dy1=dq4 << 2,
+                order6=order6, order6_dy1=order6_dy1,
             )
         )
         f_binned = f_full[:, flat]
