@@ -81,32 +81,33 @@ def _pixel_ndc(height: int, width: int, y0, x0, th: int, tw: int):
     return nx, ny
 
 
-def _eval_one_quad(nx, ny, fro, iro, pin_mul: bool = True):
-    """Shared per-quad pixel math: coverage / planar depth / texel color at
-    pixel NDC (nx, ny).  ``fro``/``iro`` are per-quad values in F_FIELDS /
-    I_FIELDS[:4] order, broadcastable against nx — scalars in the jnp path,
-    [8, 1] vregs in the octet kernel, [8, 128] lane-grouped vectors in the
-    packed kernel.
+def _eval_bases(nx, fro):
+    """Row-invariant products of the four plane evaluations at pixel
+    column NDC ``nx``: for fixed x, ``a * nx`` never changes across the
+    rows of an octet's span, so the octet kernel computes these ONCE per
+    octet ([8, 128] each) and each row eval saves one vector mul per
+    plane (4 of the ~45 vector ops per row).  Only the PRODUCT is
+    hoisted — the summation tree ``((a*nx) + (b*ny)) + c`` is unchanged,
+    so rounding is bit-identical to the unhoisted form and the
+    kernel-vs-twin full-frame equality gate still holds."""
+    (a00, _a01, _a02, a10, _a11, _a12, a20, _a21, _a22,
+     z0, _z1, _z2, _u0, _u1, _v0, _v1) = fro
+    return (a00 * nx, a10 * nx, a20 * nx, z0 * nx)
 
-    ``pin_mul`` is accepted for call-site symmetry but no longer changes
-    the math: compilers are free to contract a*b+c into FMAs BELOW the
-    HLO level (measured on XLA:CPU — neither optimization_barrier nor
-    bitcast round trips survive LLVM), so 1-ulp linear-form variance at
-    exact closed-edge pixels is unavoidable across differently-shaped
-    lowerings.  The parity suite therefore uses a boundary-verified gate
-    for the packed kernel (tests/test_render.py) instead of pretending
-    bit-determinism the toolchain cannot deliver; the reference gets
-    this determinism from Rust's no-contraction FP semantics, which jnp
-    does not offer."""
-    del pin_mul
-    (a00, a01, a02, a10, a11, a12, a20, a21, a22,
-     z0, z1, z2, u0, u1, v0, v1) = fro
+
+def _eval_one_quad_row(ny, fro, iro, bases):
+    """Per-row half of the quad pixel math: finish the plane evaluations
+    from the precomputed column products, then coverage / depth / texel.
+    See ``_eval_one_quad`` for the contract."""
+    (_a00, a01, a02, _a10, a11, a12, _a20, a21, a22,
+     _z0, z1, z2, u0, u1, v0, v1) = fro
     color_even, color_odd, mask_lo, mask_hi = iro
+    base_u, base_v, base_w, base_z = bases
 
-    qu = a00 * nx + a01 * ny + a02
-    qv = a10 * nx + a11 * ny + a12
-    qw = a20 * nx + a21 * ny + a22
-    z = z0 * nx + z1 * ny + z2
+    qu = base_u + a01 * ny + a02
+    qv = base_v + a11 * ny + a12
+    qw = base_w + a21 * ny + a22
+    z = base_z + z1 * ny + z2
 
     cover = (
         (qw > 0.0)
@@ -130,6 +131,27 @@ def _eval_one_quad(nx, ny, fro, iro, pin_mul: bool = True):
     ) & 1
     quad_color = jnp.where(bit != 0, color_odd, color_even)
     return cover, z, quad_color
+
+
+def _eval_one_quad(nx, ny, fro, iro, pin_mul: bool = True):
+    """Shared per-quad pixel math: coverage / planar depth / texel color at
+    pixel NDC (nx, ny).  ``fro``/``iro`` are per-quad values in F_FIELDS /
+    I_FIELDS[:4] order, broadcastable against nx — scalars in the jnp path,
+    [8, 1] vregs in the octet kernel, [8, 128] lane-grouped vectors in the
+    packed kernel.
+
+    ``pin_mul`` is accepted for call-site symmetry but no longer changes
+    the math: compilers are free to contract a*b+c into FMAs BELOW the
+    HLO level (measured on XLA:CPU — neither optimization_barrier nor
+    bitcast round trips survive LLVM), so 1-ulp linear-form variance at
+    exact closed-edge pixels is unavoidable across differently-shaped
+    lowerings.  The parity suite therefore uses a boundary-verified gate
+    for the packed kernel (tests/test_render.py) instead of pretending
+    bit-determinism the toolchain cannot deliver; the reference gets
+    this determinism from Rust's no-contraction FP semantics, which jnp
+    does not offer."""
+    del pin_mul
+    return _eval_one_quad_row(ny, fro, iro, _eval_bases(nx, fro))
 
 
 def _blend_one_quad(nx, ny, fro, iro, color, depth):
@@ -534,13 +556,15 @@ def _raster_kernel(y0_ref, starts_hbm, counts_hbm, rows_hbm, zmin_hbm,
                 fro[12] = jnp.where(kmask, fro[12], jnp.float32(jnp.inf))
                 fro[13] = jnp.where(kmask, fro[13], jnp.float32(-jnp.inf))
                 rb = rows_ref[jnp.minimum(gbase + o, rows_ref.shape[0] - 1)]
-                return tuple(fro), iro, rb & 0xFF, rb >> 8
+                # hoist the row-invariant halves of the plane evals: the 4
+                # [8, 128] bases are built once per octet, not per row
+                return (tuple(fro), iro, _eval_bases(nxv, fro),
+                        rb & 0xFF, rb >> 8)
 
-            def eval_row(fro, iro, y):
+            def eval_row(fro, iro, bases, y):
                 py = (py0 + y).astype(jnp.float32)
                 ny = 1.0 - 2.0 * (py + 0.5) / hf
-                cover, z, c = _eval_one_quad(nxv, ny, fro, iro,
-                                             pin_mul=pin_mul)
+                cover, z, c = _eval_one_quad_row(ny, fro, iro, bases)
                 covered = cover & (z == z)
                 d = jnp.where(covered, z, jnp.inf)
                 # uncovered lanes take INT32_MAX color so the (d, c) tie
@@ -575,13 +599,18 @@ def _raster_kernel(y0_ref, starts_hbm, counts_hbm, rows_hbm, zmin_hbm,
                 # (measured 175 ns/row alone), so 4*opi independent rows
                 # in flight hide most of the latency.  Larger opi buys
                 # more ILP but wastes evals when grouped octets have
-                # uneven row spans (iters = max span over the group).
+                # uneven row spans (iters = max span over the group) and
+                # coarsens the occlusion-break granularity.  Measured at
+                # 720p/vd12 (v5e, 59k items): opi 1/2/4/6/8/16 =
+                # 4.08/3.45/3.01/2.67/2.85/4.64 ms — 6 is the sweet spot
+                # (16 spills vregs), hence the default.
                 group = [load_octet(o + jj) for jj in range(opi)]
 
                 def rows_body(i, acc):
-                    for fro, iro, ry0, ry1 in group:
+                    for fro, iro, bases, ry0, ry1 in group:
                         y = ry0 + 4 * i
-                        evs = [eval_row(fro, iro, y + u) for u in range(4)]
+                        evs = [eval_row(fro, iro, bases, y + u)
+                               for u in range(4)]
                         for u, (d, c) in enumerate(evs):
                             # kills rows past ry1 AND whole iterations
                             # past the shorter octet's range
@@ -589,12 +618,12 @@ def _raster_kernel(y0_ref, starts_hbm, counts_hbm, rows_hbm, zmin_hbm,
                             acc = merge(acc, y + u, d, c)
                     return acc
 
-                iters = (group[0][3] - group[0][2] + 4) // 4
+                iters = (group[0][4] - group[0][3] + 4) // 4
                 for jj in range(1, opi):
                     g = group[jj]
                     iters = jnp.maximum(
                         iters, jnp.where(o + jj < o_hi,
-                                         (g[3] - g[2] + 4) // 4, 0))
+                                         (g[4] - g[3] + 4) // 4, 0))
                 return jax.lax.fori_loop(0, iters, rows_body, acc)
 
             # exact occlusion break: items are sorted front-to-back per
@@ -658,7 +687,7 @@ def rasterize_pallas(records, tile_starts, tile_counts, octet_rows,
                      out_h: int | None = None,
                      interpret: bool = False,
                      tiles_per_step: int | None = None,
-                     y0_px=0, octets_per_iter: int = 2):
+                     y0_px=0, octets_per_iter: int = 6):
     """Binned, streamed, tiled Pallas rasterizer over the flat item stream.
 
     ``records`` i32[24, ITEM_CAP] — field-major quad records (floats

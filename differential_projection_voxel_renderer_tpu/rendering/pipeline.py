@@ -354,6 +354,11 @@ def _render_step(
         elif mode == "06":
             order6, order6_dy1 = jnp.minimum(ly0_c, 15) << 2, \
                 jnp.zeros_like(ly0_c)
+        elif mode == "60":
+            dq6 = jnp.clip(
+                (-(4.0 * jnp.log2(jnp.maximum(1.0 - dn_c, 1e-9)))
+                 ).astype(jnp.int32), 0, 63)
+            order6 = order6_dy1 = dq6
         else:
             band = jnp.minimum(ly0_c >> 2, 3)
             order6, order6_dy1 = (dq4 << 2) | band, dq4 << 2
