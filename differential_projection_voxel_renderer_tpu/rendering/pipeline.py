@@ -171,6 +171,11 @@ def _render_step(
     band_y0: int = 0,     # rasterize only rows [band_y0, band_y0+band_h)
     band_h: int | None = None,  # (tp-sharded band rendering; NDC stays
                           # global, output is the band-sized buffer)
+    pre_geom=None,        # (valid, bbx, bby, depth_near, subpix_total)
+                          # from a SHARED projection pass — the two-pass
+                          # mode projects once and masks per pass instead
+                          # of paying the geometry stage (and its
+                          # per-Pallas-call dispatch tax) twice
 ):
     tables = proj_ops.view_tables(view_proj, cam_pos)
 
@@ -188,7 +193,14 @@ def _render_step(
     # (ops/geometry_pallas.py; identical math, ~10x less wall time than
     # the XLA lowering of the same ops); span mode and the jnp path use
     # the XLA form.
-    if use_pallas and not span_mode:
+    if pre_geom is not None:
+        assert use_pallas and not span_mode
+        proj_a = None
+        valid_a, bbx_a, bby_a, dn_a, subpix_total = pre_geom
+        # the shared pass projected the whole stream; this pass's quad
+        # range folds in as a mask
+        valid_a = valid_a & in_stream
+    elif use_pallas and not span_mode:
         ga = geom_ops.project_cull_pallas(
             quads, wq, n_quads, tables.view_proj, tables.cam_pos,
             width=width, height=height,
@@ -514,18 +526,38 @@ def _two_pass_step(quads, quad_world, n_quads, view_proj, cam_pos, *,
     are culled before their geometry/binning cost, and the far pass
     blends onto the near pass's framebuffer.  Commutative blending makes
     the output bit-identical to the single-pass frame (tested)."""
+    pre_geom = None
+    if step_kw.get("use_pallas") and not step_kw.get("span_mode"):
+        # project ONCE for both passes (each _render_step would otherwise
+        # run its own geometry stage — a second taxed Pallas call plus a
+        # second full-stream projection); the per-pass quad ranges fold in
+        # as masks inside _render_step
+        tables = proj_ops.view_tables(view_proj, cam_pos)
+        ga = geom_ops.project_cull_pallas(
+            quads, (quad_world[0], quad_world[1], quad_world[2]), n_quads,
+            tables.view_proj, tables.cam_pos,
+            width=step_kw["width"], height=step_kw["height"],
+            backface_culling=step_kw["backface_culling"],
+            interpret=step_kw["interpret"],
+        )
+        pre_geom = (ga["valid"], ga["bbx"], ga["bby"], ga["depth_near"],
+                    ga["subpixel"].sum().astype(jnp.int32))
     n1 = jnp.minimum(n_quads, jnp.int32(near_quads))
     color1, depth1, s1 = _render_step(
         quads, quad_world, n1, view_proj, cam_pos,
-        gather_cap=gather_cap, **step_kw)
+        gather_cap=gather_cap, pre_geom=pre_geom, **step_kw)
     hiz1 = hiz_ops.build_max_pyramid(depth1)
     color, depth, s2 = _render_step(
         quads, quad_world, n_quads, view_proj, cam_pos,
         gather_cap=gather_cap, skip_quads=jnp.int32(near_quads),
-        hiz_level1=hiz1, init_color=color1, init_depth=depth1, **step_kw)
+        hiz_level1=hiz1, init_color=color1, init_depth=depth1,
+        pre_geom=pre_geom, **step_kw)
+    # with a shared projection the per-pass subpixel counts are the same
+    # measurement — count it once
+    subpix = s2[4] if pre_geom is not None else s1[4] + s2[4]
     stats = jnp.stack([
         s2[0], s1[1] + s2[1], s1[2] + s2[2], s1[3] + s2[3],
-        s1[4] + s2[4], s2[5],
+        subpix, s2[5],
     ])
     return color, depth, stats
 
