@@ -50,6 +50,7 @@ def main():
         pass
     eng.prime_all()
     eng.warm_streaming()
+    eng.warm_buckets()  # a mid-flight bucket switch costs a ~2.5 s trace
     for _ in range(8):
         res = eng.render_frame(dt=0.0)
     jax.block_until_ready(res.color)

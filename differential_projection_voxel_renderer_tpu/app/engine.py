@@ -464,6 +464,13 @@ class Engine:
         README numbers)."""
         self._remesh(list(self.world.chunks.values()))
 
+    def warm_buckets(self) -> None:
+        """Pre-trace every renderer capacity bucket (see
+        Renderer.warm_buckets): a moving camera whose quad total crosses a
+        bucket boundary would otherwise pay a multi-second jit trace
+        inside one frame."""
+        self.renderer.warm_buckets(self.pool.quads)
+
     # --------------------------------------------------------------- frame
     def render_frame(self, dt: float = 0.016) -> FrameResult:
         frame_t0 = time.perf_counter()

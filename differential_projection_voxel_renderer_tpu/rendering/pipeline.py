@@ -692,6 +692,28 @@ class Renderer:
                 return c
         return self.gather_buckets[-1]
 
+    def warm_buckets(self, quad_pool) -> None:
+        """Pre-trace + compile EVERY capacity bucket's (fused, step) pair.
+
+        The bucket scheme jits one step per gather cap; the first frame
+        that crosses a bucket boundary otherwise pays the full jit trace
+        inside the frame loop — measured ~2.5 s of host time per entry
+        point even when the XLA binary is a persistent-cache hit (tracing
+        + MLIR conversion are not cached).  Warming moves that cost to
+        startup, where the reference pays its own world-prime cost
+        (main.rs:66-100)."""
+        vcap = self.config.visible_chunks_cap
+        cam = jnp.asarray(_pack_cam(np.eye(4, dtype=np.float32),
+                                    np.zeros(3, np.float32)))
+        meta = np.zeros(5 * vcap, np.int32)
+        meta[vcap] = 1  # one quad from pool slot 0
+        for cap in self.gather_buckets:
+            step, fused = self._steps_for(cap)
+            _c, _d, _s, quads, quad_world, total_dev = fused(
+                quad_pool, jnp.asarray(meta), cam)
+            jax.block_until_ready(
+                step(quads, quad_world, total_dev, cam))
+
     def _rebuild_tables(self) -> None:
         self._tables_np = build_quad_color_tables(
             self.atlas.kernel_tables(),
