@@ -101,9 +101,11 @@ def main():
 
     t0 = time.time()
     two_pass = int(os.environ.get("DPVR_TWO_PASS", "0"))
+    temporal = bool(int(os.environ.get("DPVR_TEMPORAL_HIZ", "0")))
     eng = Engine(
         render_config=RenderConfig(width=1280, height=720,
-                                   two_pass_near_quads=two_pass),
+                                   two_pass_near_quads=two_pass,
+                                   temporal_hiz=temporal),
         world_config=WorldConfig(
             view_distance=args.vd, frustum_culling=True, max_chunks_per_frame=16
         ),

@@ -321,6 +321,8 @@ class Engine:
         self._seen_vp = None
         self._visible_cache = None
         self._upload_cache = None
+        self._prev_hiz = None          # temporal_hiz: last static frame's
+        self._prev_hiz_sig = None      # max pyramid + its (sig, vp) identity
 
     # ------------------------------------------------------------- meshing
     def _remesh(self, visible_chunks) -> int:
@@ -554,9 +556,25 @@ class Engine:
                counts_sel[:n].tobytes())
         if self._upload_cache is not None and self._upload_cache[0] == sig:
             uploads = self._upload_cache[1]
-            color, depth, stats = self.renderer.render_prepared(
-                uploads, vp, cam.position
-            )
+            if self.config.temporal_hiz and cam_same:
+                # static frame: cull against the previous frame's depth
+                # pyramid — exact (same camera/world/draw list), and the
+                # new pyramid comes back fused in the same dispatch.  The
+                # first static frame seeds with +inf (culls nothing).
+                tsig = (sig, vp.tobytes())
+                hiz1 = (self._prev_hiz
+                        if self._prev_hiz is not None
+                        and self._prev_hiz_sig == tsig
+                        else self.renderer.empty_hiz())
+                color, depth, stats, self._prev_hiz = (
+                    self.renderer.render_prepared_hiz(
+                        uploads, vp, cam.position, hiz1))
+                self._prev_hiz_sig = tsig
+            else:
+                self._prev_hiz = None
+                color, depth, stats = self.renderer.render_prepared(
+                    uploads, vp, cam.position
+                )
         else:
             color, depth, stats, uploads = self.renderer.render_fused(
                 self.pool.quads, visible_slots, counts_sel, positions_sel,

@@ -125,7 +125,7 @@ def _eval_one_quad_row(ny, fro, iro, bases):
     tv = (vv * 8.0).astype(jnp.int32) & 7
     idx = tv * 8 + tu
     word = jnp.where(idx < 32, mask_lo, mask_hi)
-    shift = jnp.where(idx < 32, idx, idx - 32)
+    shift = idx & 31  # == idx - 32 for idx in [32, 64): one op, not a select
     bit = jax.lax.shift_right_logical(
         jnp.broadcast_to(word, shift.shape), shift
     ) & 1
@@ -575,14 +575,17 @@ def _raster_kernel(y0_ref, starts_hbm, counts_hbm, rows_hbm, zmin_hbm,
                 # commutative lexicographic (depth, color bits) order —
                 # same rule as _blend_one_quad, so the reduction order
                 # chosen here (and the binner's item order) cannot change
-                # the frame
+                # the frame.  Decomposed as (min d, then min c among the
+                # d-ties): identical result to a paired lexicographic
+                # butterfly, at 14 vector ops instead of 27 (the paired
+                # form pays 2 rolls + 3 compares + 2 selects per stage)
+                dm = d
                 for shift in (4, 2, 1):
-                    d2 = pltpu.roll(d, shift, 0)
-                    c2 = pltpu.roll(c, shift, 0)
-                    lt = (d2 < d) | ((d2 == d) & (c2 < c))
-                    d = jnp.where(lt, d2, d)
-                    c = jnp.where(lt, c2, c)
-                return d, c
+                    dm = jnp.minimum(dm, pltpu.roll(dm, shift, 0))
+                c = jnp.where(d == dm, c, jnp.int32(2**31 - 1))
+                for shift in (4, 2, 1):
+                    c = jnp.minimum(c, pltpu.roll(c, shift, 0))
+                return dm, c
 
             def merge(acc, y, d, c):
                 out = []

@@ -609,6 +609,22 @@ def _fused_frame(quad_pool, meta_i, cam_f, *, vcap: int,
     return color, depth, stats, quads, quad_world, total
 
 
+def _step_camf_hiz(quads, quad_world, n_quads, cam_f, hiz1, *,
+                   gather_cap: int, near_quads: int = 0, **step_kw):
+    """Temporal-occlusion step: one render pass with ``hiz1`` (the
+    PREVIOUS frame's rendered-depth max pyramid, or +inf on the first
+    static frame) culling provably-losing quads, returning the new
+    pyramid fused in the same dispatch.  Exact when camera/world/draw
+    list are unchanged since the pyramid's frame (the engine guarantees
+    that); see RenderConfig.temporal_hiz."""
+    del near_quads  # mutually exclusive with two-pass (checked in __init__)
+    view_proj, cam_pos = _unpack_cam(cam_f)
+    color, depth, stats = _render_step(
+        quads, quad_world, n_quads, view_proj, cam_pos,
+        gather_cap=gather_cap, hiz_level1=hiz1, **step_kw)
+    return color, depth, stats, hiz_ops.build_max_pyramid(depth)
+
+
 def _step_camf(quads, quad_world, n_quads, cam_f, *, gather_cap: int,
                near_quads: int = 0, **step_kw):
     view_proj, cam_pos = _unpack_cam(cam_f)
@@ -665,6 +681,12 @@ class Renderer:
                         cfg.gather_cap)
             if c >= 16384) or (cfg.gather_cap,)
         self._steps: dict[int, tuple] = {}
+        self._hiz_steps: dict[int, object] = {}
+        if cfg.temporal_hiz and cfg.two_pass_near_quads:
+            raise ValueError(
+                "temporal_hiz and two_pass_near_quads are mutually "
+                "exclusive (both are forms of the same exact pyramid "
+                "cull; the temporal one has no near pass to seed)")
         self._step, self._fused = self._steps_for(cfg.gather_cap)
 
     def _steps_for(self, gather_cap: int):
@@ -787,6 +809,36 @@ class Renderer:
             quads, quad_world, total,
             jnp.asarray(_pack_cam(view_proj, cam_pos)),
         )
+
+    def _hiz_step_for(self, gather_cap: int):
+        got = self._hiz_steps.get(gather_cap)
+        if got is not None:
+            return got
+        cfg = self.config
+        kw = dict(self._base_step_kw,
+                  render_cap=min(cfg.quads_cap, gather_cap),
+                  tile_k_cap=min(cfg.tile_k_cap, 2 * gather_cap))
+        got = jax.jit(
+            functools.partial(_step_camf_hiz, gather_cap=gather_cap, **kw))
+        self._hiz_steps[gather_cap] = got
+        return got
+
+    def empty_hiz(self):
+        """+inf seed pyramid: culls nothing (the uniform first-static-frame
+        input, so the temporal path needs no separate seeding trace)."""
+        h, w = self.config.height, self.config.width
+        return jnp.full(((h + 7) // 8, (w + 7) // 8), jnp.inf, jnp.float32)
+
+    def render_prepared_hiz(self, uploads, view_proj, cam_pos, hiz1):
+        """Static-camera temporal step (RenderConfig.temporal_hiz):
+        render with the previous frame's max pyramid culling quads, and
+        return (color, depth, stats, new_pyramid) in one dispatch.  The
+        CALLER is responsible for only passing a pyramid rendered from
+        the identical camera + draw list + world (else pass empty_hiz)."""
+        quads, quad_world, total = uploads
+        fn = self._hiz_step_for(int(quads.shape[0]))
+        return fn(quads, quad_world, total,
+                  jnp.asarray(_pack_cam(view_proj, cam_pos)), hiz1)
 
     def render(self, quad_pool, visible_slots, counts_sel, positions_sel,
                view_proj, cam_pos):

@@ -131,6 +131,16 @@ class RenderConfig:
     # bit-identical either way (tested); worthwhile when occlusion is
     # high and dispatch overhead low.
     two_pass_near_quads: int = 0
+    # temporal exact occlusion: on static-camera frames, cull quads
+    # against the PREVIOUS frame's rendered-depth max pyramid before
+    # their binning/raster cost (rendering/pipeline.py
+    # render_prepared_hiz).  Same pyramid test as the two-pass mode but
+    # the "near pass" is last frame's finished depth, so the duplicated
+    # pipeline cost disappears.  Exact: with camera, world and draw list
+    # unchanged, a quad that provably loses against the final depth
+    # contributes nothing, so the frame is bit-identical (tested); the
+    # engine falls back to the normal step the moment anything changes.
+    temporal_hiz: bool = False
     # sub-column-packed raster kernel (ops/raster_packed.py): 4 narrow-quad
     # buckets per [8,128] row evaluation.  Measured SLOWER than the octet
     # kernel at vd12 on v5e (5.2 vs 3.0 ms: the [8,1] coefficient loads

@@ -163,3 +163,48 @@ def test_two_pass_renderer_facade():
     c1, d1, _ = _render_step(*args, **kw1)
     c2, d2, _ = _two_pass_step(*args, near_quads=16, **kw1)
     np.testing.assert_array_equal(np.asarray(c1), np.asarray(c2))
+
+
+def test_temporal_two_pass_config_rejected():
+    """temporal_hiz and the explicit two-pass mode are the same pyramid
+    cull twice over; combining them must fail loudly."""
+    with pytest.raises(ValueError):
+        Renderer(RenderConfig(width=W, height=H, use_pallas=False,
+                              temporal_hiz=True, two_pass_near_quads=16))
+
+
+def test_temporal_hiz_engine_bit_identical():
+    """Static-camera temporal occlusion (RenderConfig.temporal_hiz):
+    frame 1 seeds with a +inf pyramid (culls nothing, == the plain
+    frame); frames 2+ cull against frame N-1's rendered-depth pyramid
+    and must stay bit-identical while actually culling."""
+    from differential_projection_voxel_renderer_tpu.app.engine import Engine
+    from differential_projection_voxel_renderer_tpu.models.world import (
+        WorldConfig,
+    )
+
+    eng = Engine(
+        render_config=RenderConfig(width=256, height=128,
+                                   temporal_hiz=True),
+        world_config=WorldConfig(view_distance=3),
+        pool_slots=1024,
+    )
+    eng.camera.position = np.array([0.0, 10.0, 20.0], np.float32)
+    eng.camera.look_at(np.array([0.0, 0.0, -60.0]))
+    while eng.world.update(eng.camera.position):
+        pass
+    eng.prime_all()
+    frames = [eng.render_frame(dt=0.0) for _ in range(3)]
+    f1, f2, f3 = [(np.asarray(r.color), np.asarray(r.depth),
+                   np.asarray(r.stats)) for r in frames]
+    # frame 1 took the plain path (upload cache was cold); frame 2 seeds
+    # the pyramid; frame 3 culls against frame 2's depth
+    np.testing.assert_array_equal(f1[0], f3[0])
+    np.testing.assert_array_equal(f1[1], f3[1])
+    assert f2[2][5] == 0          # seed frame culls nothing
+    assert f3[2][5] > 0           # temporal cull fired
+    # moving the camera falls back to the plain path (and resets the
+    # pyramid identity) without changing the frame for the new pose
+    eng.camera.position += np.array([0.5, 0.0, 0.0], np.float32)
+    r_m = eng.render_frame(dt=0.0)
+    assert int(np.asarray(r_m.stats)[5]) == 0
