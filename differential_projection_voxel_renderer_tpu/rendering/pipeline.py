@@ -570,11 +570,15 @@ def _pack_cam(view_proj, cam_pos) -> np.ndarray:
 
 
 def _unpack_meta(meta_i, vcap: int):
-    """One consolidated int32 upload -> (slots, counts, positions).
+    """One consolidated int16 upload -> (slots, counts, positions) int32.
 
     Per-frame host->device transfers each cost a round trip on
     relay-attached hosts, so the per-chunk draw-list arrays travel as a
-    single [vcap*5] array (slots | counts | positions.ravel)."""
+    single [vcap*5] array (slots | counts | positions.ravel), in int16
+    (10 KB -> 5 KB per moving-camera frame; every value fits: pool slots
+    < 32768, per-chunk quad counts <= QUADS_PER_CHUNK_CAP = 4096, chunk
+    grid coords are small)."""
+    meta_i = meta_i.astype(jnp.int32)
     slots = meta_i[:vcap]
     counts = meta_i[vcap:2 * vcap]
     positions = meta_i[2 * vcap:5 * vcap].reshape(vcap, 3)
@@ -727,7 +731,7 @@ class Renderer:
         vcap = self.config.visible_chunks_cap
         cam = jnp.asarray(_pack_cam(np.eye(4, dtype=np.float32),
                                     np.zeros(3, np.float32)))
-        meta = np.zeros(5 * vcap, np.int32)
+        meta = np.zeros(5 * vcap, np.int16)
         meta[vcap] = 1  # one quad from pool slot 0
         for cap in self.gather_buckets:
             step, fused = self._steps_for(cap)
@@ -790,10 +794,10 @@ class Renderer:
             counts_sel = np.where(cum <= cap, counts_sel,
                                   np.maximum(cap - (cum - counts_sel), 0))
         vcap = self.config.visible_chunks_cap
-        meta = np.empty(5 * vcap, np.int32)
-        meta[:vcap] = np.asarray(visible_slots, np.int32)
-        meta[vcap:2 * vcap] = counts_sel.astype(np.int32)
-        meta[2 * vcap:] = np.asarray(positions_sel, np.int32).ravel()
+        meta = np.empty(5 * vcap, np.int16)
+        meta[:vcap] = np.asarray(visible_slots, np.int16)
+        meta[vcap:2 * vcap] = counts_sel.astype(np.int16)
+        meta[2 * vcap:] = np.asarray(positions_sel, np.int16).ravel()
         _, fused = self._steps_for(cap)
         color, depth, stats, quads, quad_world, total_dev = fused(
             quad_pool,
