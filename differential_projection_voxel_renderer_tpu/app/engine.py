@@ -62,6 +62,22 @@ def _pool_set_rows_prefix(pool, slots, rows):
     return pool.at[slots].set(full)
 
 
+@functools.partial(jax.jit, donate_argnums=0, static_argnames=("mc",))
+def _pool_set_rows_flat(pool, slots, flat, starts, counts, *, mc: int):
+    """Row update from a FLAT concatenated quad stream: the batch crosses
+    host->device as sum(counts) quads (pow2-padded) instead of k
+    bucket-width rows — a streaming frame's ~9x~300-quad batch is ~11 KB
+    of real payload vs 32 KB of padded rows, and H2D through the relay
+    is the whole cost of the insert path (NOTES.md round 3).  Rows are
+    rebuilt device-side with one [k, mc] gather."""
+    k = slots.shape[0]
+    j = jax.lax.broadcasted_iota(jnp.int32, (k, mc), 1)
+    idx = jnp.clip(starts[:, None] + j, 0, flat.shape[0] - 1)
+    vals = jnp.where(j < counts[:, None], flat[idx], jnp.uint32(0))
+    full = jnp.zeros((k, pool.shape[1]), pool.dtype).at[:, :mc].set(vals)
+    return pool.at[slots].set(full)
+
+
 class QuadPool:
     """Device-resident mesh cache: packed quads per chunk slot.
 
@@ -157,24 +173,25 @@ class QuadPool:
             for i in range(0, len(items), 512):
                 self.insert_many(items[i:i + 512])
             return
-        # width ladder {512, 1024, qcap}: each distinct (rows, width)
-        # shape retraces the donated scatter (~0.6 s of remote compile),
-        # and one oversized mesh must not drag the whole batch to a wide
-        # bucket (H2D through the relay is ~100 ms/MB; 23% of terrain
-        # meshes exceed 512 quads, p99 ~850) — split the batch by bucket.
-        def bucket(it):
-            n = 0 if it[1] is None else len(it[1])
-            return 512 if n <= 512 else (1024 if n <= 1024 else self.qcap)
-
-        buckets = {bucket(it) for it in items}
-        if len(buckets) > 1:
-            for b in sorted(buckets):
-                self.insert_many([it for it in items if bucket(it) == b])
-            return
+        # The batch crosses as ONE flat concatenated quad stream
+        # (pow2-padded) + tiny (slot, start, count) arrays; rows are
+        # rebuilt device-side (_pool_set_rows_flat).  Shape ladders bound
+        # the jit retrace count: batch size {16, 64, 512}, device row
+        # width {512, qcap}.  Meshes wider than 512 go in their own call
+        # so the common streaming batch keeps the small gather width and
+        # the warmable (16, 512, fp) shape family (warm_streaming).
+        if any(it[1] is not None and len(it[1]) > 512 for it in items):
+            small = [it for it in items
+                     if it[1] is None or len(it[1]) <= 512]
+            wide = [it for it in items
+                    if it[1] is not None and len(it[1]) > 512]
+            if small:
+                self.insert_many(small)
+            items = wide
         k = len(items)
-        mc = buckets.pop()
-        rows = np.zeros((k, mc), np.uint32)
         slots = np.zeros(k, np.int32)
+        counts = np.zeros(k, np.int32)
+        parts = []
         for i, (pos, quads) in enumerate(items):
             key = tuple(int(c) for c in pos)
             slot = self.by_pos.get(key)
@@ -191,19 +208,32 @@ class QuadPool:
                 n = min(len(quads), self.qcap)
                 if len(quads) > self.qcap:
                     self.overflow_drops += len(quads) - self.qcap
-                rows[i, :n] = quads[:n]
+                parts.append(np.asarray(quads[:n], np.uint32))
             slots[i] = slot
+            counts[i] = n
             self.counts[slot] = n
             self.positions[slot] = key
-        # batch-size ladder {16, 64, 512} (same shape-churn rationale)
+        starts = np.cumsum(counts) - counts
+        total = int(counts.sum())
+        mc = 512 if counts.max(initial=0) <= 512 else self.qcap
         kp = 16 if k <= 16 else (64 if k <= 64 else 512)
         if kp != k:  # pad with idempotent duplicates of entry 0
-            rows = np.concatenate(
-                [rows, np.broadcast_to(rows[0], (kp - k, mc))])
-            slots = np.concatenate(
-                [slots, np.full(kp - k, slots[0], np.int32)])
-        self.quads = _pool_set_rows_prefix(self.quads, jnp.asarray(slots),
-                                           jnp.asarray(rows))
+            slots = np.concatenate([slots, np.full(kp - k, slots[0],
+                                                   np.int32)])
+            starts = np.concatenate([starts, np.full(kp - k, starts[0],
+                                                     np.int64)])
+            counts = np.concatenate([counts, np.full(kp - k, counts[0],
+                                                     np.int32)])
+        # pow2 with a 2048 floor: bounds the flat-shape ladder to
+        # {2048, 4096, 8192, ...} (each distinct shape is one retrace)
+        fp = 1 << max(11, (max(total, 1) - 1).bit_length())
+        flat = np.zeros(fp, np.uint32)
+        if total:
+            flat[:total] = np.concatenate(parts)
+        self.quads = _pool_set_rows_flat(
+            self.quads, jnp.asarray(slots), jnp.asarray(flat),
+            jnp.asarray(starts.astype(np.int32)), jnp.asarray(counts),
+            mc=mc)
         self._dev_cache = None
         self._lookup_cache = None
 
@@ -454,10 +484,19 @@ class Engine:
         through the remote toolchain; cached persistently).  Inserts a
         throwaway entry at each batch-ladder size, then removes it."""
         fake = (10**6, 10**6, 10**6)
-        for width in (1, 513):  # -> mc 512 and 1024
-            row = np.zeros(width, np.uint32)
-            for bs in (1, 17):  # -> kp 16 and 64
-                self.pool.insert_many([(fake, row)] * bs)
+        # (kp, mc, fp) shape grid the flat-stream insert path can hit in
+        # a streaming frame (each distinct shape = one jit trace; a miss
+        # mid-flight costs ~2.5 s inside a frame):
+        # kp16 x mc512 x fp {2048, 4096, 8192} (16 x 512 caps fp at 8192)
+        for bs, width in ((1, 450), (5, 450), (10, 450),
+                          # kp64 x mc512 x fp {2048, 4096, 8192, 16384,
+                          # 32768} (neighbor-heavy frames)
+                          (17, 1), (17, 200), (17, 450), (30, 450),
+                          (64, 450),
+                          # kp16 x mc qcap x fp {2048, 4096} (a >512-quad
+                          # mesh splits into its own call)
+                          (1, 513), (4, 513)):
+            self.pool.insert_many([(fake, np.zeros(width, np.uint32))] * bs)
         self.pool.remove(fake)
 
     def prime_all(self) -> None:

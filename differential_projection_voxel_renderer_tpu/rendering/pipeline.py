@@ -371,6 +371,10 @@ def _render_step(
                 (-(4.0 * jnp.log2(jnp.maximum(1.0 - dn_c, 1e-9)))
                  ).astype(jnp.int32), 0, 63)
             order6 = order6_dy1 = dq6
+        elif mode == "33":
+            dq3 = dq4 >> 1
+            row3 = jnp.minimum(ly0_c >> 1, 7)
+            order6, order6_dy1 = (dq3 << 3) | row3, dq3 << 3
         else:
             band = jnp.minimum(ly0_c >> 2, 3)
             order6, order6_dy1 = (dq4 << 2) | band, dq4 << 2
