@@ -114,7 +114,9 @@ def main():
         f"backend {jax.default_backend()}")
     tables = build_quad_color_tables(TextureAtlas().kernel_tables())
 
-    W, H, TH, TW = 1280, 720, int(os.environ.get("PROF_TH", "16")), 128
+    W, H = 1280, 720
+    TH = int(os.environ.get("PROF_TH", "16"))
+    TW = int(os.environ.get("PROF_TW", "128"))  # 64 -> pair kernel
     GQ = quads_np.shape[0]
     RC = int(os.environ.get("PROF_RC", "49152"))
     TK = int(os.environ.get("PROF_TK", "98304"))
@@ -295,6 +297,12 @@ def main():
                         r, tile_starts, tile_counts, octet_rows,
                         octet_zmin, height=H, width=W, tile_h=TH,
                         out_h=out_h)
+                elif TW == 64:
+                    c, d = R.rasterize_pallas_pair(
+                        r, tile_starts, tile_counts, octet_rows,
+                        octet_zmin, height=H, width=W, tile_h=TH,
+                        out_h=out_h, pairs_per_step=tps,
+                        octets_per_iter=opi)
                 else:
                     c, d = R.rasterize_pallas(
                         r, tile_starts, tile_counts, octet_rows,

@@ -427,13 +427,28 @@ def _render_step(
             init_depth = jnp.pad(
                 init_depth, ((0, out_h - bh), (0, 0)),
                 constant_values=jnp.inf)
-        color, depth = raster_ops.rasterize_pallas(
-            records, tile_starts, tile_counts, octet_rows, octet_zmin,
-            init_color, init_depth,
-            height=height, width=width,
-            tile_h=tile_h, tile_w=tile_w, out_h=out_h,
-            interpret=interpret, y0_px=band_y0,
-        )
+        if tile_w == 64:
+            # paired half-tile kernel: two 16x64 tiles per [8,128] eval
+            # (ops/raster._raster_kernel_pair) — bit-identical frames,
+            # roughly half the row evaluations of the 128-wide octet
+            # kernel at terrain quad sizes.  No init path: the two-pass
+            # far pass keeps tile_w=128.
+            assert init_color is None, (
+                "tile_w=64 has no init-framebuffer path; use tile_w=128 "
+                "for the two-pass mode")
+            color, depth = raster_ops.rasterize_pallas_pair(
+                records, tile_starts, tile_counts, octet_rows, octet_zmin,
+                height=height, width=width, tile_h=tile_h, out_h=out_h,
+                interpret=interpret, y0_px=band_y0,
+            )
+        else:
+            color, depth = raster_ops.rasterize_pallas(
+                records, tile_starts, tile_counts, octet_rows, octet_zmin,
+                init_color, init_depth,
+                height=height, width=width,
+                tile_h=tile_h, tile_w=tile_w, out_h=out_h,
+                interpret=interpret, y0_px=band_y0,
+            )
         if out_h != bh:
             color = color[:bh]
             depth = depth[:bh]
