@@ -61,8 +61,6 @@ def main():
     # pass 2 instrumented: replicate render_frame's phases with timers
     t_update = t_remesh = t_rest = 0.0
     t_scan, t_meshonly, t_insert = [], [], []
-    deferred = []
-    seen_defer = set()
     n = 40
     chunks_meshed = 0
     t_all0 = time.time()
@@ -86,9 +84,6 @@ def main():
                 loaded = eng.world.chunks
                 for p in vis_pos[~has].tolist():
                     pos = (p[0], p[1], p[2])
-                    if pos in seen_defer:
-                        continue  # deferred-insert probe: mesh once
-                    seen_defer.add(pos)
                     to_mesh.append(pos)
                     for off in eng._neighbor_offsets:
                         np_ = (pos[0] + off[0], pos[1] + off[1],
@@ -104,14 +99,7 @@ def main():
                     batch.append((pos, mesh_chunk(chunk, eng.world.chunks)))
             tm = time.perf_counter()
             t_meshonly.append(tm - ts)
-            if os.environ.get("DPVR_DEFER_INSERT"):
-                # hypothesis probe: do the renders degrade because mesh
-                # uploads INTERLEAVE with frame dispatches on this relay
-                # (NOTES r2)?  Defer all uploads past the timed loop —
-                # the frames then miss the new chunks (measurement only)
-                deferred.extend(batch)
-            else:
-                eng.pool.insert_many(batch)
+            eng.pool.insert_many(batch)
             t_insert.append(time.perf_counter() - tm)
             chunks_meshed += len(to_mesh)
         else:
