@@ -87,6 +87,12 @@ class QuadPool:
     """
 
     def __init__(self, slots: int = 4096, qcap: int = QUADS_PER_CHUNK_CAP):
+        if slots > 32767:
+            # pool slots travel in the renderer's int16 draw-list upload
+            # (rendering/pipeline.py render_fused); a larger pool would
+            # wrap and gather the wrong rows
+            raise ValueError("QuadPool slots must be <= 32767 "
+                             "(int16 draw-list upload)")
         self.slots = slots
         self.qcap = qcap
         self.quads = jnp.zeros((slots, qcap), jnp.uint32)

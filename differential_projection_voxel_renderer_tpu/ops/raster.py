@@ -639,8 +639,13 @@ def _raster_kernel(y0_ref, starts_hbm, counts_hbm, rows_hbm, zmin_hbm,
 
             def w_cond(st):
                 o, dmax, _ = st
-                return (o < o_hi) & ((o * 8 < k_lo)
-                                     | (zmin_ref[gbase + o] <= dmax))
+                # clamp: the loop's FINAL condition check runs with o up
+                # to o_hi + opi - 1, which can index past the zmin
+                # scratch (the value is masked out by `o < o_hi`, but
+                # the read itself must stay in bounds)
+                zm = zmin_ref[jnp.minimum(gbase + o,
+                                          zmin_ref.shape[0] - 1)]
+                return (o < o_hi) & ((o * 8 < k_lo) | (zm <= dmax))
 
             def w_body(st):
                 o, dmax, acc = st

@@ -184,9 +184,10 @@ def render_exact(quads, chunk_world, vp, cam_pos, width, height,
             tv = (vv * 8.0).astype(np.int64) & 7
             idx = tv * 8 + tu
             block = int(f["block"][i])
-            bits = (int(color_tables["mask_lo"][block])
-                    | (int(color_tables["mask_hi"][block]) << 32))
-            bit = (bits >> idx) & 1
+            # uint64: bits >= 2**63 would overflow the int64 broadcast
+            bits = np.uint64((int(color_tables["mask_lo"][block])
+                              | (int(color_tables["mask_hi"][block]) << 32)))
+            bit = (bits >> idx.astype(np.uint64)) & np.uint64(1)
             ce = np.uint32(color_tables["color_even"][face, block])
             co = np.uint32(color_tables["color_odd"][face, block])
             quad_color = np.where(bit != 0, co, ce)
@@ -278,11 +279,14 @@ def pixel_candidates(quads, chunk_world, vp, cam_pos, width, height,
             tv = (vv * 8.0).astype(np.int64) & 7
             idx = tv * 8 + tu
             block = int(f["block"][i])
-            bits = (int(color_tables["mask_lo"][block])
-                    | (int(color_tables["mask_hi"][block]) << 32))
+            # uint64 arithmetic: a Python-int `bits` >= 2**63 (mask_hi
+            # bit 31 set) overflows numpy's int64 broadcast
+            bits = np.uint64((int(color_tables["mask_lo"][block])
+                              | (int(color_tables["mask_hi"][block]) << 32)))
             ce = np.uint32(color_tables["color_even"][face, block])
             co = np.uint32(color_tables["color_odd"][face, block])
-            colors = np.where((bits >> idx) & 1 != 0, co, ce)
+            colors = np.where(
+                (bits >> idx.astype(np.uint64)) & np.uint64(1) != 0, co, ce)
         else:
             colors = np.full(len(pixels),
                              np.uint32(BLOCK_COLORS_ARGB[int(f["block"][i])]),

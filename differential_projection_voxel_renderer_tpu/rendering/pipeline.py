@@ -277,9 +277,11 @@ def _render_step(
         count_c = jnp.minimum(n_valid, rc)
         stream_q = jnp.arange(gq, dtype=jnp.int32)
         use_packed = packed_raster and not span_mode
-        if use_packed and (init_color is not None or hiz_level1 is not None):
+        if use_packed and init_color is not None:
             # the packed kernel has no init-framebuffer path: silently
-            # dropping the near pass's output would render a wrong frame
+            # dropping the near pass's output would render a wrong frame.
+            # (hiz_level1 WITHOUT init is fine — it only culls quads
+            # before binning, e.g. the temporal_hiz mode.)
             raise ValueError(
                 "packed_raster cannot run as a two-pass far pass "
                 "(no init framebuffer support); disable "
@@ -358,6 +360,11 @@ def _render_step(
             .astype(jnp.int32), 0, 15)
         ty0_c = (bby_c & 0xFFFF) // tile_h
         ly0_c = jnp.clip((bby_c & 0xFFFF) - ty0_c * tile_h, 0, tile_h - 1)
+        # NOTE: read at TRACE time — the chosen split is baked into each
+        # compiled step; changing the env after a bucket has traced is
+        # silently ignored (set it before constructing the Renderer).
+        # Measured at vd12 (v5e): 42 = 2.85 ms raster, 33 = 3.23 — the
+        # depth bits drive the occlusion break and dominate row coherence
         mode = os.environ.get("DPVR_BIN_ORDER", "42")
         if mode == "24":
             dq2 = dq4 >> 2
@@ -712,22 +719,28 @@ class Renderer:
                 "cull; the temporal one has no near pass to seed)")
         self._step, self._fused = self._steps_for(cfg.gather_cap)
 
+    def _bucket_kw(self, gather_cap: int) -> dict:
+        """Per-bucket step kwargs: render and bin caps shrink
+        proportionally with the gather cap (sized ~1.3x / ~1.7x the
+        worst-case survivor counts like the full-size defaults).  Shared
+        by the normal, fused and temporal-hiz step builders so every
+        entry point sizes a bucket identically."""
+        cfg = self.config
+        return dict(self._base_step_kw,
+                    render_cap=min(cfg.quads_cap, gather_cap),
+                    tile_k_cap=min(cfg.tile_k_cap, 2 * gather_cap))
+
     def _steps_for(self, gather_cap: int):
-        """(step, fused) jitted pair for one gather-cap bucket; render and
-        bin caps shrink proportionally (sized ~1.3x / ~1.7x the worst-case
-        survivor counts like the full-size defaults)."""
+        """(step, fused) jitted pair for one gather-cap bucket."""
         got = self._steps.get(gather_cap)
         if got is not None:
             return got
-        cfg = self.config
-        kw = dict(self._base_step_kw,
-                  render_cap=min(cfg.quads_cap, gather_cap),
-                  tile_k_cap=min(cfg.tile_k_cap, 2 * gather_cap))
+        kw = self._bucket_kw(gather_cap)
         step = jax.jit(
             functools.partial(_step_camf, gather_cap=gather_cap, **kw))
         fused = jax.jit(
             functools.partial(_fused_frame, gather_cap=gather_cap,
-                              vcap=cfg.visible_chunks_cap, **kw))
+                              vcap=self.config.visible_chunks_cap, **kw))
         self._steps[gather_cap] = (step, fused)
         return step, fused
 
@@ -758,6 +771,9 @@ class Renderer:
                 quad_pool, jnp.asarray(meta), cam)
             jax.block_until_ready(
                 step(quads, quad_world, total_dev, cam))
+            if self.config.temporal_hiz:
+                jax.block_until_ready(self._hiz_step_for(cap)(
+                    quads, quad_world, total_dev, cam, self.empty_hiz()))
 
     def _rebuild_tables(self) -> None:
         self._tables_np = build_quad_color_tables(
@@ -813,10 +829,19 @@ class Renderer:
             counts_sel = np.where(cum <= cap, counts_sel,
                                   np.maximum(cap - (cum - counts_sel), 0))
         vcap = self.config.visible_chunks_cap
+        slots_a = np.asarray(visible_slots, np.int32)
+        pos_a = np.asarray(positions_sel, np.int32)
+        if slots_a.max(initial=0) > 32767 or np.abs(pos_a).max() > 32767:
+            # the int16 packing below would silently wrap and gather the
+            # WRONG pool rows / chunk origins — fail loudly instead
+            raise ValueError(
+                "draw-list meta exceeds int16 range (pool slot > 32767 "
+                "or |chunk grid coord| > 32767); shrink the pool or the "
+                "world extent, or widen the meta upload")
         meta = np.empty(5 * vcap, np.int16)
-        meta[:vcap] = np.asarray(visible_slots, np.int16)
+        meta[:vcap] = slots_a.astype(np.int16)
         meta[vcap:2 * vcap] = counts_sel.astype(np.int16)
-        meta[2 * vcap:] = np.asarray(positions_sel, np.int16).ravel()
+        meta[2 * vcap:] = pos_a.astype(np.int16).ravel()
         _, fused = self._steps_for(cap)
         color, depth, stats, quads, quad_world, total_dev = fused(
             quad_pool,
@@ -837,12 +862,9 @@ class Renderer:
         got = self._hiz_steps.get(gather_cap)
         if got is not None:
             return got
-        cfg = self.config
-        kw = dict(self._base_step_kw,
-                  render_cap=min(cfg.quads_cap, gather_cap),
-                  tile_k_cap=min(cfg.tile_k_cap, 2 * gather_cap))
         got = jax.jit(
-            functools.partial(_step_camf_hiz, gather_cap=gather_cap, **kw))
+            functools.partial(_step_camf_hiz, gather_cap=gather_cap,
+                              **self._bucket_kw(gather_cap)))
         self._hiz_steps[gather_cap] = got
         return got
 
