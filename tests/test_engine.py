@@ -221,3 +221,39 @@ def test_runtime_toggles():
     assert eng.toggle_shading() is True
     eng.set_view_distance(2)
     assert eng.world.config.view_distance == 2
+
+
+def test_pool_slots_int16_guard():
+    """pool slots ride the renderer's int16 draw-list upload; an
+    oversized pool must fail at construction, not wrap silently."""
+    from differential_projection_voxel_renderer_tpu.app.engine import QuadPool
+    with pytest.raises(ValueError):
+        QuadPool(slots=40000)
+
+
+def test_temporal_hiz_world_change_resets_pyramid():
+    """temporal_hiz: a WORLD change (new chunk streamed in) must fall
+    back to the plain step / reseed — the old pyramid's frame identity
+    is gone even though the camera is static."""
+    eng = Engine(render_config=RenderConfig(width=256, height=128,
+                                            temporal_hiz=True),
+                 world_config=WorldConfig(view_distance=2,
+                                          max_chunks_per_frame=1000),
+                 pool_slots=1024)
+    eng.camera.position = np.array([0.0, 10.0, 20.0], np.float32)
+    eng.camera.look_at(np.array([0.0, 0.0, -60.0]))
+    while eng.world.update(eng.camera.position):
+        pass
+    eng.prime_all()
+    for _ in range(3):
+        r = eng.render_frame(dt=0.0)
+    assert int(np.asarray(r.stats)[5]) > 0  # temporal cull active
+    # mutate the world: move far away (streams chunks, bumps version)
+    eng.camera.position = np.array([500.0, 10.0, 20.0], np.float32)
+    r = eng.render_frame(dt=0.0)
+    assert int(np.asarray(r.stats)[5]) == 0  # no stale-pyramid cull
+    # settle at the new pose: temporal re-engages within two frames
+    r2 = eng.render_frame(dt=0.0)
+    r3 = eng.render_frame(dt=0.0)
+    np.testing.assert_array_equal(np.asarray(r2.color),
+                                  np.asarray(r3.color))
