@@ -200,7 +200,13 @@ def _render_step(
         # the shared pass projected the whole stream; this pass's quad
         # range folds in as a mask
         valid_a = valid_a & in_stream
-    elif use_pallas and not span_mode:
+    elif (use_pallas and not span_mode
+          and not os.environ.get("DPVR_XLA_GEOM")):
+        # DPVR_XLA_GEOM=1 (trace-time knob): run stage A as the XLA form
+        # below instead of the fused kernel — on relay-attached hosts the
+        # kernel's ~10x compute win (~0.05 vs ~1.0 ms) is eaten by the
+        # flat per-Pallas-call tax, and dropping the call may win if the
+        # taxes do not overlap under async dispatch (measure, NOTES r3)
         ga = geom_ops.project_cull_pallas(
             quads, wq, n_quads, tables.view_proj, tables.cam_pos,
             width=width, height=height,
