@@ -687,7 +687,8 @@ def _raster_kernel(y0_ref, starts_hbm, counts_hbm, rows_hbm, zmin_hbm,
 @functools.partial(
     jax.jit,
     static_argnames=("height", "width", "tile_h", "tile_w", "out_h",
-                     "interpret", "tiles_per_step", "octets_per_iter"),
+                     "interpret", "tiles_per_step", "octets_per_iter",
+                     "stream_group"),
 )
 def rasterize_pallas(records, tile_starts, tile_counts, octet_rows,
                      octet_zmin, init_color=None, init_depth=None, *,
@@ -695,7 +696,8 @@ def rasterize_pallas(records, tile_starts, tile_counts, octet_rows,
                      out_h: int | None = None,
                      interpret: bool = False,
                      tiles_per_step: int | None = None,
-                     y0_px=0, octets_per_iter: int = 6):
+                     y0_px=0, octets_per_iter: int = 6,
+                     stream_group: int = 1):
     """Binned, streamed, tiled Pallas rasterizer over the flat item stream.
 
     ``records`` i32[24, ITEM_CAP] — field-major quad records (floats
@@ -719,23 +721,38 @@ def rasterize_pallas(records, tile_starts, tile_counts, octet_rows,
     if tiles_per_step is None:
         # widest even divisor with a <=1024-lane out block: more tiles per
         # step = fewer grid steps and deeper cross-tile DMA prefetch
-        # (tps=5 measured ~0.1-0.3 ms faster than tps=2 at 720p/vd12)
+        # (tps=5 measured ~0.1-0.3 ms faster than tps=2 at 720p/vd12).
+        # A shared stream_group additionally requires stream_group | tps.
         tps = next((t for t in (8, 6, 5, 4, 3, 2, 1)
-                    if tiles_x % t == 0 and 128 * t <= 1024), 1)
+                    if tiles_x % t == 0 and 128 * t <= 1024
+                    and t % stream_group == 0), 1)
     else:
         tps = tiles_per_step
         assert tiles_x % tps == 0
 
     with_init = init_color is not None
-    kernel = functools.partial(
-        _raster_kernel, height=height, width=width, tile_h=tile_h,
-        tile_w=tile_w, tiles_x=tiles_x, tiles_per_step=tps,
-        # interpret mode runs through XLA and must pin mul rounding like
-        # the jnp twin; Mosaic-compiled kernels never contract
-        pin_mul=interpret, with_init=with_init, opi=octets_per_iter,
-    )
+    if stream_group > 1:
+        # shared-stream variant: stream_group adjacent tiles share one
+        # record DMA chain + transpose (bit-identical frames; see
+        # _raster_kernel_shared)
+        assert tps % stream_group == 0, (tps, stream_group)
+        kernel = functools.partial(
+            _raster_kernel_shared, height=height, width=width,
+            tile_h=tile_h, tiles_x=tiles_x, tiles_per_step=tps,
+            stream_group=stream_group, with_init=with_init,
+            opi=octets_per_iter,
+        )
+    else:
+        kernel = functools.partial(
+            _raster_kernel, height=height, width=width, tile_h=tile_h,
+            tile_w=tile_w, tiles_x=tiles_x, tiles_per_step=tps,
+            # interpret mode runs through XLA and must pin mul rounding
+            # like the jnp twin; Mosaic-compiled kernels never contract
+            pin_mul=interpret, with_init=with_init, opi=octets_per_iter,
+        )
     steps_x = tiles_x // tps
     n_oct = records.shape[1] // 8
+    n_slots = (2 * (tps // stream_group) if stream_group > 1 else 2 * tps)
 
     def _fb_block(st, _y0r):
         return (st // steps_x, st % steps_x)
@@ -768,9 +785,9 @@ def rasterize_pallas(records, tile_starts, tile_counts, octet_rows,
             pltpu.SMEM((n_tiles,), jnp.int32),
             pltpu.SMEM((n_oct,), jnp.int32),
             pltpu.SMEM((n_oct,), jnp.float32),
-            pltpu.VMEM((24, 2 * tps * BLOCK_Q), jnp.int32),
+            pltpu.VMEM((24, n_slots * BLOCK_Q), jnp.int32),
             pltpu.VMEM((BLOCK_Q, 24), jnp.int32),
-            pltpu.SemaphoreType.DMA((2 * tps,)),
+            pltpu.SemaphoreType.DMA((n_slots,)),
             pltpu.SemaphoreType.DMA((4,)),
         ],
     )
@@ -786,6 +803,269 @@ def rasterize_pallas(records, tile_starts, tile_counts, octet_rows,
     )(y0_arr, tile_starts, tile_counts, octet_rows, octet_zmin, records,
       *((init_color, init_depth) if with_init else ()))
     return color, depth
+
+
+def _raster_kernel_shared(y0_ref, starts_hbm, counts_hbm, rows_hbm, zmin_hbm,
+                          rec_hbm, *refs,
+                          height, width, tile_h, tiles_x,
+                          tiles_per_step, stream_group, with_init, opi=6):
+    """Octet rasterizer with a SHARED record stream per tile group.
+
+    Identical per-pixel math, item stream, row spans and blend order as
+    ``_raster_kernel`` — frames are bit-identical (tested).  What changes
+    is the stream machinery: adjacent tiles' item segments are CONTIGUOUS
+    in the flat binned stream (build_tile_lists emits tiles in row-major
+    order), so a group of ``stream_group`` adjacent tiles can share ONE
+    double-buffered 256-record DMA chain and ONE per-block transpose.
+    Each block is walked once per member tile with that tile's
+    [k_lo, k_hi) segment clamp, its own nx window, accumulator and
+    occlusion-break state — exactly the straddle-octet masking the solo
+    kernel already does at block boundaries, applied at group scale.
+
+    Motivation (measured, NOTES r2): the solo kernel's per-tile fixed
+    cost is ~2 us x 450 tiles at 720p — geo/DMA-issue/transpose/loop
+    machinery, not row evals.  Sharing the stream across ``stream_group``
+    tiles divides the DMA issues, transposes and partial-block overlap
+    by the group size; row-eval work is unchanged by construction.
+    Costs: the group's accumulators stay live across the whole combined
+    segment (stream_group x n_sub x 2 vregs) — vreg pressure bounds the
+    useful group size — and a tile's octets can arrive one block later
+    than solo (its segment is walked inside the shared chain)."""
+    if with_init:
+        (initc_ref, initd_ref, color_ref, depth_ref,
+         starts_ref, counts_ref, rows_ref, zmin_ref,
+         rec_vmem, rec_t, sem, meta_sem) = refs
+    else:
+        (color_ref, depth_ref,
+         starts_ref, counts_ref, rows_ref, zmin_ref,
+         rec_vmem, rec_t, sem, meta_sem) = refs
+        initc_ref = initd_ref = None
+    step = pl.program_id(0)
+    steps_x = tiles_x // tiles_per_step
+    n_groups = tiles_per_step // stream_group
+    n_sub = tile_h // 8
+
+    metas = ((starts_hbm, starts_ref), (counts_hbm, counts_ref),
+             (rows_hbm, rows_ref), (zmin_hbm, zmin_ref))
+
+    @pl.when(step == 0)
+    def _():
+        for i, (src, dst) in enumerate(metas):
+            pltpu.make_async_copy(src, dst, meta_sem.at[i]).start()
+        for i, (src, dst) in enumerate(metas):
+            pltpu.make_async_copy(src, dst, meta_sem.at[i]).wait()
+
+    sub = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1)
+    wf = jnp.float32(width)
+    hf = jnp.float32(height)
+    inff = jnp.full((8, 128), jnp.inf, jnp.float32)
+    skyv = jnp.full((8, 128), SKY_I32, jnp.int32)
+
+    def tile_acc0(j):
+        if not with_init:
+            return tuple([inff, skyv] * n_sub)
+        out = []
+        for i in range(n_sub):
+            out.append(initd_ref[pl.ds(i * 8, 8), pl.ds(128 * j, 128)])
+            out.append(initc_ref[pl.ds(i * 8, 8), pl.ds(128 * j, 128)])
+        return tuple(out)
+
+    def tile_geo(st, j):
+        # j: tile index within the step (0..tiles_per_step)
+        ty = st // steps_x
+        tx = (st % steps_x) * tiles_per_step + j
+        t = ty * tiles_x + tx
+        return t, tx, ty, counts_ref[t], starts_ref[t]
+
+    def group_geo(st, g):
+        # combined contiguous segment of the group's stream_group tiles
+        t0, _, _, _, base0 = tile_geo(st, g * stream_group)
+        tl, _, _, cl, bl = tile_geo(st, (g + 1) * stream_group - 1)
+        total = bl + cl - base0
+        first_blk = base0 // BLOCK_Q
+        last_blk = (base0 + jnp.maximum(total, 1) - 1) // BLOCK_Q
+        nblocks = jnp.where(total > 0, last_blk - first_blk + 1, 0)
+        return first_blk, nblocks
+
+    def dma(slot, first_blk, b):
+        off = pl.multiple_of((first_blk + b) * BLOCK_Q, BLOCK_Q)
+        return pltpu.make_async_copy(
+            rec_hbm.at[:, pl.ds(off, BLOCK_Q)],
+            rec_vmem.at[:, pl.ds(slot * BLOCK_Q, BLOCK_Q)],
+            sem.at[slot],
+        )
+
+    def start_first_blocks(st):
+        for g in range(n_groups):
+            fb, nb = group_geo(st, g)
+
+            @pl.when(nb > 0)
+            def _(fb=fb, g=g):
+                dma(2 * g, fb, 0).start()
+
+    @pl.when(step == 0)
+    def _():
+        start_first_blocks(step)
+
+    def do_group(g):
+        first_blk, nblocks = group_geo(step, g)
+        slot0 = 2 * g
+        geo = [tile_geo(step, g * stream_group + i)
+               for i in range(stream_group)]
+        py0 = y0_ref[0] + geo[0][2] * tile_h
+        nxs = []
+        for _, tx, _, _, _ in geo:
+            px = jnp.float32(tx * 128) + lane.astype(jnp.float32)
+            nxs.append((2.0 * (px + 0.5) - wf) / wf)  # == _pixel_ndc
+
+        def block_body(b, carry):
+            accs, dmaxs = carry
+            slot = slot0 + b % 2
+
+            @pl.when(b + 1 < nblocks)
+            def _():
+                dma(slot0 + (b + 1) % 2, first_blk, b + 1).start()
+
+            dma(slot, first_blk, b).wait()
+            rec_t[:] = jnp.transpose(
+                rec_vmem[:, pl.ds(pl.multiple_of(slot * BLOCK_Q, BLOCK_Q),
+                                  BLOCK_Q)])
+            blk0 = (first_blk + b) * BLOCK_Q
+            gbase = blk0 // 8
+
+            def load_octet(o):
+                # identical to _raster_kernel.load_octet except k-range
+                # bounds arrive per member tile (closure args below)
+                oc = jnp.minimum(o, BLOCK_Q // 8 - 1)
+                g8 = pl.multiple_of(oc * 8, 8)
+                recs = [rec_t[pl.ds(g8, 8), f:f + 1]
+                        for f in range(N_BLEND_FIELDS + 4)]
+                fro = list(jax.lax.bitcast_convert_type(r, jnp.float32)
+                           for r in recs[:N_BLEND_FIELDS])
+                iro = tuple(recs[N_BLEND_FIELDS:N_BLEND_FIELDS + 4])
+                return fro, iro
+
+            def walk_tile(i, acc, dmax0):
+                _, _, _, count, base = geo[i]
+                nxv = nxs[i]
+                k_lo = jnp.maximum(base - blk0, 0)
+                k_hi = jnp.minimum(base + count - blk0, BLOCK_Q)
+                bases_nx = nxv
+
+                def load_tile_octet(o):
+                    fro, iro = load_octet(o)
+                    kv = (o * 8
+                          + jax.lax.broadcasted_iota(jnp.int32, (8, 1), 0))
+                    kmask = (kv >= k_lo) & (kv < k_hi)
+                    fro[12] = jnp.where(kmask, fro[12],
+                                        jnp.float32(jnp.inf))
+                    fro[13] = jnp.where(kmask, fro[13],
+                                        jnp.float32(-jnp.inf))
+                    rb = rows_ref[jnp.minimum(gbase + o,
+                                              rows_ref.shape[0] - 1)]
+                    return (tuple(fro), iro, _eval_bases(bases_nx, fro),
+                            rb & 0xFF, rb >> 8)
+
+                def eval_row(fro, iro, bases, y):
+                    py = (py0 + y).astype(jnp.float32)
+                    ny = 1.0 - 2.0 * (py + 0.5) / hf
+                    cover, z, c = _eval_one_quad_row(ny, fro, iro, bases)
+                    covered = cover & (z == z)
+                    d = jnp.where(covered, z, jnp.inf)
+                    c = jnp.where(covered, c, jnp.int32(2**31 - 1))
+                    for shift in (4, 2, 1):
+                        d2 = pltpu.roll(d, shift, 0)
+                        c2 = pltpu.roll(c, shift, 0)
+                        lt = (d2 < d) | ((d2 == d) & (c2 < c))
+                        d = jnp.where(lt, d2, d)
+                        c = jnp.where(lt, c2, c)
+                    return d, c
+
+                def merge(acc, y, d, c):
+                    out = []
+                    for s in range(n_sub):
+                        ad, ac = acc[2 * s], acc[2 * s + 1]
+                        upd = (sub == y - 8 * s) & (
+                            (d < ad) | ((d == ad) & (c < ac)))
+                        out += [jnp.where(upd, d, ad), jnp.where(upd, c, ac)]
+                    return tuple(out)
+
+                o_hi = (k_hi + 7) // 8
+
+                def octet_group_body(o, acc):
+                    group = [load_tile_octet(o + jj) for jj in range(opi)]
+
+                    def rows_body(_i, acc):
+                        for fro, iro, bases, ry0, ry1 in group:
+                            y = ry0 + 4 * _i
+                            evs = [eval_row(fro, iro, bases, y + u)
+                                   for u in range(4)]
+                            for u, (d, c) in enumerate(evs):
+                                d = jnp.where(y + u <= ry1, d, jnp.inf)
+                                acc = merge(acc, y + u, d, c)
+                        return acc
+
+                    iters = (group[0][4] - group[0][3] + 4) // 4
+                    for jj in range(1, opi):
+                        gg = group[jj]
+                        iters = jnp.maximum(
+                            iters, jnp.where(o + jj < o_hi,
+                                             (gg[4] - gg[3] + 4) // 4, 0))
+                    return jax.lax.fori_loop(0, iters, rows_body, acc)
+
+                def w_cond(st):
+                    o, dmax, _ = st
+                    zm = zmin_ref[jnp.minimum(gbase + o,
+                                              zmin_ref.shape[0] - 1)]
+                    return (o < o_hi) & ((o * 8 < k_lo) | (zm <= dmax))
+
+                def w_body(st):
+                    o, dmax, acc = st
+                    acc = octet_group_body(o, acc)
+
+                    def _dmax(a):
+                        m = a[0]
+                        for s in range(1, n_sub):
+                            m = jnp.maximum(m, a[2 * s])
+                        return jnp.max(m)
+
+                    if opi >= 4:
+                        dmax = _dmax(acc)
+                    else:
+                        dmax = jax.lax.cond((o & 2) == 2, _dmax,
+                                            lambda a: dmax, acc)
+                    return o + opi, dmax, acc
+
+                _, dmax1, acc = jax.lax.while_loop(
+                    w_cond, w_body, (jnp.maximum(k_lo, 0) // 8, dmax0, acc))
+                return acc, dmax1
+
+            new_accs, new_dmaxs = [], []
+            for i in range(stream_group):
+                a, dm = walk_tile(i, accs[i], dmaxs[i])
+                new_accs.append(a)
+                new_dmaxs.append(dm)
+            return tuple(new_accs), tuple(new_dmaxs)
+
+        accs0 = tuple(tile_acc0(g * stream_group + i)
+                      for i in range(stream_group))
+        dmaxs0 = tuple(jnp.float32(jnp.inf) for _ in range(stream_group))
+        accs, _ = jax.lax.fori_loop(0, nblocks, block_body, (accs0, dmaxs0))
+        for i in range(stream_group):
+            j = g * stream_group + i
+            for s in range(n_sub):
+                depth_ref[pl.ds(s * 8, 8),
+                          pl.ds(128 * j, 128)] = accs[i][2 * s]
+                color_ref[pl.ds(s * 8, 8),
+                          pl.ds(128 * j, 128)] = accs[i][2 * s + 1]
+
+    for g in range(n_groups):
+        do_group(g)
+
+    @pl.when(step + 1 < pl.num_programs(0))
+    def _():
+        start_first_blocks(step + 1)
 
 
 def _raster_kernel_pair(y0_ref, starts_hbm, counts_hbm, rows_hbm, zmin_hbm,

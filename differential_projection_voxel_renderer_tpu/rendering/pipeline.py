@@ -455,12 +455,16 @@ def _render_step(
                 interpret=interpret, y0_px=band_y0,
             )
         else:
+            # DPVR_STREAM_GROUP (trace-time knob, like DPVR_BIN_ORDER):
+            # adjacent tiles per shared record stream in the octet kernel
+            # (1 = per-tile streams; frames are bit-identical either way)
             color, depth = raster_ops.rasterize_pallas(
                 records, tile_starts, tile_counts, octet_rows, octet_zmin,
                 init_color, init_depth,
                 height=height, width=width,
                 tile_h=tile_h, tile_w=tile_w, out_h=out_h,
                 interpret=interpret, y0_px=band_y0,
+                stream_group=int(os.environ.get("DPVR_STREAM_GROUP", "1")),
             )
         if out_h != bh:
             color = color[:bh]

@@ -171,6 +171,25 @@ def test_pair_kernel_matches_jnp(fuzz_scene):
     np.testing.assert_array_equal(s1[:2], s2[:2])
 
 
+def test_shared_stream_kernel_matches_jnp(fuzz_scene, monkeypatch):
+    """Shared-stream octet kernel (ops/raster._raster_kernel_shared,
+    DPVR_STREAM_GROUP > 1): adjacent tiles share one record DMA chain.
+    Same math, same item walk order per tile -> STRICT bit equality with
+    the jnp twin, like the solo octet kernel.  Needs a framebuffer wider
+    than one tile (the fuzz fixture is 128 px), so this test renders the
+    same scene at 256x128 with a 2-tile group."""
+    chunk, quads, cam256, *_ = fuzz_scene
+    cam = _camera([16.0, 48.0, 16.0], [16.0, 8.0, 16.0], aspect=2.0)
+    renderer = Renderer(RenderConfig(width=256, height=H, use_pallas=False))
+    args = _render_args(renderer, quads, cam)
+    c1, d1, s1 = _step(renderer, args, use_pallas=False, interpret=False)
+    monkeypatch.setenv("DPVR_STREAM_GROUP", "2")
+    c2, d2, s2 = _step(renderer, args, use_pallas=True, interpret=True,
+                       packed=False)
+    _assert_kernel_parity(c1, d1, c2, d2)
+    np.testing.assert_array_equal(s1[:2], s2[:2])
+
+
 def test_pallas_matches_jnp_span_mode(fuzz_scene):
     _, _, _, renderer, args = fuzz_scene
     c1, d1, _ = _step(renderer, args, use_pallas=False, interpret=False, span_mode=True)
