@@ -257,10 +257,15 @@ def main():
 
             timeit(loop(body_full), (vps_d, cams_d), k, st)
         elif st.startswith("raster"):
-            # raster / raster0 with optional _tpsN / _opiN suffixes
+            # raster / raster0 with optional _tpsN / _opiN / _sgN suffixes
+            # (_sgN = shared-stream group size, ops/raster stream_group)
             tps = None
             opi = 2
+            sg = 1
             base = st
+            if "_sg" in base:
+                base, t = base.split("_sg")
+                sg = int(t)
             if "_opi" in base:
                 base, t = base.split("_opi")
                 opi = int(t)
@@ -288,7 +293,8 @@ def main():
             log(f"{st}: {int(nit)} binned items over "
                 f"{int((np.asarray(tile_counts) > 0).sum())} tiles")
 
-            def body_raster(i, acc, records=records, tps=tps, opi=opi):
+            def body_raster(i, acc, records=records, tps=tps, opi=opi,
+                            sg=sg):
                 # vary a harmless record field per iteration to defeat CSE
                 r = records.at[23, 0].set(i)
                 if int(np.asarray(tile_counts).shape[0]) > 2000:
@@ -308,7 +314,7 @@ def main():
                         r, tile_starts, tile_counts, octet_rows,
                         octet_zmin, height=H, width=W, tile_h=TH,
                         tile_w=TW, out_h=out_h, tiles_per_step=tps,
-                        octets_per_iter=opi)
+                        octets_per_iter=opi, stream_group=sg)
                 return acc + c[0, 0].astype(jnp.float32)
 
             def run(x):

@@ -143,6 +143,22 @@ def test_two_pass_bit_identical(use_pallas):
     assert int(s2[0]) == int(s1[0])
 
 
+def test_two_pass_shared_stream_bit_identical(monkeypatch):
+    """The shared-stream kernel's init-framebuffer path (two-pass far
+    pass blending onto the near pass's output) must reproduce the
+    single-pass frame bit-exactly, like the solo kernel.  Needs a frame
+    wider than one tile (256 px, 2-tile group)."""
+    renderer = Renderer(RenderConfig(width=256, height=H, use_pallas=False))
+    args = _wall_args(renderer)
+    kw = _kw(renderer, use_pallas=True, interpret=True)
+    c1, d1, s1 = _render_step(*args, **kw)
+    monkeypatch.setenv("DPVR_STREAM_GROUP", "2")
+    c2, d2, s2 = _two_pass_step(*args, near_quads=16, **kw)
+    np.testing.assert_array_equal(np.asarray(d1), np.asarray(d2))
+    np.testing.assert_array_equal(np.asarray(c1), np.asarray(c2))
+    assert int(s2[5]) > 0
+
+
 def test_two_pass_renderer_facade():
     """macrotile_renderer(use_hiz=True) produces the same frame as the
     plain Renderer through the public API."""
