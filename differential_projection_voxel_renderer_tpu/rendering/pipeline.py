@@ -388,6 +388,15 @@ def _render_step(
             dq3 = dq4 >> 1
             row3 = jnp.minimum(ly0_c >> 1, 7)
             order6, order6_dy1 = (dq3 << 3) | row3, dq3 << 3
+        elif mode == "4s":
+            # depth4 + SPAN2: low bits group quads of similar pixel-row
+            # span (in 4-row iteration units) — octets then hold
+            # similar-iters quads, so the kernel's per-group
+            # max-over-members row loop wastes no evals on short members
+            # (cost-sim finding: at opi 6 the group max inflates row
+            # evals ~34% over the per-octet ideal under band ordering)
+            span2 = jnp.minimum(((bby_c >> 16) - (bby_c & 0xFFFF)) >> 2, 3)
+            order6 = order6_dy1 = (dq4 << 2) | span2
         else:
             band = jnp.minimum(ly0_c >> 2, 3)
             order6, order6_dy1 = (dq4 << 2) | band, dq4 << 2

@@ -21,6 +21,16 @@ def normalize(v: np.ndarray) -> np.ndarray:
     return v / np.float32(n)
 
 
+def cross3(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """3-vector cross product, same formula (and f32 results) as
+    ``np.cross`` but without its ~50 us of moveaxis/broadcast machinery —
+    ``np.cross`` was the single hottest host-frame cost at 6 calls/frame
+    (measured via cProfile; see camera caching note)."""
+    return np.array([a[1] * b[2] - a[2] * b[1],
+                     a[2] * b[0] - a[0] * b[2],
+                     a[0] * b[1] - a[1] * b[0]], dtype=np.float32)
+
+
 def perspective_rh(fov_y: float, aspect: float, near: float, far: float) -> np.ndarray:
     """glam Mat4::perspective_rh — right handed, clip z in [0, 1]."""
     f32 = np.float32
@@ -42,8 +52,8 @@ def look_at_rh(eye: np.ndarray, center: np.ndarray, up: np.ndarray) -> np.ndarra
     """glam Mat4::look_at_rh."""
     eye = np.asarray(eye, dtype=np.float32)
     f = normalize(np.asarray(center, dtype=np.float32) - eye)  # forward
-    s = normalize(np.cross(f, np.asarray(up, dtype=np.float32)))
-    u = np.cross(s, f)
+    s = normalize(cross3(f, np.asarray(up, dtype=np.float32)))
+    u = cross3(s, f)
     m = np.eye(4, dtype=np.float32)
     m[0, :3] = s
     m[1, :3] = u
