@@ -262,7 +262,11 @@ def main():
             tps = None
             opi = 2
             sg = 1
+            rt = False
             base = st
+            if "_rt" in base:
+                base = base.replace("_rt", "")
+                rt = True
             if "_sg" in base:
                 base, t = base.split("_sg")
                 sg = int(t)
@@ -294,7 +298,7 @@ def main():
                 f"{int((np.asarray(tile_counts) > 0).sum())} tiles")
 
             def body_raster(i, acc, records=records, tps=tps, opi=opi,
-                            sg=sg):
+                            sg=sg, rt=rt):
                 # vary a harmless record field per iteration to defeat CSE
                 r = records.at[23, 0].set(i)
                 if int(np.asarray(tile_counts).shape[0]) > 2000:
@@ -314,7 +318,7 @@ def main():
                         r, tile_starts, tile_counts, octet_rows,
                         octet_zmin, height=H, width=W, tile_h=TH,
                         tile_w=TW, out_h=out_h, tiles_per_step=tps,
-                        octets_per_iter=opi, stream_group=sg)
+                        octets_per_iter=opi, stream_group=sg, row_tree=rt)
                 return acc + c[0, 0].astype(jnp.float32)
 
             def run(x):

@@ -394,7 +394,8 @@ REC_FIELDS = F_FIELDS + I_FIELDS
 def _raster_kernel(y0_ref, starts_hbm, counts_hbm, rows_hbm, zmin_hbm,
                    rec_hbm, *refs,
                    height, width, tile_h, tile_w, tiles_x,
-                   tiles_per_step, pin_mul, with_init, opi=2):
+                   tiles_per_step, pin_mul, with_init, opi=2,
+                   row_tree=False):
     if with_init:
         (initc_ref, initd_ref, color_ref, depth_ref,
          starts_ref, counts_ref, rows_ref, zmin_ref,
@@ -561,7 +562,7 @@ def _raster_kernel(y0_ref, starts_hbm, counts_hbm, rows_hbm, zmin_hbm,
                 return (tuple(fro), iro, _eval_bases(nxv, fro),
                         rb & 0xFF, rb >> 8)
 
-            def eval_row(fro, iro, bases, y):
+            def eval_row_raw(fro, iro, bases, y):
                 py = (py0 + y).astype(jnp.float32)
                 ny = 1.0 - 2.0 * (py + 0.5) / hf
                 cover, z, c = _eval_one_quad_row(ny, fro, iro, bases)
@@ -571,6 +572,9 @@ def _raster_kernel(y0_ref, starts_hbm, counts_hbm, rows_hbm, zmin_hbm,
                 # rule below can never promote them (their d is +inf and
                 # every real color word is smaller)
                 c = jnp.where(covered, c, jnp.int32(2**31 - 1))
+                return d, c
+
+            def butterfly(d, c):
                 # butterfly min over the 8 sublanes (= quads) under the
                 # commutative lexicographic (depth, color bits) order —
                 # same rule as _blend_one_quad, so the reduction order
@@ -586,6 +590,9 @@ def _raster_kernel(y0_ref, starts_hbm, counts_hbm, rows_hbm, zmin_hbm,
                     d = jnp.where(lt, d2, d)
                     c = jnp.where(lt, c2, c)
                 return d, c
+
+            def eval_row(fro, iro, bases, y):
+                return butterfly(*eval_row_raw(fro, iro, bases, y))
 
             def merge(acc, y, d, c):
                 out = []
@@ -608,6 +615,63 @@ def _raster_kernel(y0_ref, starts_hbm, counts_hbm, rows_hbm, zmin_hbm,
                 # 4.08/3.45/3.01/2.67/2.85/4.64 ms — 6 is the sweet spot
                 # (16 spills vregs), hence the default.
                 group = [load_octet(o + jj) for jj in range(opi)]
+
+                if row_tree:
+                    # merge-tree row loop: the whole group shares one row
+                    # base, each row's opi octet results tree-reduce
+                    # (depth ceil(log2 opi)) to ONE accumulator merge.
+                    # The plain loop's per-row acc merges form the
+                    # iteration's longest serial chain (~24 same-vreg
+                    # selects at opi 6 = the fitted 183 ns/row-iter
+                    # stall, benches/kernel_cost_sim.py); the tree cuts
+                    # it ~4x.  Cost: iters = UNION span over the group —
+                    # measured +1.7% rows at order 42 (the order bits
+                    # already cluster bands).  The reduce is the same
+                    # commutative lexicographic min, so frames stay
+                    # bit-identical (strict parity test).
+                    ry0g = group[0][3]
+                    ry1g = group[0][4]
+                    for jj in range(1, opi):
+                        g = group[jj]
+                        act = o + jj < o_hi
+                        ry0g = jnp.minimum(
+                            ry0g, jnp.where(act, g[3], tile_h - 1))
+                        ry1g = jnp.maximum(ry1g, jnp.where(act, g[4], 0))
+
+                    def rows_body_tree(i, acc):
+                        y = ry0g + 4 * i
+                        for u in range(4):
+                            # raw (un-reduced) [8,128] evals tree-combine
+                            # ELEMENT-wise across the group's octets (the
+                            # min over all 8*opi quads factors freely),
+                            # so the 3-stage sublane butterfly runs ONCE
+                            # per row instead of once per octet — ~30
+                            # fewer vector ops per row-group at opi 6
+                            evs = []
+                            for fro, iro, bases, r0m, r1m in group:
+                                d, c = eval_row_raw(fro, iro, bases, y + u)
+                                ok = (y + u >= r0m) & (y + u <= r1m)
+                                evs.append((
+                                    jnp.where(ok, d, jnp.inf),
+                                    jnp.where(ok, c, jnp.int32(2**31 - 1)),
+                                ))
+                            while len(evs) > 1:
+                                nxt = []
+                                for a in range(0, len(evs) - 1, 2):
+                                    d1, c1 = evs[a]
+                                    d2, c2 = evs[a + 1]
+                                    lt = (d2 < d1) | ((d2 == d1) & (c2 < c1))
+                                    nxt.append((jnp.where(lt, d2, d1),
+                                                jnp.where(lt, c2, c1)))
+                                if len(evs) % 2:
+                                    nxt.append(evs[-1])
+                                evs = nxt
+                            d, c = butterfly(*evs[0])
+                            acc = merge(acc, y + u, d, c)
+                        return acc
+
+                    iters = (ry1g - ry0g + 4) // 4
+                    return jax.lax.fori_loop(0, iters, rows_body_tree, acc)
 
                 def rows_body(i, acc):
                     for fro, iro, bases, ry0, ry1 in group:
@@ -688,7 +752,7 @@ def _raster_kernel(y0_ref, starts_hbm, counts_hbm, rows_hbm, zmin_hbm,
     jax.jit,
     static_argnames=("height", "width", "tile_h", "tile_w", "out_h",
                      "interpret", "tiles_per_step", "octets_per_iter",
-                     "stream_group"),
+                     "stream_group", "row_tree"),
 )
 def rasterize_pallas(records, tile_starts, tile_counts, octet_rows,
                      octet_zmin, init_color=None, init_depth=None, *,
@@ -697,7 +761,7 @@ def rasterize_pallas(records, tile_starts, tile_counts, octet_rows,
                      interpret: bool = False,
                      tiles_per_step: int | None = None,
                      y0_px=0, octets_per_iter: int = 6,
-                     stream_group: int = 1):
+                     stream_group: int = 1, row_tree: bool = False):
     """Binned, streamed, tiled Pallas rasterizer over the flat item stream.
 
     ``records`` i32[24, ITEM_CAP] — field-major quad records (floats
@@ -740,7 +804,7 @@ def rasterize_pallas(records, tile_starts, tile_counts, octet_rows,
             _raster_kernel_shared, height=height, width=width,
             tile_h=tile_h, tiles_x=tiles_x, tiles_per_step=tps,
             stream_group=stream_group, with_init=with_init,
-            opi=octets_per_iter,
+            opi=octets_per_iter, row_tree=row_tree,
         )
     else:
         kernel = functools.partial(
@@ -749,6 +813,7 @@ def rasterize_pallas(records, tile_starts, tile_counts, octet_rows,
             # interpret mode runs through XLA and must pin mul rounding
             # like the jnp twin; Mosaic-compiled kernels never contract
             pin_mul=interpret, with_init=with_init, opi=octets_per_iter,
+            row_tree=row_tree,
         )
     steps_x = tiles_x // tps
     n_oct = records.shape[1] // 8
@@ -808,7 +873,8 @@ def rasterize_pallas(records, tile_starts, tile_counts, octet_rows,
 def _raster_kernel_shared(y0_ref, starts_hbm, counts_hbm, rows_hbm, zmin_hbm,
                           rec_hbm, *refs,
                           height, width, tile_h, tiles_x,
-                          tiles_per_step, stream_group, with_init, opi=6):
+                          tiles_per_step, stream_group, with_init, opi=6,
+                          row_tree=False):
     """Octet rasterizer with a SHARED record stream per tile group.
 
     Identical per-pixel math, item stream, row spans and blend order as
@@ -967,13 +1033,16 @@ def _raster_kernel_shared(y0_ref, starts_hbm, counts_hbm, rows_hbm, zmin_hbm,
                     return (tuple(fro), iro, _eval_bases(bases_nx, fro),
                             rb & 0xFF, rb >> 8)
 
-                def eval_row(fro, iro, bases, y):
+                def eval_row_raw(fro, iro, bases, y):
                     py = (py0 + y).astype(jnp.float32)
                     ny = 1.0 - 2.0 * (py + 0.5) / hf
                     cover, z, c = _eval_one_quad_row(ny, fro, iro, bases)
                     covered = cover & (z == z)
                     d = jnp.where(covered, z, jnp.inf)
                     c = jnp.where(covered, c, jnp.int32(2**31 - 1))
+                    return d, c
+
+                def butterfly(d, c):
                     for shift in (4, 2, 1):
                         d2 = pltpu.roll(d, shift, 0)
                         c2 = pltpu.roll(c, shift, 0)
@@ -981,6 +1050,9 @@ def _raster_kernel_shared(y0_ref, starts_hbm, counts_hbm, rows_hbm, zmin_hbm,
                         d = jnp.where(lt, d2, d)
                         c = jnp.where(lt, c2, c)
                     return d, c
+
+                def eval_row(fro, iro, bases, y):
+                    return butterfly(*eval_row_raw(fro, iro, bases, y))
 
                 def merge(acc, y, d, c):
                     out = []
@@ -995,6 +1067,55 @@ def _raster_kernel_shared(y0_ref, starts_hbm, counts_hbm, rows_hbm, zmin_hbm,
 
                 def octet_group_body(o, acc):
                     group = [load_tile_octet(o + jj) for jj in range(opi)]
+
+                    if row_tree:
+                        # merge-tree row loop (see _raster_kernel): union
+                        # row base, per-row tree reduce, one acc merge
+                        ry0g = group[0][3]
+                        ry1g = group[0][4]
+                        for jj in range(1, opi):
+                            gg = group[jj]
+                            act = o + jj < o_hi
+                            ry0g = jnp.minimum(
+                                ry0g, jnp.where(act, gg[3], tile_h - 1))
+                            ry1g = jnp.maximum(
+                                ry1g, jnp.where(act, gg[4], 0))
+
+                        def rows_body_tree(_i, acc):
+                            y = ry0g + 4 * _i
+                            for u in range(4):
+                                # element-wise tree over raw evals; one
+                                # butterfly per row (see _raster_kernel)
+                                evs = []
+                                for fro, iro, bases, r0m, r1m in group:
+                                    d, cc = eval_row_raw(fro, iro, bases,
+                                                         y + u)
+                                    ok = (y + u >= r0m) & (y + u <= r1m)
+                                    evs.append((
+                                        jnp.where(ok, d, jnp.inf),
+                                        jnp.where(ok, cc,
+                                                  jnp.int32(2**31 - 1)),
+                                    ))
+                                while len(evs) > 1:
+                                    nxt = []
+                                    for a in range(0, len(evs) - 1, 2):
+                                        d1, c1 = evs[a]
+                                        d2, c2 = evs[a + 1]
+                                        lt = ((d2 < d1)
+                                              | ((d2 == d1) & (c2 < c1)))
+                                        nxt.append(
+                                            (jnp.where(lt, d2, d1),
+                                             jnp.where(lt, c2, c1)))
+                                    if len(evs) % 2:
+                                        nxt.append(evs[-1])
+                                    evs = nxt
+                                d, cc = butterfly(*evs[0])
+                                acc = merge(acc, y + u, d, cc)
+                            return acc
+
+                        iters = (ry1g - ry0g + 4) // 4
+                        return jax.lax.fori_loop(0, iters, rows_body_tree,
+                                                 acc)
 
                     def rows_body(_i, acc):
                         for fro, iro, bases, ry0, ry1 in group:

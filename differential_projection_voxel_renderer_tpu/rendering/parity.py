@@ -34,13 +34,16 @@ def assert_kernel_parity_boundary(c1, d1, c2, d2, records, *,
     no-contraction FP semantics.  XLA/LLVM freely contract ``a*nx +
     b*ny + c`` into FMAs, and different lowerings of the same jnp
     expression pick different patterns, so two compilations may disagree
-    by 1 ulp in a linear form — visible ONLY when a pixel center lies
-    exactly on a quad's closed edge (``qu == u1*qw``).  This gate
-    therefore demands, for every mismatching pixel, a float64 PROOF that
-    some record's coverage margin at that pixel is below 4 f32 ulps —
-    i.e. the divergence is the documented edge ambiguity, not a kernel
-    bug — plus a hard cap on the mismatch fraction.  Any off-boundary
-    mismatch still fails loudly.  Returns the mismatch count."""
+    by 1 ulp in a linear form — visible ONLY when the flip decides a
+    winner: a pixel center exactly on a quad's closed coverage edge
+    (``qu == u1*qw``), or two covering quads whose planar depths at the
+    pixel are within ulps of an exact tie (the blend's tie rule then
+    switches winners).  This gate therefore demands, for every
+    mismatching pixel, a float64 PROOF of one of those two classes —
+    a record's coverage margin below 4 f32 ulps, or a near-z-tie with
+    both output depths matching real covering records — plus a hard cap
+    on the mismatch fraction.  Any other mismatch still fails loudly.
+    Returns the mismatch count."""
     mism = np.argwhere((d1 != d2) | (c1 != c2))
     if len(mism) == 0:
         return 0
@@ -76,19 +79,29 @@ def assert_kernel_parity_boundary(c1, d1, c2, d2, records, *,
         ])
         ulp = np.spacing(term.astype(np.float32)).astype(np.float64)
         on_edge = (qw > 0) & (margins.min(axis=0) <= 4.0 * ulp)
-        assert on_edge.any(), (
-            f"pixel ({yy},{xx}) differs but no record is within 4 ulps "
-            f"of a coverage edge there — a real kernel bug")
-        # each path's output depth must be SOME plausibly-covering
-        # record's planar depth at this pixel (an edge flip makes the
-        # loser fall through to the next quad, whose depth may be
-        # arbitrarily farther — but never to a value no record produces)
         slack = 4.0 * ulp
         covers = ((qw > 0)
                   & (qu >= f[12] * qw - slack) & (qu <= f[13] * qw + slack)
                   & (qv >= f[14] * qw - slack) & (qv <= f[15] * qw + slack))
         z = f[9] * nx + f[10] * ny + f[11]
-        for dv in (d1[yy, xx], d2[yy, xx]):
+        # second provable-benign class: a NEAR-Z-TIE flip.  Two covering
+        # records whose planar depths at this pixel differ by <= 4 f32
+        # ulps: 1-ulp contraction variance in the z linear form can turn
+        # the strict depth win into an exact tie (resolved by color bits)
+        # or back, flipping the winner between two REAL covering quads.
+        d1v, d2v = float(d1[yy, xx]), float(d2[yy, xx])
+        near_tie = (np.isfinite(d1v) and np.isfinite(d2v)
+                    and abs(d1v - d2v) <= 4 * np.spacing(
+                        np.float32(max(abs(d1v), abs(d2v), 1.0))))
+        assert on_edge.any() or near_tie, (
+            f"pixel ({yy},{xx}) differs but no record is within 4 ulps "
+            f"of a coverage edge there and the depths are not a provable "
+            f"near-tie — a real kernel bug")
+        # each path's output depth must be SOME plausibly-covering
+        # record's planar depth at this pixel (an edge flip makes the
+        # loser fall through to the next quad, whose depth may be
+        # arbitrarily farther — but never to a value no record produces)
+        for dv in (d1v, d2v):
             if np.isfinite(dv):
                 zt = 4 * np.spacing(np.float32(max(abs(dv), 1.0)))
                 assert (covers & (np.abs(z - dv) <= zt)).any(), (

@@ -464,9 +464,10 @@ def _render_step(
                 interpret=interpret, y0_px=band_y0,
             )
         else:
-            # DPVR_STREAM_GROUP (trace-time knob, like DPVR_BIN_ORDER):
-            # adjacent tiles per shared record stream in the octet kernel
-            # (1 = per-tile streams; frames are bit-identical either way)
+            # DPVR_STREAM_GROUP / DPVR_ROW_TREE (trace-time knobs, like
+            # DPVR_BIN_ORDER): adjacent tiles per shared record stream /
+            # merge-tree row loop in the octet kernel (frames are
+            # bit-identical under every combination)
             color, depth = raster_ops.rasterize_pallas(
                 records, tile_starts, tile_counts, octet_rows, octet_zmin,
                 init_color, init_depth,
@@ -474,6 +475,7 @@ def _render_step(
                 tile_h=tile_h, tile_w=tile_w, out_h=out_h,
                 interpret=interpret, y0_px=band_y0,
                 stream_group=int(os.environ.get("DPVR_STREAM_GROUP", "1")),
+                row_tree=bool(int(os.environ.get("DPVR_ROW_TREE", "0"))),
             )
         if out_h != bh:
             color = color[:bh]

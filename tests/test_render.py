@@ -190,6 +190,31 @@ def test_shared_stream_kernel_matches_jnp(fuzz_scene, monkeypatch):
     np.testing.assert_array_equal(s1[:2], s2[:2])
 
 
+def test_row_tree_kernel_matches_jnp(fuzz_scene, monkeypatch):
+    """Merge-tree row loop (DPVR_ROW_TREE): the per-row tree reduce is
+    the same commutative lexicographic min, so per-pixel VALUES are
+    identical — but the reshaped lowering lets LLVM contract the z
+    linear form differently (the documented 1-ulp variance), which can
+    flip a near-z-tie winner.  Gate: boundary/near-tie-proven parity
+    (measured: ONE flipped pixel at 256x128, a proven 1-ulp z tie) —
+    solo and shared-stream forms."""
+    _, quads, _, _, _ = fuzz_scene
+    cam = _camera([16.0, 48.0, 16.0], [16.0, 8.0, 16.0], aspect=2.0)
+    renderer = Renderer(RenderConfig(width=256, height=H, use_pallas=False))
+    args = _render_args(renderer, quads, cam)
+    c1, d1, s1 = _step(renderer, args, use_pallas=False, interpret=False)
+    records = _packed_records(renderer, args)
+    monkeypatch.setenv("DPVR_ROW_TREE", "1")
+    c2, d2, s2 = _step(renderer, args, use_pallas=True, interpret=True,
+                       packed=False)
+    _assert_kernel_parity_boundary(c1, d1, c2, d2, records)
+    monkeypatch.setenv("DPVR_STREAM_GROUP", "2")
+    c3, d3, s3 = _step(renderer, args, use_pallas=True, interpret=True,
+                       packed=False)
+    _assert_kernel_parity_boundary(c1, d1, c3, d3, records)
+    np.testing.assert_array_equal(s1[:2], s2[:2])
+
+
 def test_pallas_matches_jnp_span_mode(fuzz_scene):
     _, _, _, renderer, args = fuzz_scene
     c1, d1, _ = _step(renderer, args, use_pallas=False, interpret=False, span_mode=True)
