@@ -263,10 +263,14 @@ def main():
             opi = 2
             sg = 1
             rt = False
+            bq = 256
             base = st
             if "_rt" in base:
                 base = base.replace("_rt", "")
                 rt = True
+            if "_bq" in base:
+                base, t = base.split("_bq")
+                bq = int(t)
             if "_sg" in base:
                 base, t = base.split("_sg")
                 sg = int(t)
@@ -298,7 +302,7 @@ def main():
                 f"{int((np.asarray(tile_counts) > 0).sum())} tiles")
 
             def body_raster(i, acc, records=records, tps=tps, opi=opi,
-                            sg=sg, rt=rt):
+                            sg=sg, rt=rt, bq=bq):
                 # vary a harmless record field per iteration to defeat CSE
                 r = records.at[23, 0].set(i)
                 if int(np.asarray(tile_counts).shape[0]) > 2000:
@@ -318,7 +322,8 @@ def main():
                         r, tile_starts, tile_counts, octet_rows,
                         octet_zmin, height=H, width=W, tile_h=TH,
                         tile_w=TW, out_h=out_h, tiles_per_step=tps,
-                        octets_per_iter=opi, stream_group=sg, row_tree=rt)
+                        octets_per_iter=opi, stream_group=sg, row_tree=rt,
+                        block_q=bq)
                 return acc + c[0, 0].astype(jnp.float32)
 
             def run(x):

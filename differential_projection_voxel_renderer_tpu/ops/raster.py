@@ -395,7 +395,7 @@ def _raster_kernel(y0_ref, starts_hbm, counts_hbm, rows_hbm, zmin_hbm,
                    rec_hbm, *refs,
                    height, width, tile_h, tile_w, tiles_x,
                    tiles_per_step, pin_mul, with_init, opi=2,
-                   row_tree=False):
+                   row_tree=False, bq=BLOCK_Q):
     if with_init:
         (initc_ref, initd_ref, color_ref, depth_ref,
          starts_ref, counts_ref, rows_ref, zmin_ref,
@@ -472,16 +472,16 @@ def _raster_kernel(y0_ref, starts_hbm, counts_hbm, rows_hbm, zmin_hbm,
         t = ty * tiles_x + tx
         count = counts_ref[t]
         base = starts_ref[t]
-        first_blk = base // BLOCK_Q
-        last_blk = (base + jnp.maximum(count, 1) - 1) // BLOCK_Q
+        first_blk = base // bq
+        last_blk = (base + jnp.maximum(count, 1) - 1) // bq
         nblocks = jnp.where(count > 0, last_blk - first_blk + 1, 0)
         return t, tx, ty, count, base, first_blk, nblocks
 
     def dma(slot, first_blk, b):
-        off = pl.multiple_of((first_blk + b) * BLOCK_Q, BLOCK_Q)
+        off = pl.multiple_of((first_blk + b) * bq, bq)
         return pltpu.make_async_copy(
-            rec_hbm.at[:, pl.ds(off, BLOCK_Q)],
-            rec_vmem.at[:, pl.ds(slot * BLOCK_Q, BLOCK_Q)],
+            rec_hbm.at[:, pl.ds(off, bq)],
+            rec_vmem.at[:, pl.ds(slot * bq, bq)],
             sem.at[slot],
         )
 
@@ -531,18 +531,18 @@ def _raster_kernel(y0_ref, starts_hbm, counts_hbm, rows_hbm, zmin_hbm,
             # each item a row so per-octet coefficients are aligned [8, 1]
             # vector loads
             rec_t[:] = jnp.transpose(
-                rec_vmem[:, pl.ds(pl.multiple_of(slot * BLOCK_Q, BLOCK_Q),
-                                  BLOCK_Q)])
-            blk0 = (first_blk + b) * BLOCK_Q
+                rec_vmem[:, pl.ds(pl.multiple_of(slot * bq, bq),
+                                  bq)])
+            blk0 = (first_blk + b) * bq
             k_lo = jnp.maximum(base - blk0, 0)
-            k_hi = jnp.minimum(base + count - blk0, BLOCK_Q)
+            k_hi = jnp.minimum(base + count - blk0, bq)
             gbase = blk0 // 8  # global octet index of the block's first
 
             def load_octet(o):
                 # clamp the load offset into the block (the second octet
                 # of a pair may fall past it; its coverage is killed by
                 # the segment mask below, from the UNclamped index)
-                oc = jnp.minimum(o, BLOCK_Q // 8 - 1)
+                oc = jnp.minimum(o, bq // 8 - 1)
                 g8 = pl.multiple_of(oc * 8, 8)
                 recs = [rec_t[pl.ds(g8, 8), f:f + 1]
                         for f in range(N_BLEND_FIELDS + 4)]
@@ -752,7 +752,7 @@ def _raster_kernel(y0_ref, starts_hbm, counts_hbm, rows_hbm, zmin_hbm,
     jax.jit,
     static_argnames=("height", "width", "tile_h", "tile_w", "out_h",
                      "interpret", "tiles_per_step", "octets_per_iter",
-                     "stream_group", "row_tree"),
+                     "stream_group", "row_tree", "block_q"),
 )
 def rasterize_pallas(records, tile_starts, tile_counts, octet_rows,
                      octet_zmin, init_color=None, init_depth=None, *,
@@ -761,7 +761,8 @@ def rasterize_pallas(records, tile_starts, tile_counts, octet_rows,
                      interpret: bool = False,
                      tiles_per_step: int | None = None,
                      y0_px=0, octets_per_iter: int = 6,
-                     stream_group: int = 1, row_tree: bool = False):
+                     stream_group: int = 1, row_tree: bool = False,
+                     block_q: int = BLOCK_Q):
     """Binned, streamed, tiled Pallas rasterizer over the flat item stream.
 
     ``records`` i32[24, ITEM_CAP] — field-major quad records (floats
@@ -779,7 +780,8 @@ def rasterize_pallas(records, tile_starts, tile_counts, octet_rows,
     out_h = out_h or height
     assert out_h % tile_h == 0 and width % tile_w == 0
     assert tile_w == 128 and tile_h % 8 == 0
-    assert records.shape[1] % BLOCK_Q == 0 and records.shape[0] == 24
+    assert records.shape[1] % block_q == 0 and records.shape[0] == 24
+    assert block_q % 256 == 0
     tiles_y, tiles_x = out_h // tile_h, width // tile_w
     n_tiles = tiles_y * tiles_x
     if tiles_per_step is None:
@@ -804,7 +806,7 @@ def rasterize_pallas(records, tile_starts, tile_counts, octet_rows,
             _raster_kernel_shared, height=height, width=width,
             tile_h=tile_h, tiles_x=tiles_x, tiles_per_step=tps,
             stream_group=stream_group, with_init=with_init,
-            opi=octets_per_iter, row_tree=row_tree,
+            opi=octets_per_iter, row_tree=row_tree, bq=block_q,
         )
     else:
         kernel = functools.partial(
@@ -813,7 +815,7 @@ def rasterize_pallas(records, tile_starts, tile_counts, octet_rows,
             # interpret mode runs through XLA and must pin mul rounding
             # like the jnp twin; Mosaic-compiled kernels never contract
             pin_mul=interpret, with_init=with_init, opi=octets_per_iter,
-            row_tree=row_tree,
+            row_tree=row_tree, bq=block_q,
         )
     steps_x = tiles_x // tps
     n_oct = records.shape[1] // 8
@@ -850,8 +852,8 @@ def rasterize_pallas(records, tile_starts, tile_counts, octet_rows,
             pltpu.SMEM((n_tiles,), jnp.int32),
             pltpu.SMEM((n_oct,), jnp.int32),
             pltpu.SMEM((n_oct,), jnp.float32),
-            pltpu.VMEM((24, n_slots * BLOCK_Q), jnp.int32),
-            pltpu.VMEM((BLOCK_Q, 24), jnp.int32),
+            pltpu.VMEM((24, n_slots * block_q), jnp.int32),
+            pltpu.VMEM((block_q, 24), jnp.int32),
             pltpu.SemaphoreType.DMA((n_slots,)),
             pltpu.SemaphoreType.DMA((4,)),
         ],
@@ -874,7 +876,7 @@ def _raster_kernel_shared(y0_ref, starts_hbm, counts_hbm, rows_hbm, zmin_hbm,
                           rec_hbm, *refs,
                           height, width, tile_h, tiles_x,
                           tiles_per_step, stream_group, with_init, opi=6,
-                          row_tree=False):
+                          row_tree=False, bq=BLOCK_Q):
     """Octet rasterizer with a SHARED record stream per tile group.
 
     Identical per-pixel math, item stream, row spans and blend order as
@@ -949,16 +951,16 @@ def _raster_kernel_shared(y0_ref, starts_hbm, counts_hbm, rows_hbm, zmin_hbm,
         t0, _, _, _, base0 = tile_geo(st, g * stream_group)
         tl, _, _, cl, bl = tile_geo(st, (g + 1) * stream_group - 1)
         total = bl + cl - base0
-        first_blk = base0 // BLOCK_Q
-        last_blk = (base0 + jnp.maximum(total, 1) - 1) // BLOCK_Q
+        first_blk = base0 // bq
+        last_blk = (base0 + jnp.maximum(total, 1) - 1) // bq
         nblocks = jnp.where(total > 0, last_blk - first_blk + 1, 0)
         return first_blk, nblocks
 
     def dma(slot, first_blk, b):
-        off = pl.multiple_of((first_blk + b) * BLOCK_Q, BLOCK_Q)
+        off = pl.multiple_of((first_blk + b) * bq, bq)
         return pltpu.make_async_copy(
-            rec_hbm.at[:, pl.ds(off, BLOCK_Q)],
-            rec_vmem.at[:, pl.ds(slot * BLOCK_Q, BLOCK_Q)],
+            rec_hbm.at[:, pl.ds(off, bq)],
+            rec_vmem.at[:, pl.ds(slot * bq, bq)],
             sem.at[slot],
         )
 
@@ -995,15 +997,15 @@ def _raster_kernel_shared(y0_ref, starts_hbm, counts_hbm, rows_hbm, zmin_hbm,
 
             dma(slot, first_blk, b).wait()
             rec_t[:] = jnp.transpose(
-                rec_vmem[:, pl.ds(pl.multiple_of(slot * BLOCK_Q, BLOCK_Q),
-                                  BLOCK_Q)])
-            blk0 = (first_blk + b) * BLOCK_Q
+                rec_vmem[:, pl.ds(pl.multiple_of(slot * bq, bq),
+                                  bq)])
+            blk0 = (first_blk + b) * bq
             gbase = blk0 // 8
 
             def load_octet(o):
                 # identical to _raster_kernel.load_octet except k-range
                 # bounds arrive per member tile (closure args below)
-                oc = jnp.minimum(o, BLOCK_Q // 8 - 1)
+                oc = jnp.minimum(o, bq // 8 - 1)
                 g8 = pl.multiple_of(oc * 8, 8)
                 recs = [rec_t[pl.ds(g8, 8), f:f + 1]
                         for f in range(N_BLEND_FIELDS + 4)]
@@ -1016,7 +1018,7 @@ def _raster_kernel_shared(y0_ref, starts_hbm, counts_hbm, rows_hbm, zmin_hbm,
                 _, _, _, count, base = geo[i]
                 nxv = nxs[i]
                 k_lo = jnp.maximum(base - blk0, 0)
-                k_hi = jnp.minimum(base + count - blk0, BLOCK_Q)
+                k_hi = jnp.minimum(base + count - blk0, bq)
                 bases_nx = nxv
 
                 def load_tile_octet(o):

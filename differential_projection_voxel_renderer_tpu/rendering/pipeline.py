@@ -476,6 +476,8 @@ def _render_step(
                 interpret=interpret, y0_px=band_y0,
                 stream_group=int(os.environ.get("DPVR_STREAM_GROUP", "1")),
                 row_tree=bool(int(os.environ.get("DPVR_ROW_TREE", "0"))),
+                block_q=int(os.environ.get("DPVR_BLOCK_Q",
+                                           str(raster_ops.BLOCK_Q))),
             )
         if out_h != bh:
             color = color[:bh]

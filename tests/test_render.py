@@ -188,6 +188,11 @@ def test_shared_stream_kernel_matches_jnp(fuzz_scene, monkeypatch):
                        packed=False)
     _assert_kernel_parity(c1, d1, c2, d2)
     np.testing.assert_array_equal(s1[:2], s2[:2])
+    # larger DMA blocks (DPVR_BLOCK_Q): same walk, fewer bigger blocks
+    monkeypatch.setenv("DPVR_BLOCK_Q", "512")
+    c3, d3, s3 = _step(renderer, args, use_pallas=True, interpret=True,
+                       packed=False)
+    _assert_kernel_parity(c1, d1, c3, d3)
 
 
 def test_row_tree_kernel_matches_jnp(fuzz_scene, monkeypatch):
