@@ -18,7 +18,7 @@ from the measured opi sweep (NOTES: opi 1/2/4/6/8 = 4.08/3.45/3.01/2.67/
 the TPU.
 
 Usage (CPU, no TPU needed):
-  python benches/kernel_cost_sim.py [--opi 6] [--tps 5] [--sg 1] [--fit]
+  python benches/kernel_cost_sim.py [--opi 6] [--tps 5] [--sg 1] [--sweep]
 
 Scene: the cached vd12 records (built via benches/profile_stages.py's
 scene cache; the records themselves are cached to /tmp too).
@@ -267,17 +267,20 @@ def simulate(records, starts, counts, rows, zmin, *, height=720,
     return c
 
 
-# Fitted from the measured opi sweep (see --fit): per-unit ns costs.
-FIT_DEFAULT = {"row_eval": 18.0, "octet_load": 95.0, "group": 120.0,
-               "block": 500.0, "tile": 1200.0, "fixed_ms": 0.9}
+# Fitted from the measured opi sweep (least squares, residuals <= 0.11 ms):
+#   raster_ms = 7.3 ns x row_evals + 183 ns x row_iters + 1.9 ms
+# The 183 ns/iteration is the serial merge-chain latency (independently
+# matches the measured 175 ns/row); the 1.9 ms constant bundles the
+# per-call tax (~0.9) with per-tile/per-block machinery (~1.0) — the
+# sweep holds tiles/blocks fixed, so the model cannot split them; use the
+# blocks/tiles counters to reason about sg/block_q variants relative to
+# that constant.
+FIT_DEFAULT = {"row_eval": 7.3, "row_iter": 183.0, "fixed_ms": 1.91}
 
 
 def predict_ms(c: Counters, fit=FIT_DEFAULT):
     return (c.row_evals * fit["row_eval"]
-            + c.octet_loads * fit["octet_load"]
-            + c.groups * fit["group"]
-            + c.blocks * fit["block"]
-            + c.tiles_nonempty * fit["tile"]) * 1e-6 + fit["fixed_ms"]
+            + c.row_iters * fit["row_iter"]) * 1e-6 + fit["fixed_ms"]
 
 
 def main():
