@@ -242,7 +242,9 @@ def simulate(records, starts, counts, rows, zmin, *, height=720,
                         d = np.where(cover & ~np.isnan(z), z, np.inf)
                         dmin = d.min(axis=1)  # [R, L]
                         acc[ys] = np.minimum(acc[ys], dmin.astype(np.float32))
-                    if opi >= 4 or ((o // opi) & 1):
+                    # same cadence as the kernel: refresh every group
+                    # at opi >= 4, else only when (o & 2) == 2
+                    if opi >= 4 or (o & 2) == 2:
                         dmax = float(acc.max())
                 o += opi
         c.blocks += nb
@@ -275,7 +277,7 @@ def simulate(records, starts, counts, rows, zmin, *, height=720,
 # sweep holds tiles/blocks fixed, so the model cannot split them; use the
 # blocks/tiles counters to reason about sg/block_q variants relative to
 # that constant.
-FIT_DEFAULT = {"row_eval": 7.3, "row_iter": 183.0, "fixed_ms": 1.91}
+FIT_DEFAULT = {"row_eval": 6.93, "row_iter": 181.3, "fixed_ms": 1.94}
 
 
 def predict_ms(c: Counters, fit=FIT_DEFAULT):
@@ -297,6 +299,9 @@ def main():
                     help="replay the measured opi sweep for fitting")
     args = ap.parse_args()
 
+    if args.sg > 1 and args.tps % args.sg:
+        raise SystemExit(f"--sg {args.sg} must divide --tps {args.tps} "
+                         f"(the kernel enforces stream_group | tps)")
     data = get_records(args.tile_h, args.order)
     log(f"items={int(data[2].sum())}, tiles={int((data[2] > 0).sum())}, "
         f"octet cap={data[0].shape[1] // 8}")
@@ -305,7 +310,8 @@ def main():
         measured = {1: 4.08, 2: 3.45, 4: 3.01, 6: 2.67, 8: 2.85}
         for opi, ms in measured.items():
             t0 = time.time()
-            c = simulate(*data, opi=opi, sg=1, tps=args.tps)
+            c = simulate(*data, tile_h=args.tile_h, opi=opi, sg=1,
+                         tps=args.tps)
             row = dict(opi=opi, measured_ms=ms, **c.as_dict())
             log(f"opi={opi}: sim {time.time()-t0:.0f}s -> {row}")
             print(json.dumps(row), flush=True)

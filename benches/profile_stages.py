@@ -305,6 +305,15 @@ def main():
                             sg=sg, rt=rt, bq=bq):
                 # vary a harmless record field per iteration to defeat CSE
                 r = records.at[23, 0].set(i)
+                if (sg != 1 or rt or bq != 256) and (
+                        TW == 64
+                        or int(np.asarray(tile_counts).shape[0]) > 2000):
+                    # the pair/packed kernels take none of these knobs;
+                    # a silently mislabeled measurement would pollute the
+                    # NOTES record
+                    raise SystemExit(
+                        f"{st}: _sg/_rt/_bq only apply to the octet "
+                        f"kernel (PROF_TW=128, unpacked)")
                 if int(np.asarray(tile_counts).shape[0]) > 2000:
                     # per-BIN metadata -> the packed kernel
                     c, d = RP.rasterize_pallas_packed(

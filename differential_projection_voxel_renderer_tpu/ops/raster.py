@@ -383,6 +383,24 @@ def build_tile_lists(tilebox, count, *, tiles_y: int, tiles_x: int,
 # ---------------------------------------------------------------------------
 
 
+def _tree_reduce(evs):
+    """Pairwise lexicographic-(depth, color) min over a list of (d, c)
+    pairs — the commutative blend rule of ``_blend_one_quad`` applied as
+    a balanced tree (depth ceil(log2 n) instead of a serial chain).
+    Shared by the solo and shared-stream kernels' row-tree loops."""
+    while len(evs) > 1:
+        nxt = []
+        for a in range(0, len(evs) - 1, 2):
+            d1, c1 = evs[a]
+            d2, c2 = evs[a + 1]
+            lt = (d2 < d1) | ((d2 == d1) & (c2 < c1))
+            nxt.append((jnp.where(lt, d2, d1), jnp.where(lt, c2, c1)))
+        if len(evs) % 2:
+            nxt.append(evs[-1])
+        evs = nxt
+    return evs[0]
+
+
 # VPU sub-block shape: one f32 vreg
 PIECE_H = 8
 PIECE_W = 128
@@ -655,18 +673,7 @@ def _raster_kernel(y0_ref, starts_hbm, counts_hbm, rows_hbm, zmin_hbm,
                                     jnp.where(ok, d, jnp.inf),
                                     jnp.where(ok, c, jnp.int32(2**31 - 1)),
                                 ))
-                            while len(evs) > 1:
-                                nxt = []
-                                for a in range(0, len(evs) - 1, 2):
-                                    d1, c1 = evs[a]
-                                    d2, c2 = evs[a + 1]
-                                    lt = (d2 < d1) | ((d2 == d1) & (c2 < c1))
-                                    nxt.append((jnp.where(lt, d2, d1),
-                                                jnp.where(lt, c2, c1)))
-                                if len(evs) % 2:
-                                    nxt.append(evs[-1])
-                                evs = nxt
-                            d, c = butterfly(*evs[0])
+                            d, c = butterfly(*_tree_reduce(evs))
                             acc = merge(acc, y + u, d, c)
                         return acc
 
@@ -791,7 +798,13 @@ def rasterize_pallas(records, tile_starts, tile_counts, octet_rows,
         # A shared stream_group additionally requires stream_group | tps.
         tps = next((t for t in (8, 6, 5, 4, 3, 2, 1)
                     if tiles_x % t == 0 and 128 * t <= 1024
-                    and t % stream_group == 0), 1)
+                    and t % stream_group == 0), None)
+        if tps is None:
+            raise ValueError(
+                f"stream_group={stream_group} has no compatible "
+                f"tiles_per_step for tiles_x={tiles_x} (needs a divisor "
+                f"of tiles_x that is a multiple of stream_group, <= 8); "
+                f"adjust DPVR_STREAM_GROUP")
     else:
         tps = tiles_per_step
         assert tiles_x % tps == 0
@@ -1098,20 +1111,7 @@ def _raster_kernel_shared(y0_ref, starts_hbm, counts_hbm, rows_hbm, zmin_hbm,
                                         jnp.where(ok, cc,
                                                   jnp.int32(2**31 - 1)),
                                     ))
-                                while len(evs) > 1:
-                                    nxt = []
-                                    for a in range(0, len(evs) - 1, 2):
-                                        d1, c1 = evs[a]
-                                        d2, c2 = evs[a + 1]
-                                        lt = ((d2 < d1)
-                                              | ((d2 == d1) & (c2 < c1)))
-                                        nxt.append(
-                                            (jnp.where(lt, d2, d1),
-                                             jnp.where(lt, c2, c1)))
-                                    if len(evs) % 2:
-                                        nxt.append(evs[-1])
-                                    evs = nxt
-                                d, cc = butterfly(*evs[0])
+                                d, cc = butterfly(*_tree_reduce(evs))
                                 acc = merge(acc, y + u, d, cc)
                             return acc
 

@@ -89,14 +89,22 @@ def assert_kernel_parity_boundary(c1, d1, c2, d2, records, *,
         # ulps: 1-ulp contraction variance in the z linear form can turn
         # the strict depth win into an exact tie (resolved by color bits)
         # or back, flipping the winner between two REAL covering quads.
+        # The proof demands >= 2 DISTINCT covering records at the tied
+        # depth — a tie-rule bug (e.g. an inverted color clause) also
+        # shows up as equal-depth/different-color pixels, but on pixels
+        # where only ONE record sits at that depth it would fail here.
         d1v, d2v = float(d1[yy, xx]), float(d2[yy, xx])
+        zt_tie = 4 * np.spacing(np.float32(max(abs(d1v), abs(d2v), 1.0)))
         near_tie = (np.isfinite(d1v) and np.isfinite(d2v)
-                    and abs(d1v - d2v) <= 4 * np.spacing(
-                        np.float32(max(abs(d1v), abs(d2v), 1.0))))
+                    and abs(d1v - d2v) <= zt_tie)
+        if near_tie:
+            tied = (covers & ((np.abs(z - d1v) <= zt_tie)
+                              | (np.abs(z - d2v) <= zt_tie)))
+            near_tie = int(tied.sum()) >= 2
         assert on_edge.any() or near_tie, (
             f"pixel ({yy},{xx}) differs but no record is within 4 ulps "
             f"of a coverage edge there and the depths are not a provable "
-            f"near-tie — a real kernel bug")
+            f"near-tie between two covering records — a real kernel bug")
         # each path's output depth must be SOME plausibly-covering
         # record's planar depth at this pixel (an edge flip makes the
         # loser fall through to the next quad, whose depth may be
