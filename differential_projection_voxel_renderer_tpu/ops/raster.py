@@ -409,6 +409,208 @@ PIECE_W = 128
 REC_FIELDS = F_FIELDS + I_FIELDS
 
 
+def _walk_block(rec_t, rows_ref, zmin_ref, nxv, py0, hf, *, tile_h,
+                n_sub, sub, k_lo, k_hi, gbase, bq, opi, row_tree,
+                acc, dmax0):
+    """Walk ONE tile's octet segment within one DMA'd, transposed record
+    block — the compute core shared verbatim by the solo and
+    shared-stream kernels (they differ only in stream machinery).
+
+    ``rec_t``: the block's records transposed to [bq, 24];
+    ``k_lo``/``k_hi``: the tile's item range within this block;
+    ``gbase``: global octet index of the block's first octet;
+    ``acc``/``dmax0``: the tile's accumulator tuple (n_sub x (depth,
+    color) [8,128] vregs) and occlusion-break state carried across
+    blocks.  Returns (acc, dmax).
+
+    Per octet of 8 items it evaluates whole [8, 128] pixel rows (quad in
+    the sublane axis, pixel x in the lane axis; per-quad coefficients
+    are [8, 1] vector loads — the previous kernel's ~22 SMEM scalar
+    loads per quad were its measured bottleneck), reduces the 8 quads to
+    the depth minimum with a 3-stage sublane butterfly, and merges into
+    the accumulator rows.  The exact occlusion break ends the walk once
+    the suffix-min of remaining near depths (``zmin_ref``) lies beyond
+    the farthest accumulated pixel."""
+
+    def load_octet(o):
+        # clamp the load offset into the block (the trailing octets of a
+        # group may fall past it; their coverage is killed by the segment
+        # mask below, computed from the UNclamped index)
+        oc = jnp.minimum(o, bq // 8 - 1)
+        g8 = pl.multiple_of(oc * 8, 8)
+        recs = [rec_t[pl.ds(g8, 8), f:f + 1]
+                for f in range(N_BLEND_FIELDS + 4)]
+        fro = list(jax.lax.bitcast_convert_type(r, jnp.float32)
+                   for r in recs[:N_BLEND_FIELDS])
+        iro = tuple(recs[N_BLEND_FIELDS:N_BLEND_FIELDS + 4])
+        # out-of-segment items (the octet may straddle tile segments) die
+        # by folding the mask into the coverage bounds once per octet
+        # instead of a per-row mask op
+        kv = o * 8 + jax.lax.broadcasted_iota(jnp.int32, (8, 1), 0)
+        kmask = (kv >= k_lo) & (kv < k_hi)
+        fro[12] = jnp.where(kmask, fro[12], jnp.float32(jnp.inf))
+        fro[13] = jnp.where(kmask, fro[13], jnp.float32(-jnp.inf))
+        rb = rows_ref[jnp.minimum(gbase + o, rows_ref.shape[0] - 1)]
+        # hoist the row-invariant halves of the plane evals: the 4
+        # [8, 128] bases are built once per octet, not per row
+        return (tuple(fro), iro, _eval_bases(nxv, fro),
+                rb & 0xFF, rb >> 8)
+
+    def eval_row_raw(fro, iro, bases, y):
+        py = (py0 + y).astype(jnp.float32)
+        ny = 1.0 - 2.0 * (py + 0.5) / hf
+        cover, z, c = _eval_one_quad_row(ny, fro, iro, bases)
+        covered = cover & (z == z)
+        d = jnp.where(covered, z, jnp.inf)
+        # uncovered lanes take INT32_MAX color so the (d, c) tie rule
+        # below can never promote them (their d is +inf and every real
+        # color word is smaller)
+        c = jnp.where(covered, c, jnp.int32(2**31 - 1))
+        return d, c
+
+    def butterfly(d, c):
+        # butterfly min over the 8 sublanes (= quads) under the
+        # commutative lexicographic (depth, color bits) order — same
+        # rule as _blend_one_quad, so the reduction order chosen here
+        # (and the binner's item order) cannot change the frame.  (A
+        # decomposed min-d-then-min-c-among-ties form is 14 vector ops
+        # instead of 27 but measured 2.86 vs 2.77 ms at vd12 — the row
+        # eval is latency-bound and the decomposition's 7-step serial
+        # chain beats its op saving.)
+        for shift in (4, 2, 1):
+            d2 = pltpu.roll(d, shift, 0)
+            c2 = pltpu.roll(c, shift, 0)
+            lt = (d2 < d) | ((d2 == d) & (c2 < c))
+            d = jnp.where(lt, d2, d)
+            c = jnp.where(lt, c2, c)
+        return d, c
+
+    def merge(acc, y, d, c):
+        out = []
+        for i in range(n_sub):
+            ad, ac = acc[2 * i], acc[2 * i + 1]
+            upd = (sub == y - 8 * i) & (
+                (d < ad) | ((d == ad) & (c < ac)))
+            out += [jnp.where(upd, d, ad), jnp.where(upd, c, ac)]
+        return tuple(out)
+
+    # exact occlusion break: items are sorted front-to-back per tile, so
+    # once the nearest depth among ALL remaining items (suffix-min,
+    # zmin_ref) lies strictly beyond the farthest accumulated pixel
+    # (+inf while any pixel is undrawn), nothing left can blend.  The
+    # head octet may contain the previous tile's items (suffix not
+    # applicable): always processed.
+    o_hi = (k_hi + 7) // 8
+
+    def octet_group_body(o, acc):
+        # opi octets x 4 rows per iteration: each row's eval+reduce is
+        # one long serial dependency chain (measured 175 ns/row alone),
+        # so 4*opi independent rows in flight hide most of the latency.
+        # Larger opi buys more ILP but wastes evals when grouped octets
+        # have uneven row spans (iters = max span over the group) and
+        # coarsens the occlusion-break granularity.  Measured at
+        # 720p/vd12 (v5e, 59k items): opi 1/2/4/6/8/16 =
+        # 4.08/3.45/3.01/2.67/2.85/4.64 ms — 6 is the sweet spot (16
+        # spills vregs), hence the default.
+        group = [load_octet(o + jj) for jj in range(opi)]
+
+        if row_tree:
+            # merge-tree row loop: the whole group shares one row base,
+            # each row's opi octet results tree-reduce (depth
+            # ceil(log2 opi)) to ONE accumulator merge.  The plain
+            # loop's per-row acc merges form the iteration's longest
+            # serial chain (~24 same-vreg selects at opi 6 = the fitted
+            # 183 ns/row-iter stall, benches/kernel_cost_sim.py); the
+            # tree cuts it ~4x.  Cost: iters = UNION span over the
+            # group — measured +1.7% rows at order 42 (the order bits
+            # already cluster bands).  The reduce is the same
+            # commutative lexicographic min, so frames stay
+            # bit-identical up to the documented 1-ulp contraction
+            # variance (near-tie-proven parity test).
+            ry0g = group[0][3]
+            ry1g = group[0][4]
+            for jj in range(1, opi):
+                g = group[jj]
+                act = o + jj < o_hi
+                ry0g = jnp.minimum(ry0g, jnp.where(act, g[3], tile_h - 1))
+                ry1g = jnp.maximum(ry1g, jnp.where(act, g[4], 0))
+
+            def rows_body_tree(i, acc):
+                y = ry0g + 4 * i
+                for u in range(4):
+                    # raw (un-reduced) [8,128] evals tree-combine
+                    # ELEMENT-wise across the group's octets (the min
+                    # over all 8*opi quads factors freely), so the
+                    # 3-stage sublane butterfly runs ONCE per row
+                    # instead of once per octet — ~30 fewer vector ops
+                    # per row-group at opi 6
+                    evs = []
+                    for fro, iro, bases, r0m, r1m in group:
+                        d, c = eval_row_raw(fro, iro, bases, y + u)
+                        ok = (y + u >= r0m) & (y + u <= r1m)
+                        evs.append((
+                            jnp.where(ok, d, jnp.inf),
+                            jnp.where(ok, c, jnp.int32(2**31 - 1)),
+                        ))
+                    d, c = butterfly(*_tree_reduce(evs))
+                    acc = merge(acc, y + u, d, c)
+                return acc
+
+            iters = (ry1g - ry0g + 4) // 4
+            return jax.lax.fori_loop(0, iters, rows_body_tree, acc)
+
+        def rows_body(i, acc):
+            for fro, iro, bases, ry0, ry1 in group:
+                y = ry0 + 4 * i
+                evs = [butterfly(*eval_row_raw(fro, iro, bases, y + u))
+                       for u in range(4)]
+                for u, (d, c) in enumerate(evs):
+                    # kills rows past ry1 AND whole iterations past the
+                    # shorter octet's range
+                    d = jnp.where(y + u <= ry1, d, jnp.inf)
+                    acc = merge(acc, y + u, d, c)
+            return acc
+
+        iters = (group[0][4] - group[0][3] + 4) // 4
+        for jj in range(1, opi):
+            g = group[jj]
+            iters = jnp.maximum(
+                iters, jnp.where(o + jj < o_hi,
+                                 (g[4] - g[3] + 4) // 4, 0))
+        return jax.lax.fori_loop(0, iters, rows_body, acc)
+
+    def w_cond(st):
+        o, dmax, _ = st
+        # clamp: the loop's FINAL condition check runs with o up to
+        # o_hi + opi - 1, which can index past the zmin scratch (the
+        # value is masked out by `o < o_hi`, but the read itself must
+        # stay in bounds)
+        zm = zmin_ref[jnp.minimum(gbase + o, zmin_ref.shape[0] - 1)]
+        return (o < o_hi) & ((o * 8 < k_lo) | (zm <= dmax))
+
+    def w_body(st):
+        o, dmax, acc = st
+        acc = octet_group_body(o, acc)
+        # farthest accumulated pixel, refreshed every ~4 octets (the
+        # full cross-lane reduce serializes against the blend chain — a
+        # stale dmax is merely conservative)
+        def _dmax(a):
+            m = a[0]
+            for i in range(1, n_sub):
+                m = jnp.maximum(m, a[2 * i])
+            return jnp.max(m)
+
+        if opi >= 4:
+            dmax = _dmax(acc)
+        else:
+            dmax = jax.lax.cond((o & 2) == 2, _dmax, lambda a: dmax, acc)
+        return o + opi, dmax, acc
+
+    _, dmax1, acc = jax.lax.while_loop(
+        w_cond, w_body, (jnp.maximum(k_lo, 0) // 8, dmax0, acc))
+    return acc, dmax1
+
+
 def _raster_kernel(y0_ref, starts_hbm, counts_hbm, rows_hbm, zmin_hbm,
                    rec_hbm, *refs,
                    height, width, tile_h, tile_w, tiles_x,
@@ -555,190 +757,11 @@ def _raster_kernel(y0_ref, starts_hbm, counts_hbm, rows_hbm, zmin_hbm,
             k_lo = jnp.maximum(base - blk0, 0)
             k_hi = jnp.minimum(base + count - blk0, bq)
             gbase = blk0 // 8  # global octet index of the block's first
-
-            def load_octet(o):
-                # clamp the load offset into the block (the second octet
-                # of a pair may fall past it; its coverage is killed by
-                # the segment mask below, from the UNclamped index)
-                oc = jnp.minimum(o, bq // 8 - 1)
-                g8 = pl.multiple_of(oc * 8, 8)
-                recs = [rec_t[pl.ds(g8, 8), f:f + 1]
-                        for f in range(N_BLEND_FIELDS + 4)]
-                fro = list(jax.lax.bitcast_convert_type(r, jnp.float32)
-                           for r in recs[:N_BLEND_FIELDS])
-                iro = tuple(recs[N_BLEND_FIELDS:N_BLEND_FIELDS + 4])
-                # out-of-segment items (the octet may straddle tile
-                # segments) die by folding the mask into the coverage
-                # bounds once per octet instead of a per-row mask op
-                kv = o * 8 + jax.lax.broadcasted_iota(jnp.int32, (8, 1), 0)
-                kmask = (kv >= k_lo) & (kv < k_hi)
-                fro[12] = jnp.where(kmask, fro[12], jnp.float32(jnp.inf))
-                fro[13] = jnp.where(kmask, fro[13], jnp.float32(-jnp.inf))
-                rb = rows_ref[jnp.minimum(gbase + o, rows_ref.shape[0] - 1)]
-                # hoist the row-invariant halves of the plane evals: the 4
-                # [8, 128] bases are built once per octet, not per row
-                return (tuple(fro), iro, _eval_bases(nxv, fro),
-                        rb & 0xFF, rb >> 8)
-
-            def eval_row_raw(fro, iro, bases, y):
-                py = (py0 + y).astype(jnp.float32)
-                ny = 1.0 - 2.0 * (py + 0.5) / hf
-                cover, z, c = _eval_one_quad_row(ny, fro, iro, bases)
-                covered = cover & (z == z)
-                d = jnp.where(covered, z, jnp.inf)
-                # uncovered lanes take INT32_MAX color so the (d, c) tie
-                # rule below can never promote them (their d is +inf and
-                # every real color word is smaller)
-                c = jnp.where(covered, c, jnp.int32(2**31 - 1))
-                return d, c
-
-            def butterfly(d, c):
-                # butterfly min over the 8 sublanes (= quads) under the
-                # commutative lexicographic (depth, color bits) order —
-                # same rule as _blend_one_quad, so the reduction order
-                # chosen here (and the binner's item order) cannot change
-                # the frame.  (A decomposed min-d-then-min-c-among-ties
-                # form is 14 vector ops instead of 27 but measured 2.86 vs
-                # 2.77 ms at vd12 — the row eval is latency-bound and the
-                # decomposition's 7-step serial chain beats its op saving.)
-                for shift in (4, 2, 1):
-                    d2 = pltpu.roll(d, shift, 0)
-                    c2 = pltpu.roll(c, shift, 0)
-                    lt = (d2 < d) | ((d2 == d) & (c2 < c))
-                    d = jnp.where(lt, d2, d)
-                    c = jnp.where(lt, c2, c)
-                return d, c
-
-            def eval_row(fro, iro, bases, y):
-                return butterfly(*eval_row_raw(fro, iro, bases, y))
-
-            def merge(acc, y, d, c):
-                out = []
-                for i in range(n_sub):
-                    ad, ac = acc[2 * i], acc[2 * i + 1]
-                    upd = (sub == y - 8 * i) & (
-                        (d < ad) | ((d == ad) & (c < ac)))
-                    out += [jnp.where(upd, d, ad), jnp.where(upd, c, ac)]
-                return tuple(out)
-
-            def octet_pair_body(o, acc):
-                # opi octets x 4 rows per iteration: each row's
-                # eval+reduce is one long serial dependency chain
-                # (measured 175 ns/row alone), so 4*opi independent rows
-                # in flight hide most of the latency.  Larger opi buys
-                # more ILP but wastes evals when grouped octets have
-                # uneven row spans (iters = max span over the group) and
-                # coarsens the occlusion-break granularity.  Measured at
-                # 720p/vd12 (v5e, 59k items): opi 1/2/4/6/8/16 =
-                # 4.08/3.45/3.01/2.67/2.85/4.64 ms — 6 is the sweet spot
-                # (16 spills vregs), hence the default.
-                group = [load_octet(o + jj) for jj in range(opi)]
-
-                if row_tree:
-                    # merge-tree row loop: the whole group shares one row
-                    # base, each row's opi octet results tree-reduce
-                    # (depth ceil(log2 opi)) to ONE accumulator merge.
-                    # The plain loop's per-row acc merges form the
-                    # iteration's longest serial chain (~24 same-vreg
-                    # selects at opi 6 = the fitted 183 ns/row-iter
-                    # stall, benches/kernel_cost_sim.py); the tree cuts
-                    # it ~4x.  Cost: iters = UNION span over the group —
-                    # measured +1.7% rows at order 42 (the order bits
-                    # already cluster bands).  The reduce is the same
-                    # commutative lexicographic min, so frames stay
-                    # bit-identical (strict parity test).
-                    ry0g = group[0][3]
-                    ry1g = group[0][4]
-                    for jj in range(1, opi):
-                        g = group[jj]
-                        act = o + jj < o_hi
-                        ry0g = jnp.minimum(
-                            ry0g, jnp.where(act, g[3], tile_h - 1))
-                        ry1g = jnp.maximum(ry1g, jnp.where(act, g[4], 0))
-
-                    def rows_body_tree(i, acc):
-                        y = ry0g + 4 * i
-                        for u in range(4):
-                            # raw (un-reduced) [8,128] evals tree-combine
-                            # ELEMENT-wise across the group's octets (the
-                            # min over all 8*opi quads factors freely),
-                            # so the 3-stage sublane butterfly runs ONCE
-                            # per row instead of once per octet — ~30
-                            # fewer vector ops per row-group at opi 6
-                            evs = []
-                            for fro, iro, bases, r0m, r1m in group:
-                                d, c = eval_row_raw(fro, iro, bases, y + u)
-                                ok = (y + u >= r0m) & (y + u <= r1m)
-                                evs.append((
-                                    jnp.where(ok, d, jnp.inf),
-                                    jnp.where(ok, c, jnp.int32(2**31 - 1)),
-                                ))
-                            d, c = butterfly(*_tree_reduce(evs))
-                            acc = merge(acc, y + u, d, c)
-                        return acc
-
-                    iters = (ry1g - ry0g + 4) // 4
-                    return jax.lax.fori_loop(0, iters, rows_body_tree, acc)
-
-                def rows_body(i, acc):
-                    for fro, iro, bases, ry0, ry1 in group:
-                        y = ry0 + 4 * i
-                        evs = [eval_row(fro, iro, bases, y + u)
-                               for u in range(4)]
-                        for u, (d, c) in enumerate(evs):
-                            # kills rows past ry1 AND whole iterations
-                            # past the shorter octet's range
-                            d = jnp.where(y + u <= ry1, d, jnp.inf)
-                            acc = merge(acc, y + u, d, c)
-                    return acc
-
-                iters = (group[0][4] - group[0][3] + 4) // 4
-                for jj in range(1, opi):
-                    g = group[jj]
-                    iters = jnp.maximum(
-                        iters, jnp.where(o + jj < o_hi,
-                                         (g[4] - g[3] + 4) // 4, 0))
-                return jax.lax.fori_loop(0, iters, rows_body, acc)
-
-            # exact occlusion break: items are sorted front-to-back per
-            # tile, so once the nearest depth among ALL remaining items
-            # (suffix-min, zmin_ref) lies strictly beyond the farthest
-            # accumulated pixel (+inf while any pixel is undrawn), nothing
-            # left can blend.  The head octet may contain the previous
-            # tile's items (suffix not applicable): always processed.
-            o_hi = (k_hi + 7) // 8
-
-            def w_cond(st):
-                o, dmax, _ = st
-                # clamp: the loop's FINAL condition check runs with o up
-                # to o_hi + opi - 1, which can index past the zmin
-                # scratch (the value is masked out by `o < o_hi`, but
-                # the read itself must stay in bounds)
-                zm = zmin_ref[jnp.minimum(gbase + o,
-                                          zmin_ref.shape[0] - 1)]
-                return (o < o_hi) & ((o * 8 < k_lo) | (zm <= dmax))
-
-            def w_body(st):
-                o, dmax, acc = st
-                acc = octet_pair_body(o, acc)
-                # farthest accumulated pixel, refreshed every ~4 octets
-                # (the full cross-lane reduce serializes against the
-                # blend chain — a stale dmax is merely conservative)
-                def _dmax(a):
-                    m = a[0]
-                    for i in range(1, n_sub):
-                        m = jnp.maximum(m, a[2 * i])
-                    return jnp.max(m)
-
-                if opi >= 4:
-                    dmax = _dmax(acc)
-                else:
-                    dmax = jax.lax.cond((o & 2) == 2, _dmax, lambda a: dmax,
-                                        acc)
-                return o + opi, dmax, acc
-
-            _, dmax, acc = jax.lax.while_loop(w_cond, w_body,
-                                              (k_lo // 8, dmax, acc))
+            acc, dmax = _walk_block(
+                rec_t, rows_ref, zmin_ref, nxv, py0, hf,
+                tile_h=tile_h, n_sub=n_sub, sub=sub, k_lo=k_lo, k_hi=k_hi,
+                gbase=gbase, bq=bq, opi=opi, row_tree=row_tree,
+                acc=acc, dmax0=dmax)
             return acc, dmax
 
         acc, _ = jax.lax.fori_loop(0, nblocks, block_body,
@@ -1015,154 +1038,15 @@ def _raster_kernel_shared(y0_ref, starts_hbm, counts_hbm, rows_hbm, zmin_hbm,
             blk0 = (first_blk + b) * bq
             gbase = blk0 // 8
 
-            def load_octet(o):
-                # identical to _raster_kernel.load_octet except k-range
-                # bounds arrive per member tile (closure args below)
-                oc = jnp.minimum(o, bq // 8 - 1)
-                g8 = pl.multiple_of(oc * 8, 8)
-                recs = [rec_t[pl.ds(g8, 8), f:f + 1]
-                        for f in range(N_BLEND_FIELDS + 4)]
-                fro = list(jax.lax.bitcast_convert_type(r, jnp.float32)
-                           for r in recs[:N_BLEND_FIELDS])
-                iro = tuple(recs[N_BLEND_FIELDS:N_BLEND_FIELDS + 4])
-                return fro, iro
-
             def walk_tile(i, acc, dmax0):
                 _, _, _, count, base = geo[i]
-                nxv = nxs[i]
                 k_lo = jnp.maximum(base - blk0, 0)
                 k_hi = jnp.minimum(base + count - blk0, bq)
-                bases_nx = nxv
-
-                def load_tile_octet(o):
-                    fro, iro = load_octet(o)
-                    kv = (o * 8
-                          + jax.lax.broadcasted_iota(jnp.int32, (8, 1), 0))
-                    kmask = (kv >= k_lo) & (kv < k_hi)
-                    fro[12] = jnp.where(kmask, fro[12],
-                                        jnp.float32(jnp.inf))
-                    fro[13] = jnp.where(kmask, fro[13],
-                                        jnp.float32(-jnp.inf))
-                    rb = rows_ref[jnp.minimum(gbase + o,
-                                              rows_ref.shape[0] - 1)]
-                    return (tuple(fro), iro, _eval_bases(bases_nx, fro),
-                            rb & 0xFF, rb >> 8)
-
-                def eval_row_raw(fro, iro, bases, y):
-                    py = (py0 + y).astype(jnp.float32)
-                    ny = 1.0 - 2.0 * (py + 0.5) / hf
-                    cover, z, c = _eval_one_quad_row(ny, fro, iro, bases)
-                    covered = cover & (z == z)
-                    d = jnp.where(covered, z, jnp.inf)
-                    c = jnp.where(covered, c, jnp.int32(2**31 - 1))
-                    return d, c
-
-                def butterfly(d, c):
-                    for shift in (4, 2, 1):
-                        d2 = pltpu.roll(d, shift, 0)
-                        c2 = pltpu.roll(c, shift, 0)
-                        lt = (d2 < d) | ((d2 == d) & (c2 < c))
-                        d = jnp.where(lt, d2, d)
-                        c = jnp.where(lt, c2, c)
-                    return d, c
-
-                def eval_row(fro, iro, bases, y):
-                    return butterfly(*eval_row_raw(fro, iro, bases, y))
-
-                def merge(acc, y, d, c):
-                    out = []
-                    for s in range(n_sub):
-                        ad, ac = acc[2 * s], acc[2 * s + 1]
-                        upd = (sub == y - 8 * s) & (
-                            (d < ad) | ((d == ad) & (c < ac)))
-                        out += [jnp.where(upd, d, ad), jnp.where(upd, c, ac)]
-                    return tuple(out)
-
-                o_hi = (k_hi + 7) // 8
-
-                def octet_group_body(o, acc):
-                    group = [load_tile_octet(o + jj) for jj in range(opi)]
-
-                    if row_tree:
-                        # merge-tree row loop (see _raster_kernel): union
-                        # row base, per-row tree reduce, one acc merge
-                        ry0g = group[0][3]
-                        ry1g = group[0][4]
-                        for jj in range(1, opi):
-                            gg = group[jj]
-                            act = o + jj < o_hi
-                            ry0g = jnp.minimum(
-                                ry0g, jnp.where(act, gg[3], tile_h - 1))
-                            ry1g = jnp.maximum(
-                                ry1g, jnp.where(act, gg[4], 0))
-
-                        def rows_body_tree(_i, acc):
-                            y = ry0g + 4 * _i
-                            for u in range(4):
-                                # element-wise tree over raw evals; one
-                                # butterfly per row (see _raster_kernel)
-                                evs = []
-                                for fro, iro, bases, r0m, r1m in group:
-                                    d, cc = eval_row_raw(fro, iro, bases,
-                                                         y + u)
-                                    ok = (y + u >= r0m) & (y + u <= r1m)
-                                    evs.append((
-                                        jnp.where(ok, d, jnp.inf),
-                                        jnp.where(ok, cc,
-                                                  jnp.int32(2**31 - 1)),
-                                    ))
-                                d, cc = butterfly(*_tree_reduce(evs))
-                                acc = merge(acc, y + u, d, cc)
-                            return acc
-
-                        iters = (ry1g - ry0g + 4) // 4
-                        return jax.lax.fori_loop(0, iters, rows_body_tree,
-                                                 acc)
-
-                    def rows_body(_i, acc):
-                        for fro, iro, bases, ry0, ry1 in group:
-                            y = ry0 + 4 * _i
-                            evs = [eval_row(fro, iro, bases, y + u)
-                                   for u in range(4)]
-                            for u, (d, c) in enumerate(evs):
-                                d = jnp.where(y + u <= ry1, d, jnp.inf)
-                                acc = merge(acc, y + u, d, c)
-                        return acc
-
-                    iters = (group[0][4] - group[0][3] + 4) // 4
-                    for jj in range(1, opi):
-                        gg = group[jj]
-                        iters = jnp.maximum(
-                            iters, jnp.where(o + jj < o_hi,
-                                             (gg[4] - gg[3] + 4) // 4, 0))
-                    return jax.lax.fori_loop(0, iters, rows_body, acc)
-
-                def w_cond(st):
-                    o, dmax, _ = st
-                    zm = zmin_ref[jnp.minimum(gbase + o,
-                                              zmin_ref.shape[0] - 1)]
-                    return (o < o_hi) & ((o * 8 < k_lo) | (zm <= dmax))
-
-                def w_body(st):
-                    o, dmax, acc = st
-                    acc = octet_group_body(o, acc)
-
-                    def _dmax(a):
-                        m = a[0]
-                        for s in range(1, n_sub):
-                            m = jnp.maximum(m, a[2 * s])
-                        return jnp.max(m)
-
-                    if opi >= 4:
-                        dmax = _dmax(acc)
-                    else:
-                        dmax = jax.lax.cond((o & 2) == 2, _dmax,
-                                            lambda a: dmax, acc)
-                    return o + opi, dmax, acc
-
-                _, dmax1, acc = jax.lax.while_loop(
-                    w_cond, w_body, (jnp.maximum(k_lo, 0) // 8, dmax0, acc))
-                return acc, dmax1
+                return _walk_block(
+                    rec_t, rows_ref, zmin_ref, nxs[i], py0, hf,
+                    tile_h=tile_h, n_sub=n_sub, sub=sub,
+                    k_lo=k_lo, k_hi=k_hi, gbase=gbase, bq=bq, opi=opi,
+                    row_tree=row_tree, acc=acc, dmax0=dmax0)
 
             new_accs, new_dmaxs = [], []
             for i in range(stream_group):
