@@ -171,6 +171,9 @@ def _render_step(
     band_y0: int = 0,     # rasterize only rows [band_y0, band_y0+band_h)
     band_h: int | None = None,  # (tp-sharded band rendering; NDC stays
                           # global, output is the band-sized buffer)
+    stream_group: int = 1,   # octet-kernel stream knobs (RenderConfig /
+    row_tree: bool = False,  # DPVR_* env override; identical frames)
+    block_q: int = raster_ops.BLOCK_Q,
     pre_geom=None,        # (valid, bbx, bby, depth_near, subpix_total)
                           # from a SHARED projection pass — the two-pass
                           # mode projects once and masks per pass instead
@@ -464,20 +467,21 @@ def _render_step(
                 interpret=interpret, y0_px=band_y0,
             )
         else:
-            # DPVR_STREAM_GROUP / DPVR_ROW_TREE (trace-time knobs, like
-            # DPVR_BIN_ORDER): adjacent tiles per shared record stream /
-            # merge-tree row loop in the octet kernel (frames are
-            # bit-identical under every combination)
+            # stream knobs: RenderConfig fields, with DPVR_STREAM_GROUP /
+            # DPVR_ROW_TREE / DPVR_BLOCK_Q env overrides read at trace
+            # time (like DPVR_BIN_ORDER); frames are bit-identical under
+            # every combination
             color, depth = raster_ops.rasterize_pallas(
                 records, tile_starts, tile_counts, octet_rows, octet_zmin,
                 init_color, init_depth,
                 height=height, width=width,
                 tile_h=tile_h, tile_w=tile_w, out_h=out_h,
                 interpret=interpret, y0_px=band_y0,
-                stream_group=int(os.environ.get("DPVR_STREAM_GROUP", "1")),
-                row_tree=bool(int(os.environ.get("DPVR_ROW_TREE", "0"))),
-                block_q=int(os.environ.get("DPVR_BLOCK_Q",
-                                           str(raster_ops.BLOCK_Q))),
+                stream_group=int(os.environ.get("DPVR_STREAM_GROUP",
+                                                str(stream_group))),
+                row_tree=bool(int(os.environ.get("DPVR_ROW_TREE",
+                                                 str(int(row_tree))))),
+                block_q=int(os.environ.get("DPVR_BLOCK_Q", str(block_q))),
             )
         if out_h != bh:
             color = color[:bh]
@@ -722,6 +726,9 @@ class Renderer:
             interpret=False,
             packed_raster=cfg.packed_raster,
             near_quads=cfg.two_pass_near_quads,
+            stream_group=cfg.stream_group,
+            row_tree=cfg.row_tree,
+            block_q=cfg.block_q,
         )
         # capacity buckets: every mid-stage cost (compaction sort, record
         # gather, binning sort) scales with the static gather/render caps,
@@ -943,6 +950,9 @@ def make_repeated_step(renderer: "Renderer", n_frames: int):
                 use_pallas=use_pallas, interpret=False,
                 tile_k_cap=cfg.tile_k_cap,
                 packed_raster=cfg.packed_raster,
+                stream_group=cfg.stream_group,
+                row_tree=cfg.row_tree,
+                block_q=cfg.block_q,
             )
             return color, depth, stats
 

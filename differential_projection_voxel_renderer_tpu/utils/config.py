@@ -147,6 +147,18 @@ class RenderConfig:
     # dominate once rows shrink, and either segment alignment or straddle
     # handling costs ~1-2 ms) — kept as an opt-in experiment; see NOTES.md.
     packed_raster: bool = False
+    # octet-kernel stream knobs (every setting renders the identical
+    # frame; see ops/raster.py).  The DPVR_STREAM_GROUP / DPVR_ROW_TREE /
+    # DPVR_BLOCK_Q env vars override these at trace time (experiments).
+    # - stream_group: adjacent tiles sharing one record-DMA chain
+    #   (divides the ~2 us/tile machinery by the group size)
+    # - row_tree: merge-tree row loop (shortens the serial accumulator
+    #   chain ~4x at +1.7% row evals)
+    # - block_q: record DMA block size (512/1024 halve block count at
+    #   stream_group 5)
+    stream_group: int = 1
+    row_tree: bool = False
+    block_q: int = 256
     # Collect per-frame pixel/quad counters (reference FUNCTION_COUNTERS,
     # src/perf/profiling.rs — compiled out unless --features profiling).
     profiling: bool = False
