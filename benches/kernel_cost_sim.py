@@ -131,7 +131,8 @@ class Counters:
 
 
 def simulate(records, starts, counts, rows, zmin, *, height=720,
-             width=1280, tile_h=16, opi=6, sg=1, tps=5, sim_depth=True):
+             width=1280, tile_h=16, opi=6, sg=1, tps=5, sim_depth=True,
+             row_tree=False):
     """Replay the kernel walk.  With sim_depth=False the break never
     fires (upper bound); with True the depth accumulators evolve exactly
     (depth part of the lexicographic blend) and the break replays the
@@ -194,13 +195,19 @@ def simulate(records, starts, counts, rows, zmin, *, height=720,
                 g0 = min(gbase + o, n_oct - 1)
                 it0 = (int(ry1[g0]) - int(ry0[g0]) + 4) // 4
                 iters = it0
+                u0r, u1r = int(ry0[g0]), int(ry1[g0])
                 c.ideal_row_evals += it0 * 4
                 for jj in range(1, opi):
                     if o + jj < o_hi:
                         g = min(gbase + o + jj, n_oct - 1)
                         itj = (int(ry1[g]) - int(ry0[g]) + 4) // 4
                         iters = max(iters, itj)
+                        u0r = min(u0r, int(ry0[g]))
+                        u1r = max(u1r, int(ry1[g]))
                         c.ideal_row_evals += itj * 4
+                if row_tree:
+                    # union span over the group (shared row base)
+                    iters = (u1r - u0r + 4) // 4
                 c.row_iters += iters
                 c.row_evals += iters * opi * 4
                 if sim_depth:
@@ -293,6 +300,8 @@ def main():
     ap.add_argument("--tile-h", type=int, default=16)
     ap.add_argument("--order", default="42",
                     help="DPVR_BIN_ORDER for the records build")
+    ap.add_argument("--row-tree", action="store_true",
+                    help="union-span iters (merge-tree row loop)")
     ap.add_argument("--no-depth", action="store_true",
                     help="skip depth sim (break never fires; upper bound)")
     ap.add_argument("--sweep", action="store_true",
@@ -320,7 +329,7 @@ def main():
     t0 = time.time()
     c = simulate(*data, tile_h=args.tile_h, opi=args.opi,
                  sg=args.sg, tps=args.tps,
-                 sim_depth=not args.no_depth)
+                 sim_depth=not args.no_depth, row_tree=args.row_tree)
     out = dict(opi=args.opi, tps=args.tps, sg=args.sg,
                tile_h=args.tile_h, order=args.order, **c.as_dict(),
                predicted_ms=round(predict_ms(c), 3))
