@@ -191,7 +191,7 @@ def main():
     cams += rng.normal(0, 0.01, cams.shape).astype(np.float32)  # defeat CSE
     quads, quad_world, total = eng.renderer.prepare_uploads(
         eng.pool.quads, eng._last_visible_slots, eng._last_counts_sel,
-        eng._last_positions_sel
+        eng._last_positions_sel, dir_mask=eng._last_dir_mask
     )
     import jax.numpy as jnp
     rep_args = (quads, quad_world, total,

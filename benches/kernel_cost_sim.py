@@ -83,8 +83,9 @@ def get_records(tile_h: int = 16, order: str = "42"):
 
         orig = Renderer.render_fused
 
-        def stub(self, pool, vs, cs, ps, vp, cam):
-            uploads = self.prepare_uploads(pool, vs, cs, ps)
+        def stub(self, pool, vs, cs, ps, vp, cam, dir_mask=None):
+            uploads = self.prepare_uploads(pool, vs, cs, ps,
+                                           dir_mask=dir_mask)
             z = np.zeros(6, np.int32)
             return z, z, z, uploads
 

@@ -55,7 +55,7 @@ def build_scene(vd=12):
     eng.render_frame(dt=0.0)
     quads, quad_world, total = eng.renderer.prepare_uploads(
         eng.pool.quads, eng._last_visible_slots, eng._last_counts_sel,
-        eng._last_positions_sel)
+        eng._last_positions_sel, dir_mask=eng._last_dir_mask)
     return (np.asarray(quads), np.asarray(quad_world), int(np.asarray(total)),
             eng.camera.view_projection_matrix(),
             np.asarray(eng.camera.position, np.float32))

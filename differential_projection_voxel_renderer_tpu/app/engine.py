@@ -78,6 +78,18 @@ def _pool_set_rows_flat(pool, slots, flat, starts, counts, *, mc: int):
     return pool.at[slots].set(full)
 
 
+def _dir_counts(quads: np.ndarray) -> np.ndarray:
+    """Per-face-direction counts of a packed quad array.  The pool's
+    dir-skip gather assumes rows are dir-CONTIGUOUS in face order (the
+    mesher's deterministic emission, meshing/greedy.py); violating that
+    would gather the wrong quads, so it is asserted here."""
+    if len(quads) == 0:
+        return np.zeros(6, np.int32)
+    d = (np.asarray(quads, np.uint32) >> 29) & 7
+    assert (np.diff(d) >= 0).all(), "mesh quads not grouped by face dir"
+    return np.bincount(d, minlength=6)[:6].astype(np.int32)
+
+
 class QuadPool:
     """Device-resident mesh cache: packed quads per chunk slot.
 
@@ -97,6 +109,11 @@ class QuadPool:
         self.qcap = qcap
         self.quads = jnp.zeros((slots, qcap), jnp.uint32)
         self.counts = np.zeros(slots, np.int32)
+        # per-face-direction quad counts (meshes are dir-grouped in pool
+        # row order — the mesher's deterministic +X,-X,+Y,-Y,+Z,-Z
+        # emission), enabling whole back-facing directions to be skipped
+        # at draw-list build (engine._dir_keep_mask)
+        self.counts6 = np.zeros((slots, 6), np.int32)
         self.positions = np.zeros((slots, 3), np.int32)
         # pos -> slot; None-mesh chunks (uniform/empty) get count 0 slots so
         # "has cache entry" stays distinct from "has no mesh" (main.rs:285)
@@ -139,15 +156,23 @@ class QuadPool:
             row[:n] = quads[:n]
         self.quads = _pool_set_row(self.quads, jnp.int32(slot), jnp.asarray(row))
         self.counts[slot] = n
+        self.counts6[slot] = _dir_counts(row[:n])
         self.positions[slot] = key
         self._dev_cache = None
         self._lookup_cache = None
 
     def insert_rows_device(self, positions, quad_rows, counts) -> None:
         """Batched insert of device-resident quad rows (the device-meshing
-        path): one device-to-device scatter, no quad H2D."""
+        path): one device-to-device scatter, no quad H2D.  Per-dir counts
+        come from one small device reduction (the dir-skip gather needs
+        them; the D2H is 6*k ints)."""
         k = len(positions)
         assert quad_rows.shape == (k, self.qcap)
+        in_count = (np.arange(self.qcap)[None, :]
+                    < np.asarray(counts, np.int64)[:, None])
+        dirs = np.asarray((quad_rows >> 29) & jnp.uint32(7))
+        c6 = np.stack([((dirs == d) & in_count).sum(1)
+                       for d in range(6)], axis=1).astype(np.int32)
         slots = np.zeros(k, np.int32)
         for i, pos in enumerate(positions):
             key = tuple(int(c) for c in pos)
@@ -162,6 +187,7 @@ class QuadPool:
                 self._used[slot] = True
             slots[i] = slot
             self.counts[slot] = int(counts[i])
+            self.counts6[slot] = c6[i]
             self.positions[slot] = key
         self.quads = _pool_set_rows(self.quads, jnp.asarray(slots),
                                     quad_rows)
@@ -215,6 +241,9 @@ class QuadPool:
                 if len(quads) > self.qcap:
                     self.overflow_drops += len(quads) - self.qcap
                 parts.append(np.asarray(quads[:n], np.uint32))
+                self.counts6[slot] = _dir_counts(parts[-1])
+            else:
+                self.counts6[slot] = 0
             slots[i] = slot
             counts[i] = n
             self.counts[slot] = n
@@ -248,6 +277,7 @@ class QuadPool:
         slot = self.by_pos.pop(key, None)
         if slot is not None:
             self.counts[slot] = 0
+            self.counts6[slot] = 0
             self._used[slot] = False
             self._free.append(slot)
             self._dev_cache = None
@@ -518,6 +548,33 @@ class Engine:
         inside one frame."""
         self.renderer.warm_buckets(self.pool.quads)
 
+    def _dir_keep_mask(self, positions, cam_pos) -> np.ndarray:
+        """Per-chunk face-direction keep mask [n, 6] (0 = every quad of
+        that direction is provably backfacing; skipped before the gather).
+
+        Exactness: the device backface test (ops/projection.py
+        stage_a_fields, exact mode) keeps a +axis face iff
+        ``cam_axis > world + axis_pos`` with axis_pos in [1, 32], and a
+        -axis face iff ``cam_axis < world + axis_pos`` with axis_pos in
+        [0, 31].  Skipping +axis when ``cam <= min + 1`` (all planes
+        >= min+1 >= cam -> d <= 0) and -axis when ``cam >= min + 31``
+        is therefore a strict subset of the device cull — the frame is
+        bit-identical, only the gathered stream shrinks (reference's
+        per-face-dir cull: rasterizer.rs:812-881).  All arithmetic is
+        exact in f32 (integer-valued planes), so host and device agree
+        deterministically.  Disabled (all-ones) when device backface
+        culling is off or in span mode (whose clip-normal test differs).
+        """
+        if not self.config.backface_culling or self.config.span_mode:
+            return np.ones((len(positions), 6), np.int32)
+        m = positions.astype(np.float32) * np.float32(CHUNK_SIZE)
+        cam = np.asarray(cam_pos, np.float32)
+        keep = np.empty((len(positions), 6), np.int32)
+        for axis in range(3):
+            keep[:, 2 * axis] = cam[axis] > m[:, axis] + np.float32(1.0)
+            keep[:, 2 * axis + 1] = cam[axis] < m[:, axis] + np.float32(31.0)
+        return keep
+
     # --------------------------------------------------------------- frame
     def render_frame(self, dt: float = 0.016) -> FrameResult:
         frame_t0 = time.perf_counter()
@@ -581,24 +638,31 @@ class Engine:
 
         vcap = self.config.visible_chunks_cap
         visible_slots = np.zeros(vcap, np.int32)
-        counts_sel = np.zeros(vcap, np.int32)
+        counts_sel = np.zeros((vcap, 6), np.int32)
+        mask_sel = np.ones((vcap, 6), np.int32)
         positions_sel = np.zeros((vcap, 3), np.int32)
         n = min(len(slots), vcap)
         if n:
             visible_slots[:n] = slots[:n]
-            counts_sel[:n] = self.pool.counts[slots[:n]]
+            counts_sel[:n] = self.pool.counts6[slots[:n]]
             positions_sel[:n] = self.pool.positions[slots[:n]]
+            mask_sel[:n] = self._dir_keep_mask(positions_sel[:n],
+                                               cam.position)
         self._last_visible_slots = visible_slots
         self._last_counts_sel = counts_sel
+        self._last_dir_mask = mask_sel
         self._last_positions_sel = positions_sel
         self._last_n_visible = n
 
         # reuse the device-side gather arrays when the draw list is
         # unchanged (the TPU analogue of the reference's mesh/basis caches);
         # when it DID change, expansion + render go out as ONE dispatch
-        # (moving-camera frames would otherwise pay two round trips)
+        # (moving-camera frames would otherwise pay two round trips).
+        # The dir mask is part of the identity: it changes only when the
+        # camera crosses a chunk plane, and a stale mask would DROP
+        # newly-front-facing geometry.
         sig = (self.world.version, visible_slots[:n].tobytes(),
-               counts_sel[:n].tobytes())
+               counts_sel[:n].tobytes(), mask_sel[:n].tobytes())
         if self._upload_cache is not None and self._upload_cache[0] == sig:
             uploads = self._upload_cache[1]
             if self.config.temporal_hiz and cam_same:
@@ -623,7 +687,7 @@ class Engine:
         else:
             color, depth, stats, uploads = self.renderer.render_fused(
                 self.pool.quads, visible_slots, counts_sel, positions_sel,
-                vp, cam.position
+                vp, cam.position, dir_mask=mask_sel
             )
             self._upload_cache = (sig, uploads)
         if FUNCTION_COUNTERS.enabled:

@@ -544,30 +544,77 @@ def build_gather_indices(counts_sel, slots_sel, positions_sel, gather_cap: int):
     return pool_slot_of, within, quad_world, total
 
 
-def _expand_uploads_impl(quad_pool, slots_sel, counts_sel, positions_sel,
-                         gather_cap: int):
-    """Device-side draw-list expansion: per-visible-chunk (pool slot, quad
-    count, chunk position) -> the flat quad stream + per-quad world
-    origins.  Uploads are ~5 KB instead of ~2.5 MB of host-expanded index
-    arrays (the np.repeat expansion + H2D dominated moving-camera frames);
-    runs only when the draw list changes (see prepare_uploads)."""
+def _expand_uploads_impl(quad_pool, slots_sel, counts6_sel, mask6_sel,
+                         positions_sel, gather_cap: int):
+    """Device-side draw-list expansion: per-visible-chunk (pool slot,
+    per-face-direction quad counts, direction keep mask, chunk position)
+    -> the flat quad stream + per-quad world origins.  Uploads are ~5 KB
+    instead of ~2.5 MB of host-expanded index arrays (the np.repeat
+    expansion + H2D dominated moving-camera frames); runs only when the
+    draw list changes (see prepare_uploads).
+
+    Each (chunk, face-direction) is one expansion unit: meshes store
+    their quads grouped by face dir in pool-row order (the mesher's
+    deterministic +X,-X,+Y,-Y,+Z,-Z emission), so a whole back-facing
+    direction is skipped by zeroing its mask bit — the host computes the
+    conservative-exact mask (engine._dir_keep_mask), and every skipped
+    quad is one the device backface test (ops/projection.py
+    stage_a_fields) would have culled anyway, so frames are identical
+    while the gathered stream (and its capacity bucket) shrinks ~40-50%.
+    The reference's per-face-dir cull lives at rasterizer.rs:812-881.
+    ``counts6_sel`` must be the FULL per-dir counts (they position the
+    within-row segment starts); ``mask6_sel`` carries the skip."""
     nv = slots_sel.shape[0]
-    ci = jnp.repeat(jnp.arange(nv, dtype=jnp.int32), counts_sel,
-                    total_repeat_length=gather_cap)
-    starts = jnp.cumsum(counts_sel) - counts_sel
+    lens = (counts6_sel * mask6_sel).reshape(nv * 6)
+    row_start = (jnp.cumsum(counts6_sel, axis=1)
+                 - counts6_sel).reshape(nv * 6)
+    unit = jnp.repeat(jnp.arange(nv * 6, dtype=jnp.int32), lens,
+                      total_repeat_length=gather_cap)
+    ci = unit // 6
     slot_of = slots_sel[ci]
-    within = jnp.arange(gather_cap, dtype=jnp.int32) - starts[ci]
-    quads = quad_pool[slot_of, jnp.clip(within, 0, quad_pool.shape[1] - 1)]
+    starts_flat = jnp.cumsum(lens) - lens
+    within = jnp.arange(gather_cap, dtype=jnp.int32) - starts_flat[unit]
+    row_idx = row_start[unit] + within
+    quads = quad_pool[slot_of,
+                      jnp.clip(row_idx, 0, quad_pool.shape[1] - 1)]
     wq = jnp.stack([(positions_sel[:, a].astype(jnp.float32) * 32.0)[ci]
                     for a in range(3)])
-    return quads, wq, counts_sel.sum().astype(jnp.int32)
+    return quads, wq, lens.sum().astype(jnp.int32)
 
 
 @functools.partial(jax.jit, static_argnames=("gather_cap",))
-def _expand_uploads(quad_pool, slots_sel, counts_sel, positions_sel, *,
-                    gather_cap: int):
-    return _expand_uploads_impl(quad_pool, slots_sel, counts_sel,
-                                positions_sel, gather_cap)
+def _expand_uploads(quad_pool, slots_sel, counts6_sel, mask6_sel,
+                    positions_sel, *, gather_cap: int):
+    return _expand_uploads_impl(quad_pool, slots_sel, counts6_sel,
+                                mask6_sel, positions_sel, gather_cap)
+
+
+def _normalize_counts6(counts_sel):
+    """Accept legacy [vcap] totals (everything as one dir-0 segment — the
+    expansion then gathers row[0:count] exactly like the pre-dir-aware
+    path) or [vcap, 6] per-dir counts."""
+    counts_sel = np.asarray(counts_sel, np.int64)
+    if counts_sel.ndim == 1:
+        c6 = np.zeros((counts_sel.shape[0], 6), np.int64)
+        c6[:, 0] = counts_sel
+        return c6
+    return counts_sel
+
+
+def _truncate_units(counts6, mask6, cap):
+    """Clip the masked unit lengths so the stream fits ``cap``: suffix
+    units lose quads first (units are (chunk, dir) in chunk-major order,
+    chunks front-to-back).  Returns (counts6_upload, total): the partial
+    unit's FULL count is rewritten to its kept length — sound because
+    every later dir of that chunk is fully truncated, so the shifted
+    row starts are only ever used by zero-length units."""
+    lens = (counts6 * mask6).reshape(-1)
+    cum = np.cumsum(lens)
+    keep = np.minimum(lens, np.maximum(cap - (cum - lens), 0))
+    c6u = counts6.reshape(-1).copy()
+    m = mask6.reshape(-1).astype(bool)
+    c6u[m] = keep[m]
+    return c6u.reshape(counts6.shape), int(keep.sum())
 
 
 def _two_pass_step(quads, quad_world, n_quads, view_proj, cam_pos, *,
@@ -622,20 +669,43 @@ def _pack_cam(view_proj, cam_pos) -> np.ndarray:
     return out
 
 
+META_SHORTS = 11  # slots | counts6 | dir-mask bits | positions, per chunk
+
+
 def _unpack_meta(meta_i, vcap: int):
-    """One consolidated int16 upload -> (slots, counts, positions) int32.
+    """One consolidated int16 upload -> (slots, counts6, mask6,
+    positions) int32.
 
     Per-frame host->device transfers each cost a round trip on
     relay-attached hosts, so the per-chunk draw-list arrays travel as a
-    single [vcap*5] array (slots | counts | positions.ravel), in int16
-    (10 KB -> 5 KB per moving-camera frame; every value fits: pool slots
-    < 32768, per-chunk quad counts <= QUADS_PER_CHUNK_CAP = 4096, chunk
-    grid coords are small)."""
+    single [vcap*11] array (slots | counts6.ravel | mask bits |
+    positions.ravel), in int16 (every value fits: pool slots < 32768,
+    per-dir quad counts <= QUADS_PER_CHUNK_CAP = 4096, mask is 6 bits,
+    chunk grid coords are small)."""
     meta_i = meta_i.astype(jnp.int32)
     slots = meta_i[:vcap]
-    counts = meta_i[vcap:2 * vcap]
-    positions = meta_i[2 * vcap:5 * vcap].reshape(vcap, 3)
-    return slots, counts, positions
+    counts6 = meta_i[vcap:7 * vcap].reshape(vcap, 6)
+    maskb = meta_i[7 * vcap:8 * vcap]
+    mask6 = jnp.stack([(maskb >> d) & 1 for d in range(6)], axis=1)
+    positions = meta_i[8 * vcap:11 * vcap].reshape(vcap, 3)
+    return slots, counts6, mask6, positions
+
+
+def _pack_meta(vcap, slots, counts6, mask6, positions) -> np.ndarray:
+    meta = np.zeros(META_SHORTS * vcap, np.int16)
+    n = len(slots)
+    meta[:n] = np.asarray(slots, np.int16)
+    c6 = np.zeros((vcap, 6), np.int16)
+    c6[:n] = counts6[:n]
+    meta[vcap:7 * vcap] = c6.ravel()
+    mb = np.zeros(vcap, np.int16)
+    mb[:n] = (np.asarray(mask6[:n], np.int16)
+              << np.arange(6, dtype=np.int16)[None, :]).sum(1)
+    meta[7 * vcap:8 * vcap] = mb
+    p = np.zeros((vcap, 3), np.int16)
+    p[:n] = np.asarray(positions[:n], np.int16)
+    meta[8 * vcap:11 * vcap] = p.ravel()
+    return meta
 
 
 def _unpack_cam(cam_f):
@@ -650,10 +720,12 @@ def _fused_frame(quad_pool, meta_i, cam_f, *, vcap: int,
     would otherwise pay two device round trips (prepare_uploads, then the
     step).  Also returns the expanded uploads so the caller can cache them
     for subsequent static-draw-list frames."""
-    slots_sel, counts_sel, positions_sel = _unpack_meta(meta_i, vcap)
+    slots_sel, counts6_sel, mask6_sel, positions_sel = _unpack_meta(
+        meta_i, vcap)
     view_proj, cam_pos = _unpack_cam(cam_f)
     quads, quad_world, total = _expand_uploads_impl(
-        quad_pool, slots_sel, counts_sel, positions_sel, gather_cap)
+        quad_pool, slots_sel, counts6_sel, mask6_sel, positions_sel,
+        gather_cap)
     near_quads = step_kw.pop("near_quads", 0)
     if near_quads:
         color, depth, stats = _two_pass_step(
@@ -793,8 +865,9 @@ class Renderer:
         vcap = self.config.visible_chunks_cap
         cam = jnp.asarray(_pack_cam(np.eye(4, dtype=np.float32),
                                     np.zeros(3, np.float32)))
-        meta = np.zeros(5 * vcap, np.int16)
-        meta[vcap] = 1  # one quad from pool slot 0
+        meta = np.zeros(META_SHORTS * vcap, np.int16)
+        meta[vcap] = 1           # one quad from pool slot 0, dir 0
+        meta[7 * vcap] = 0x3F    # all six dirs kept
         for cap in self.gather_buckets:
             step, fused = self._steps_for(cap)
             _c, _d, _s, quads, quad_world, total_dev = fused(
@@ -820,58 +893,66 @@ class Renderer:
         self.config.enable_shading = enable
         self.__init__(self.config, self.atlas)
 
-    def prepare_uploads(self, quad_pool, visible_slots, counts_sel,
-                        positions_sel):
-        """Draw-list-dependent device state: upload the tiny per-chunk
-        arrays and expand + gather the quad stream on device.  Cacheable
-        by the caller while the draw list is unchanged — the camera-
-        dependent step never re-gathers."""
-        counts_sel = np.asarray(counts_sel, np.int64)
-        total = int(counts_sel.sum())
+    def _prep_meta(self, visible_slots, counts_sel, positions_sel,
+                   dir_mask):
+        """Shared draw-list normalization for prepare_uploads /
+        render_fused: accepts legacy [vcap] totals or [vcap, 6] per-dir
+        counts (+ optional [vcap, 6] keep mask), sizes the capacity
+        bucket from the MASKED total, and truncates suffix units to
+        fit.  Returns (slots i32[vcap], counts6 i64[vcap, 6],
+        mask6 i64[vcap, 6], positions i32[vcap, 3], cap)."""
+        counts6 = _normalize_counts6(counts_sel)
+        mask6 = (np.ones_like(counts6) if dir_mask is None
+                 else np.asarray(dir_mask, np.int64))
+        total = int((counts6 * mask6).sum())
         cap = self.bucket_for(total)
         if total > cap:
-            # truncate whole chunks from the back (reported via stats[0])
-            cum = np.cumsum(counts_sel)
-            counts_sel = np.where(cum <= cap, counts_sel,
-                                  np.maximum(cap - (cum - counts_sel), 0))
+            counts6, total = _truncate_units(counts6, mask6, cap)
+        slots_a = np.asarray(visible_slots, np.int32)
+        pos_a = np.asarray(positions_sel, np.int32)
+        if slots_a.max(initial=0) > 32767 or np.abs(pos_a).max() > 32767:
+            # the int16 packing would silently wrap and gather the WRONG
+            # pool rows / chunk origins — fail loudly instead
+            raise ValueError(
+                "draw-list meta exceeds int16 range (pool slot > 32767 "
+                "or |chunk grid coord| > 32767); shrink the pool or the "
+                "world extent, or widen the meta upload")
+        return slots_a, counts6, mask6, pos_a, cap
+
+    def prepare_uploads(self, quad_pool, visible_slots, counts_sel,
+                        positions_sel, dir_mask=None):
+        """Draw-list-dependent device state: upload the tiny per-chunk
+        arrays and expand + gather the quad stream on device.  Cacheable
+        by the caller while the draw list (incl. ``dir_mask``) is
+        unchanged — the camera-dependent step never re-gathers.
+
+        ``counts_sel``: [vcap] totals (legacy) or [vcap, 6] per-face-dir
+        counts; ``dir_mask``: optional [vcap, 6] 0/1 keep mask (see
+        _expand_uploads_impl)."""
+        slots_a, counts6, mask6, pos_a, cap = self._prep_meta(
+            visible_slots, counts_sel, positions_sel, dir_mask)
         quads, quad_world, total_dev = _expand_uploads(
             quad_pool,
-            jnp.asarray(np.asarray(visible_slots, np.int32)),
-            jnp.asarray(counts_sel.astype(np.int32)),
-            jnp.asarray(np.asarray(positions_sel, np.int32)),
+            jnp.asarray(slots_a),
+            jnp.asarray(counts6.astype(np.int32)),
+            jnp.asarray(mask6.astype(np.int32)),
+            jnp.asarray(pos_a),
             gather_cap=cap,
         )
         return quads, quad_world, total_dev
 
     def render_fused(self, quad_pool, visible_slots, counts_sel,
-                     positions_sel, view_proj, cam_pos):
+                     positions_sel, view_proj, cam_pos, dir_mask=None):
         """Draw-list expansion + render in ONE dispatch (the moving-camera
         path).  Returns (color, depth, stats, uploads) — cache ``uploads``
         and call render_prepared while the draw list stays unchanged.
         All per-frame host state crosses as TWO consolidated uploads
         (draw-list ints, camera floats) — each separate H2D costs a round
         trip on relay-attached hosts."""
-        counts_sel = np.asarray(counts_sel, np.int64)
-        total = int(counts_sel.sum())
-        cap = self.bucket_for(total)
-        if total > cap:
-            cum = np.cumsum(counts_sel)
-            counts_sel = np.where(cum <= cap, counts_sel,
-                                  np.maximum(cap - (cum - counts_sel), 0))
+        slots_a, counts6, mask6, pos_a, cap = self._prep_meta(
+            visible_slots, counts_sel, positions_sel, dir_mask)
         vcap = self.config.visible_chunks_cap
-        slots_a = np.asarray(visible_slots, np.int32)
-        pos_a = np.asarray(positions_sel, np.int32)
-        if slots_a.max(initial=0) > 32767 or np.abs(pos_a).max() > 32767:
-            # the int16 packing below would silently wrap and gather the
-            # WRONG pool rows / chunk origins — fail loudly instead
-            raise ValueError(
-                "draw-list meta exceeds int16 range (pool slot > 32767 "
-                "or |chunk grid coord| > 32767); shrink the pool or the "
-                "world extent, or widen the meta upload")
-        meta = np.empty(5 * vcap, np.int16)
-        meta[:vcap] = slots_a.astype(np.int16)
-        meta[vcap:2 * vcap] = counts_sel.astype(np.int16)
-        meta[2 * vcap:] = pos_a.astype(np.int16).ravel()
+        meta = _pack_meta(vcap, slots_a, counts6, mask6, pos_a)
         _, fused = self._steps_for(cap)
         color, depth, stats, quads, quad_world, total_dev = fused(
             quad_pool,

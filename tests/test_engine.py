@@ -51,6 +51,39 @@ def test_frame_renders_terrain(engine):
     assert stats[2] == 0 and stats[3] == 0  # no overflow
 
 
+def test_dir_skip_bit_identical_and_smaller(engine):
+    """Host face-direction culling (engine._dir_keep_mask): skipped
+    directions are exactly quads the device backface test would cull, so
+    the frame must be bit-identical to the unmasked gather while the
+    gathered stream (stats[0]) shrinks."""
+    res_masked = engine.render_frame(dt=0.0)
+    n = engine._last_n_visible
+    mask = engine._last_dir_mask
+    assert (mask[:n] == 0).any(), "expected some skipped directions"
+    # rebuild the stream WITHOUT the mask through the same renderer
+    up_full = engine.renderer.prepare_uploads(
+        engine.pool.quads, engine._last_visible_slots,
+        engine._last_counts_sel, engine._last_positions_sel)
+    vp = engine.camera.view_projection_matrix()
+    c2, d2, s2 = engine.renderer.render_prepared(
+        up_full, vp, engine.camera.position)
+    np.testing.assert_array_equal(res_masked.color_numpy(),
+                                  np.asarray(c2).view(np.uint32))
+    np.testing.assert_array_equal(np.asarray(res_masked.depth),
+                                  np.asarray(d2))
+    sm = np.asarray(res_masked.stats)
+    sf = np.asarray(s2)
+    assert sm[0] < sf[0], (sm[0], sf[0])   # smaller gathered stream
+    assert sm[1] == sf[1]                  # same rasterized count
+
+
+def test_dir_counts_sum_matches(engine):
+    """QuadPool.counts6 partitions counts exactly (dir-contiguous rows)."""
+    used = np.nonzero(engine.pool._used)[0]
+    np.testing.assert_array_equal(engine.pool.counts6[used].sum(1),
+                                  engine.pool.counts[used])
+
+
 def test_mesh_cache_reused(engine):
     before = dict(engine.pool.by_pos)
     engine.render_frame(dt=0.0)
