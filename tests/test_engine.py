@@ -77,6 +77,27 @@ def test_dir_skip_bit_identical_and_smaller(engine):
     assert sm[1] == sf[1]                  # same rasterized count
 
 
+def test_dir_keep_mask_subset_of_device_cull(engine):
+    """Property: for random cameras/chunks, every (chunk, dir) the host
+    mask skips contains ONLY quads the device backface test
+    (ops/projection.py: d = cam_axis - (world + axis_pos), +faces keep
+    d > 0 with axis_pos in [1,32], -faces keep d < 0 with axis_pos in
+    [0,31]) would cull — the dir skip can never drop visible geometry."""
+    rng = np.random.default_rng(11)
+    positions = rng.integers(-40, 40, size=(64, 3)).astype(np.int32)
+    for _ in range(32):
+        cam = rng.uniform(-1400, 1400, 3).astype(np.float32)
+        keep = engine._dir_keep_mask(positions, cam)
+        m = positions.astype(np.float32) * 32.0
+        for axis in range(3):
+            for axis_pos in range(1, 33):   # +faces
+                front = cam[axis] - (m[:, axis] + axis_pos) > 0.0
+                assert not (front & (keep[:, 2 * axis] == 0)).any()
+            for axis_pos in range(0, 32):   # -faces
+                front = cam[axis] - (m[:, axis] + axis_pos) < 0.0
+                assert not (front & (keep[:, 2 * axis + 1] == 0)).any()
+
+
 def test_dir_counts_sum_matches(engine):
     """QuadPool.counts6 partitions counts exactly (dir-contiguous rows)."""
     used = np.nonzero(engine.pool._used)[0]
