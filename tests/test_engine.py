@@ -77,29 +77,29 @@ def test_dir_skip_bit_identical_and_smaller(engine):
     assert sm[1] == sf[1]                  # same rasterized count
 
 
-def test_dir_skip_plane_crossing_sweep(engine):
+def test_dir_skip_plane_crossing_sweep():
     """Moving-camera dir-skip equality at the risky poses: EXACTLY on a
     chunk plane and one ulp-ish to either side (the mask flips there;
-    host and device must agree bit-for-bit)."""
-    saved = engine.camera.position.copy()
-    try:
-        for p in ((31.999, 40.0, 31.999), (32.0, 12.0, -32.0),
-                  (32.001, 40.0, 32.001)):
-            engine.camera.position = np.array(p, np.float32)
-            engine.camera.look_at(np.array([0.0, 0.0, 0.0]))
-            r = engine.render_frame(dt=0.0)
-            up_full = engine.renderer.prepare_uploads(
-                engine.pool.quads, engine._last_visible_slots,
-                engine._last_counts_sel, engine._last_positions_sel)
-            vp = engine.camera.view_projection_matrix()
-            c2, d2, _ = engine.renderer.render_prepared(
-                up_full, vp, engine.camera.position)
-            np.testing.assert_array_equal(
-                r.color_numpy(), np.asarray(c2).view(np.uint32))
-            np.testing.assert_array_equal(np.asarray(r.depth),
-                                          np.asarray(d2))
-    finally:
-        engine.camera.position = saved
+    host and device must agree bit-for-bit).  Own engine — the sweep
+    streams chunks and must not perturb the shared fixture."""
+    eng = _small_engine()
+    eng.world.generate_region((-3, -1, -3), (3, 1, 3))
+    eng.prime()
+    for p in ((31.999, 40.0, 31.999), (32.0, 12.0, -32.0),
+              (32.001, 40.0, 32.001)):
+        eng.camera.position = np.array(p, np.float32)
+        eng.camera.look_at(np.array([0.0, 0.0, 0.0]))
+        r = eng.render_frame(dt=0.0)
+        up_full = eng.renderer.prepare_uploads(
+            eng.pool.quads, eng._last_visible_slots,
+            eng._last_counts_sel, eng._last_positions_sel)
+        vp = eng.camera.view_projection_matrix()
+        c2, d2, _ = eng.renderer.render_prepared(
+            up_full, vp, eng.camera.position)
+        np.testing.assert_array_equal(
+            r.color_numpy(), np.asarray(c2).view(np.uint32))
+        np.testing.assert_array_equal(np.asarray(r.depth),
+                                      np.asarray(d2))
 
 
 def test_dir_keep_mask_subset_of_device_cull(engine):
