@@ -218,7 +218,8 @@ def rasterize_jnp(fcoef, icoef, count, *, height: int, width: int,
 @functools.partial(jax.jit, static_argnames=("tiles_y", "tiles_x",
                                                "item_cap"))
 def build_tile_lists(tilebox, count, *, tiles_y: int, tiles_x: int,
-                     item_cap: int, order6=None, order6_dy1=None):
+                     item_cap: int, order6=None, order6_dy1=None,
+                     valid=None):
     """Bin quads to tiles as ONE flat item stream of (tile, quad) pairs,
     ordered by (tile, ascending quad) — so per-tile blend order matches the
     unbinned stream exactly, and downstream work is proportional to real
@@ -262,7 +263,11 @@ def build_tile_lists(tilebox, count, *, tiles_y: int, tiles_x: int,
         return x.astype(jnp.uint32)
 
     q = jnp.arange(m, dtype=jnp.int32)
-    in_count = q < count
+    # prefix count (compacted streams) or an explicit validity mask (the
+    # no-compaction mode bins the raw gather stream, whose valid quads
+    # are interspersed; within-tile item order is ascending stream index
+    # either way, so blend semantics are unchanged)
+    in_count = (q < count) if valid is None else valid
     tx0 = tilebox & 0xFF
     tx1 = (tilebox >> 8) & 0xFF
     ty0 = (tilebox >> 16) & 0xFF

@@ -270,21 +270,7 @@ def _render_step(
         tiles_y, tiles_x = out_h // tile_h, width // tile_w
         rc = min(gq, render_cap)
         bcast = jax.lax.bitcast_convert_type
-        pre_rows = [bcast(quads, jnp.float32), wq[0], wq[1], wq[2],
-                    bcast(bbx_a, jnp.float32), bcast(bby_a, jnp.float32),
-                    dn_a]
-        if span_mode:
-            pre_rows += [proj_a[k] for k in
-                         ("nx_min", "nx_max", "ny_min", "ny_max")]
-        # compaction indices via one flat sort (a searchsorted of rc
-        # targets lowers to a per-target binary-search loop — measured
-        # ~7 ms at this size; the sort is ~0.5 ms).  On the packed path
-        # the sort key carries the log-quantized near depth in its high
-        # bits, so the compacted stream comes out front-to-back and the
-        # binner needs no order bits at all (raster_packed.py).
         n_valid = count
-        count_c = jnp.minimum(n_valid, rc)
-        stream_q = jnp.arange(gq, dtype=jnp.int32)
         use_packed = packed_raster and not span_mode
         if use_packed and init_color is not None:
             # the packed kernel has no init-framebuffer path: silently
@@ -295,31 +281,71 @@ def _render_step(
                 "packed_raster cannot run as a two-pass far pass "
                 "(no init framebuffer support); disable "
                 "two_pass_near_quads or packed_raster")
-        if use_packed:
-            qbits = max(1, (gq - 1).bit_length())
-            assert 16 << (qbits + 4) > 0  # dq4 + index fit int32
-            dq4_full = jnp.clip(
-                (-jnp.log2(jnp.maximum(1.0 - dn_a, 1e-9)))
-                .astype(jnp.int32), 0, 15)
-            ckey = jnp.where(valid_a, (dq4_full << qbits) | stream_q,
-                             jnp.int32(2**30))
-            idx = jnp.sort(ckey)[:rc] & ((1 << qbits) - 1)
+        # NO-COMPACTION mode: when the whole gather stream fits the
+        # render cap (small capacity buckets, and the vd12 headline
+        # bucket once host dir-culling shrinks the stream), the
+        # compaction sort + multi-row gather buy nothing — the binner
+        # takes the raw stream with an explicit validity mask instead
+        # (same within-tile item order: ascending stream index).  The
+        # packed kernel keeps the compaction (it relies on the
+        # depth-keyed compaction ORDER).
+        no_compact = gq <= rc and not use_packed
+        if no_compact:
+            count_c = n_valid
+            overflow = jnp.int32(0)
+            quads_c, wq_c = quads, wq
+            bbx_c, bby_c, dn_c = bbx_a, bby_a, dn_a
+            valid_c = valid_a
+            proj_c = (dict({k: proj_a[k] for k in
+                            ("nx_min", "nx_max", "ny_min", "ny_max")},
+                           depth_near=dn_a)
+                      if span_mode else None)
         else:
-            idx = jnp.sort(
-                jnp.where(valid_a, stream_q, jnp.int32(2**30))
-            )[:rc]
-        idx = jnp.minimum(idx, gq - 1)
-        pre_c = jnp.stack(pre_rows)[:, idx]
-        overflow = jnp.maximum(n_valid - rc, 0)
-        quads_c = bcast(pre_c[0], jnp.uint32)
-        wq_c = (pre_c[1], pre_c[2], pre_c[3])
-        bbx_c = bcast(pre_c[4], jnp.int32)
-        bby_c = bcast(pre_c[5], jnp.int32)
-        dn_c = pre_c[6]
-        proj_c = (dict({k: pre_c[7 + j] for j, k in
-                        enumerate(("nx_min", "nx_max", "ny_min", "ny_max"))},
-                       depth_near=dn_c)
-                  if span_mode else None)
+            # ---- compaction indices via one flat sort (a searchsorted
+            # of rc targets lowers to a per-target binary-search loop —
+            # measured ~7 ms at this size; the sort is ~0.5 ms).  On the
+            # packed path the sort key carries the log-quantized near
+            # depth in its high bits, so the compacted stream comes out
+            # front-to-back and the binner needs no order bits at all
+            # (raster_packed.py).  All per-quad state crosses the
+            # compaction as rows of one f32 array (ints bitcast): on TPU
+            # a [R, N][:, idx] gather costs ~one flat gather while R
+            # separate flat gathers cost R x (measured).
+            pre_rows = [bcast(quads, jnp.float32), wq[0], wq[1], wq[2],
+                        bcast(bbx_a, jnp.float32),
+                        bcast(bby_a, jnp.float32), dn_a]
+            if span_mode:
+                pre_rows += [proj_a[k] for k in
+                             ("nx_min", "nx_max", "ny_min", "ny_max")]
+            count_c = jnp.minimum(n_valid, rc)
+            stream_q = jnp.arange(gq, dtype=jnp.int32)
+            if use_packed:
+                qbits = max(1, (gq - 1).bit_length())
+                assert 16 << (qbits + 4) > 0  # dq4 + index fit int32
+                dq4_full = jnp.clip(
+                    (-jnp.log2(jnp.maximum(1.0 - dn_a, 1e-9)))
+                    .astype(jnp.int32), 0, 15)
+                ckey = jnp.where(valid_a, (dq4_full << qbits) | stream_q,
+                                 jnp.int32(2**30))
+                idx = jnp.sort(ckey)[:rc] & ((1 << qbits) - 1)
+            else:
+                idx = jnp.sort(
+                    jnp.where(valid_a, stream_q, jnp.int32(2**30))
+                )[:rc]
+            idx = jnp.minimum(idx, gq - 1)
+            pre_c = jnp.stack(pre_rows)[:, idx]
+            overflow = jnp.maximum(n_valid - rc, 0)
+            quads_c = bcast(pre_c[0], jnp.uint32)
+            wq_c = (pre_c[1], pre_c[2], pre_c[3])
+            bbx_c = bcast(pre_c[4], jnp.int32)
+            bby_c = bcast(pre_c[5], jnp.int32)
+            dn_c = pre_c[6]
+            valid_c = None
+            proj_c = (dict({k: pre_c[7 + j] for j, k in
+                            enumerate(("nx_min", "nx_max", "ny_min",
+                                       "ny_max"))},
+                           depth_near=dn_c)
+                      if span_mode else None)
 
         coeffs = proj_ops.quad_coefficients(
             quads_c, wq_c, proj_c, tables, color_tables,
@@ -407,7 +433,7 @@ def _render_step(
             raster_ops.build_tile_lists(
                 tilebox, count_c, tiles_y=tiles_y, tiles_x=tiles_x,
                 item_cap=tile_k_cap,
-                order6=order6, order6_dy1=order6_dy1,
+                order6=order6, order6_dy1=order6_dy1, valid=valid_c,
             )
         )
         f_binned = f_full[:, flat]
@@ -807,11 +833,15 @@ class Renderer:
         # so small scenes should not pay the vd12-sized pipeline.  Each
         # bucket jits its own step (compiled lazily, cached persistently);
         # the engine picks the smallest bucket holding the frame's quad
-        # total (VERDICT r2 item 7).
+        # total (VERDICT r2 item 7).  A quads_cap-sized bucket rides
+        # along: at that size the step runs the NO-COMPACTION mode
+        # (gather fits the render cap — no compaction sort at all; pow2
+        # sort rules don't apply because nothing is sorted), which the
+        # dir-culled vd12 stream now fits.
+        cands = {cfg.gather_cap // 4, cfg.gather_cap // 2, cfg.gather_cap,
+                 min(cfg.quads_cap, cfg.gather_cap)}
         self.gather_buckets = tuple(
-            c for c in (cfg.gather_cap // 4, cfg.gather_cap // 2,
-                        cfg.gather_cap)
-            if c >= 16384) or (cfg.gather_cap,)
+            sorted(c for c in cands if c >= 16384)) or (cfg.gather_cap,)
         self._steps: dict[int, tuple] = {}
         self._hiz_steps: dict[int, object] = {}
         if cfg.temporal_hiz and cfg.two_pass_near_quads:

@@ -220,6 +220,24 @@ def test_row_tree_kernel_matches_jnp(fuzz_scene, monkeypatch):
     np.testing.assert_array_equal(s1[:2], s2[:2])
 
 
+def test_no_compaction_mode_matches_jnp(fuzz_scene):
+    """NO-COMPACTION mode (gather bucket <= render cap: the compaction
+    sort is skipped and the binner consumes the raw stream with a
+    validity mask): strict bit-equality with the jnp twin in both exact
+    and span modes."""
+    _, quads, cam, _, _ = fuzz_scene
+    renderer = Renderer(RenderConfig(width=W, height=H, use_pallas=False,
+                                     gather_cap=16384, quads_cap=16384))
+    args = _render_args(renderer, quads, cam)
+    for span in (False, True):
+        c1, d1, s1 = _step(renderer, args, use_pallas=False,
+                           interpret=False, span_mode=span)
+        c2, d2, s2 = _step(renderer, args, use_pallas=True, interpret=True,
+                           packed=False, span_mode=span)
+        _assert_kernel_parity(c1, d1, c2, d2)
+        np.testing.assert_array_equal(s1[:2], s2[:2])
+
+
 def test_pallas_matches_jnp_span_mode(fuzz_scene):
     _, _, _, renderer, args = fuzz_scene
     c1, d1, _ = _step(renderer, args, use_pallas=False, interpret=False, span_mode=True)
