@@ -159,6 +159,21 @@ def test_two_pass_shared_stream_bit_identical(monkeypatch):
     assert int(s2[5]) > 0
 
 
+def test_two_pass_no_compaction_bit_identical(monkeypatch):
+    """Two-pass occlusion through the NO-COMPACTION step (gather bucket
+    <= render cap): the near/far masks fold into the binner's validity
+    mask; the frame must stay bit-identical to single-pass."""
+    renderer = Renderer(RenderConfig(width=W, height=H, use_pallas=False,
+                                     gather_cap=16384, quads_cap=16384))
+    args = _wall_args(renderer)
+    kw = _kw(renderer, use_pallas=True, interpret=True)
+    c1, d1, s1 = _render_step(*args, **kw)
+    c2, d2, s2 = _two_pass_step(*args, near_quads=16, **kw)
+    np.testing.assert_array_equal(np.asarray(d1), np.asarray(d2))
+    np.testing.assert_array_equal(np.asarray(c1), np.asarray(c2))
+    assert int(s2[5]) > 0
+
+
 def test_two_pass_renderer_facade():
     """macrotile_renderer(use_hiz=True) produces the same frame as the
     plain Renderer through the public API."""
