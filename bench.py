@@ -248,9 +248,13 @@ def main():
             parity,
         )
 
-        verdict = parity.run_hardware_selftest(interpret=False)
-        log(f"PARITY: octet kernel vs jnp twin on "
-            f"{jax.default_backend()}: {verdict}")
+        if jax.default_backend() == "tpu":
+            verdict = parity.run_hardware_selftest(interpret=False)
+            log(f"PARITY: octet kernel vs jnp twin on "
+                f"{jax.default_backend()}: {verdict}")
+        else:
+            log("PARITY: skipped (non-tpu backend — Mosaic kernels need "
+                "hardware; tests/ cover interpret-mode parity)")
     except Exception as e:  # pragma: no cover — a REAL kernel divergence
         log(f"PARITY: FAIL — {e}")
 
