@@ -815,25 +815,32 @@ def rasterize_pallas(records, tile_starts, tile_counts, octet_rows,
     out_h = out_h or height
     assert out_h % tile_h == 0 and width % tile_w == 0
     assert tile_w == 128 and tile_h % 8 == 0
-    assert records.shape[1] % block_q == 0 and records.shape[0] == 24
-    assert block_q % 256 == 0
-    tiles_y, tiles_x = out_h // tile_h, width // tile_w
-    n_tiles = tiles_y * tiles_x
+    assert records.shape[0] == 24 and records.shape[1] % 256 == 0
+    # block_q is a request, not a contract: clamp to the record capacity
+    # (tiny test scenes) and fall back to the base block on non-divisible
+    # caps, so RenderConfig defaults tuned for 720p stay safe everywhere.
+    block_q = min(block_q, records.shape[1])
+    if records.shape[1] % block_q or block_q % 256:
+        block_q = BLOCK_Q
     if tiles_per_step is None:
         # widest even divisor with a <=1024-lane out block: more tiles per
         # step = fewer grid steps and deeper cross-tile DMA prefetch
         # (tps=5 measured ~0.1-0.3 ms faster than tps=2 at 720p/vd12).
-        # A shared stream_group additionally requires stream_group | tps.
-        tps = next((t for t in (8, 6, 5, 4, 3, 2, 1)
-                    if tiles_x % t == 0 and 128 * t <= 1024
-                    and t % stream_group == 0), None)
-        if tps is None:
-            raise ValueError(
-                f"stream_group={stream_group} has no compatible "
-                f"tiles_per_step for tiles_x={tiles_x} (needs a divisor "
-                f"of tiles_x that is a multiple of stream_group, <= 8); "
-                f"adjust DPVR_STREAM_GROUP")
-    else:
+        # A shared stream_group additionally requires stream_group | tps;
+        # the knob is a MAX — degrade to the largest group size that has a
+        # compatible tps (always terminates: sg=1 admits tps=1), so narrow
+        # frames (tiles_x=1 tests) run the solo kernel unchanged.
+        tiles_x = width // tile_w
+        tps = None
+        while tps is None:
+            tps = next((t for t in (8, 6, 5, 4, 3, 2, 1)
+                        if tiles_x % t == 0 and 128 * t <= 1024
+                        and t % stream_group == 0), None)
+            if tps is None:
+                stream_group -= 1
+    tiles_y, tiles_x = out_h // tile_h, width // tile_w
+    n_tiles = tiles_y * tiles_x
+    if tiles_per_step is not None:
         tps = tiles_per_step
         assert tiles_x % tps == 0
 

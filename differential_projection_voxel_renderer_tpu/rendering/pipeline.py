@@ -171,9 +171,12 @@ def _render_step(
     band_y0: int = 0,     # rasterize only rows [band_y0, band_y0+band_h)
     band_h: int | None = None,  # (tp-sharded band rendering; NDC stays
                           # global, output is the band-sized buffer)
-    stream_group: int = 1,   # octet-kernel stream knobs (RenderConfig /
-    row_tree: bool = False,  # DPVR_* env override; identical frames)
-    block_q: int = raster_ops.BLOCK_Q,
+    stream_group: int = 5,   # octet-kernel stream knobs (RenderConfig /
+    row_tree: bool = False,  # DPVR_* env override; identical frames).
+    block_q: int = 1024,     # Defaults match RenderConfig: the measured
+                             # v5e winner opi6+sg5+bq1024 (NOTES round 3);
+                             # rasterize_pallas degrades both when the
+                             # frame/caps are incompatible.
     pre_geom=None,        # (valid, bbx, bby, depth_near, subpix_total)
                           # from a SHARED projection pass — the two-pass
                           # mode projects once and masks per pass instead

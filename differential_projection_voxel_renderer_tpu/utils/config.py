@@ -151,14 +151,18 @@ class RenderConfig:
     # frame; see ops/raster.py).  The DPVR_STREAM_GROUP / DPVR_ROW_TREE /
     # DPVR_BLOCK_Q env vars override these at trace time (experiments).
     # - stream_group: adjacent tiles sharing one record-DMA chain
-    #   (divides the ~2 us/tile machinery by the group size)
+    #   (divides the ~2 us/tile machinery by the group size).  Treated as
+    #   a MAX: rasterize_pallas degrades it to the largest value with a
+    #   compatible tiles_per_step, so 5 is safe at any frame width.
     # - row_tree: merge-tree row loop (shortens the serial accumulator
-    #   chain ~4x at +1.7% row evals)
-    # - block_q: record DMA block size (512/1024 halve block count at
-    #   stream_group 5)
-    stream_group: int = 1
+    #   chain ~4x at +1.7% row evals).  Measured NEUTRAL-to-worse once
+    #   stream_group=5 landed (2.75 vs 2.68 ms) — off by default.
+    # - block_q: record DMA block size, clamped to the record capacity.
+    # Defaults = the measured v5e/720p/vd12 winner: opi6 + sg5 + bq1024
+    # = 2.54 ms vs 2.85 at sg1/bq256 (sweep in NOTES.md round 3).
+    stream_group: int = 5
     row_tree: bool = False
-    block_q: int = 256
+    block_q: int = 1024
     # Collect per-frame pixel/quad counters (reference FUNCTION_COUNTERS,
     # src/perf/profiling.rs — compiled out unless --features profiling).
     profiling: bool = False
