@@ -37,18 +37,37 @@ from ..utils.config import CHUNK_SIZE, QUADS_PER_CHUNK_CAP, RenderConfig
 from ..utils.profiling import FUNCTION_COUNTERS
 
 
-@functools.partial(jax.jit, donate_argnums=0)
-def _pool_set_row(pool, slot, row):
+def _c6_of(vals, counts):
+    """Per-face-direction histogram of packed quad rows, device-side.
+
+    The pool keeps a device-resident counts6 mirror so the per-frame
+    draw-list upload can drop the 6 count shorts per chunk (META5 layout,
+    rendering/pipeline.py) — the mirror updates ride the SAME donated
+    dispatch as the quad scatter, costing zero extra H2D bytes and zero
+    extra round trips (each separate transfer is ~a round trip on
+    relay-attached hosts, NOTES.md)."""
+    k, mc = vals.shape
+    j = jax.lax.broadcasted_iota(jnp.int32, (k, mc), 1)
+    d = ((vals >> jnp.uint32(29)) & jnp.uint32(7)).astype(jnp.int32)
+    valid = j < counts[:, None]
+    return jnp.stack([((d == i) & valid).sum(1) for i in range(6)],
+                     axis=1).astype(jnp.int32)
+
+
+@functools.partial(jax.jit, donate_argnums=(0, 1))
+def _pool_set_row(pool, c6pool, slot, row, count):
     """In-place (donated) row update of the device quad pool — the TPU
     analogue of inserting into the mesh cache HashMap (main.rs:274)."""
-    return pool.at[slot].set(row)
+    c6 = _c6_of(row[None, :], count[None])
+    return pool.at[slot].set(row), c6pool.at[slot].set(c6[0])
 
 
-@functools.partial(jax.jit, donate_argnums=0)
-def _pool_set_rows(pool, slots, rows):
+@functools.partial(jax.jit, donate_argnums=(0, 1))
+def _pool_set_rows(pool, c6pool, slots, rows, counts):
     """Batched in-place row update: one dispatch per remesh BATCH, not per
     chunk (each dispatch costs a full round trip on remote-TPU setups)."""
-    return pool.at[slots].set(rows)
+    return (pool.at[slots].set(rows),
+            c6pool.at[slots].set(_c6_of(rows, counts)))
 
 
 @functools.partial(jax.jit, donate_argnums=0)
@@ -62,8 +81,9 @@ def _pool_set_rows_prefix(pool, slots, rows):
     return pool.at[slots].set(full)
 
 
-@functools.partial(jax.jit, donate_argnums=0, static_argnames=("mc",))
-def _pool_set_rows_flat(pool, slots, flat, starts, counts, *, mc: int):
+@functools.partial(jax.jit, donate_argnums=(0, 1), static_argnames=("mc",))
+def _pool_set_rows_flat(pool, c6pool, slots, flat, starts, counts, *,
+                        mc: int):
     """Row update from a FLAT concatenated quad stream: the batch crosses
     host->device as sum(counts) quads (pow2-padded) instead of k
     bucket-width rows — a streaming frame's ~9x~300-quad batch is ~11 KB
@@ -75,7 +95,8 @@ def _pool_set_rows_flat(pool, slots, flat, starts, counts, *, mc: int):
     idx = jnp.clip(starts[:, None] + j, 0, flat.shape[0] - 1)
     vals = jnp.where(j < counts[:, None], flat[idx], jnp.uint32(0))
     full = jnp.zeros((k, pool.shape[1]), pool.dtype).at[:, :mc].set(vals)
-    return pool.at[slots].set(full)
+    return (pool.at[slots].set(full),
+            c6pool.at[slots].set(_c6_of(vals, counts)))
 
 
 def _dir_counts(quads: np.ndarray) -> np.ndarray:
@@ -108,6 +129,13 @@ class QuadPool:
         self.slots = slots
         self.qcap = qcap
         self.quads = jnp.zeros((slots, qcap), jnp.uint32)
+        # device mirror of counts6 (below): lets the renderer's META5
+        # draw-list upload drop the 6 count shorts per chunk.  Maintained
+        # inside the same donated dispatches that scatter quad rows;
+        # NEVER cleared on remove() — a freed slot is no longer in any
+        # draw list, and reuse rewrites the row before it can be gathered
+        # (padding entries gather slot 0 with a zero dir mask -> length 0).
+        self.counts6_dev = jnp.zeros((slots, 6), jnp.int32)
         self.counts = np.zeros(slots, np.int32)
         # per-face-direction quad counts (meshes are dir-grouped in pool
         # row order — the mesher's deterministic +X,-X,+Y,-Y,+Z,-Z
@@ -154,7 +182,9 @@ class QuadPool:
             if len(quads) > self.qcap:
                 self.overflow_drops += len(quads) - self.qcap
             row[:n] = quads[:n]
-        self.quads = _pool_set_row(self.quads, jnp.int32(slot), jnp.asarray(row))
+        self.quads, self.counts6_dev = _pool_set_row(
+            self.quads, self.counts6_dev, jnp.int32(slot),
+            jnp.asarray(row), jnp.int32(n))
         self.counts[slot] = n
         self.counts6[slot] = _dir_counts(row[:n])
         self.positions[slot] = key
@@ -189,8 +219,9 @@ class QuadPool:
             self.counts[slot] = int(counts[i])
             self.counts6[slot] = c6[i]
             self.positions[slot] = key
-        self.quads = _pool_set_rows(self.quads, jnp.asarray(slots),
-                                    quad_rows)
+        self.quads, self.counts6_dev = _pool_set_rows(
+            self.quads, self.counts6_dev, jnp.asarray(slots), quad_rows,
+            jnp.asarray(counts, jnp.int32))
         self._dev_cache = None
         self._lookup_cache = None
 
@@ -265,10 +296,10 @@ class QuadPool:
         flat = np.zeros(fp, np.uint32)
         if total:
             flat[:total] = np.concatenate(parts)
-        self.quads = _pool_set_rows_flat(
-            self.quads, jnp.asarray(slots), jnp.asarray(flat),
-            jnp.asarray(starts.astype(np.int32)), jnp.asarray(counts),
-            mc=mc)
+        self.quads, self.counts6_dev = _pool_set_rows_flat(
+            self.quads, self.counts6_dev, jnp.asarray(slots),
+            jnp.asarray(flat), jnp.asarray(starts.astype(np.int32)),
+            jnp.asarray(counts), mc=mc)
         self._dev_cache = None
         self._lookup_cache = None
 
@@ -546,7 +577,8 @@ class Engine:
         Renderer.warm_buckets): a moving camera whose quad total crosses a
         bucket boundary would otherwise pay a multi-second jit trace
         inside one frame."""
-        self.renderer.warm_buckets(self.pool.quads)
+        self.renderer.warm_buckets(self.pool.quads,
+                                    self.pool.counts6_dev)
 
     def _dir_keep_mask(self, positions, cam_pos) -> np.ndarray:
         """Per-chunk face-direction keep mask [n, 6] (0 = every quad of
@@ -687,7 +719,8 @@ class Engine:
         else:
             color, depth, stats, uploads = self.renderer.render_fused(
                 self.pool.quads, visible_slots, counts_sel, positions_sel,
-                vp, cam.position, dir_mask=mask_sel
+                vp, cam.position, dir_mask=mask_sel,
+                counts6_dev=self.pool.counts6_dev,
             )
             self._upload_cache = (sig, uploads)
         if FUNCTION_COUNTERS.enabled:

@@ -699,6 +699,11 @@ def _pack_cam(view_proj, cam_pos) -> np.ndarray:
 
 
 META_SHORTS = 11  # slots | counts6 | dir-mask bits | positions, per chunk
+META5_SHORTS = 5  # slots | dir-mask bits | positions (counts6 read from
+                  # the pool's device-resident mirror, QuadPool.counts6_dev
+                  # — the fast path; the 11-short layout remains for the
+                  # rare truncation fallback, whose clipped counts differ
+                  # from the mirror, and for callers without a pool mirror)
 
 
 def _unpack_meta(meta_i, vcap: int):
@@ -737,6 +742,31 @@ def _pack_meta(vcap, slots, counts6, mask6, positions) -> np.ndarray:
     return meta
 
 
+def _unpack_meta5(meta_i, vcap: int):
+    """META5 layout: slots | dir-mask bits | positions (no counts —
+    those come from the device-resident pool mirror)."""
+    meta_i = meta_i.astype(jnp.int32)
+    slots = meta_i[:vcap]
+    maskb = meta_i[vcap:2 * vcap]
+    mask6 = jnp.stack([(maskb >> d) & 1 for d in range(6)], axis=1)
+    positions = meta_i[2 * vcap:5 * vcap].reshape(vcap, 3)
+    return slots, mask6, positions
+
+
+def _pack_meta5(vcap, slots, mask6, positions) -> np.ndarray:
+    meta = np.zeros(META5_SHORTS * vcap, np.int16)
+    n = len(slots)
+    meta[:n] = np.asarray(slots, np.int16)
+    mb = np.zeros(vcap, np.int16)
+    mb[:n] = (np.asarray(mask6[:n], np.int16)
+              << np.arange(6, dtype=np.int16)[None, :]).sum(1)
+    meta[vcap:2 * vcap] = mb
+    p = np.zeros((vcap, 3), np.int16)
+    p[:n] = np.asarray(positions[:n], np.int16)
+    meta[2 * vcap:5 * vcap] = p.ravel()
+    return meta
+
+
 def _unpack_cam(cam_f):
     """One consolidated f32 upload -> (view_proj [4,4], cam_pos [3])."""
     return cam_f[:16].reshape(4, 4), cam_f[16:19]
@@ -751,6 +781,32 @@ def _fused_frame(quad_pool, meta_i, cam_f, *, vcap: int,
     for subsequent static-draw-list frames."""
     slots_sel, counts6_sel, mask6_sel, positions_sel = _unpack_meta(
         meta_i, vcap)
+    view_proj, cam_pos = _unpack_cam(cam_f)
+    quads, quad_world, total = _expand_uploads_impl(
+        quad_pool, slots_sel, counts6_sel, mask6_sel, positions_sel,
+        gather_cap)
+    near_quads = step_kw.pop("near_quads", 0)
+    if near_quads:
+        color, depth, stats = _two_pass_step(
+            quads, quad_world, total, view_proj, cam_pos,
+            near_quads=near_quads, gather_cap=gather_cap, **step_kw)
+    else:
+        color, depth, stats = _render_step(
+            quads, quad_world, total, view_proj, cam_pos,
+            gather_cap=gather_cap, **step_kw)
+    return color, depth, stats, quads, quad_world, total
+
+
+def _fused_frame5(quad_pool, counts6_pool, meta_i, cam_f, *, vcap: int,
+                  gather_cap: int, **step_kw):
+    """_fused_frame with the META5 draw-list upload: per-dir counts are
+    GATHERED from the pool's device-resident counts6 mirror instead of
+    shipped per frame — 11 -> 5 shorts/chunk of H2D on every
+    draw-list-changed (streaming/moving) frame.  Padding entries carry
+    slot 0 with a zero dir mask, so the stale-mirror hazard is nil: every
+    gathered length is counts * mask = 0 for them (see QuadPool)."""
+    slots_sel, mask6_sel, positions_sel = _unpack_meta5(meta_i, vcap)
+    counts6_sel = counts6_pool[slots_sel]
     view_proj, cam_pos = _unpack_cam(cam_f)
     quads, quad_world, total = _expand_uploads_impl(
         quad_pool, slots_sel, counts6_sel, mask6_sel, positions_sel,
@@ -852,7 +908,8 @@ class Renderer:
                 "temporal_hiz and two_pass_near_quads are mutually "
                 "exclusive (both are forms of the same exact pyramid "
                 "cull; the temporal one has no near pass to seed)")
-        self._step, self._fused = self._steps_for(cfg.gather_cap)
+        self._step, self._fused, self._fused5 = self._steps_for(
+            cfg.gather_cap)
 
     def _bucket_kw(self, gather_cap: int) -> dict:
         """Per-bucket step kwargs: render and bin caps shrink
@@ -866,7 +923,9 @@ class Renderer:
                     tile_k_cap=min(cfg.tile_k_cap, 2 * gather_cap))
 
     def _steps_for(self, gather_cap: int):
-        """(step, fused) jitted pair for one gather-cap bucket."""
+        """(step, fused, fused5) jitted triple for one gather-cap bucket
+        (fused = 11-short meta, the truncation/no-mirror fallback;
+        fused5 = 5-short meta + device counts6 mirror, the fast path)."""
         got = self._steps.get(gather_cap)
         if got is not None:
             return got
@@ -876,8 +935,11 @@ class Renderer:
         fused = jax.jit(
             functools.partial(_fused_frame, gather_cap=gather_cap,
                               vcap=self.config.visible_chunks_cap, **kw))
-        self._steps[gather_cap] = (step, fused)
-        return step, fused
+        fused5 = jax.jit(
+            functools.partial(_fused_frame5, gather_cap=gather_cap,
+                              vcap=self.config.visible_chunks_cap, **kw))
+        self._steps[gather_cap] = (step, fused, fused5)
+        return step, fused, fused5
 
     def bucket_for(self, total_quads: int) -> int:
         for c in self.gather_buckets:
@@ -885,7 +947,7 @@ class Renderer:
                 return c
         return self.gather_buckets[-1]
 
-    def warm_buckets(self, quad_pool) -> None:
+    def warm_buckets(self, quad_pool, counts6_pool=None) -> None:
         """Pre-trace + compile EVERY capacity bucket's (fused, step) pair.
 
         The bucket scheme jits one step per gather cap; the first frame
@@ -898,13 +960,22 @@ class Renderer:
         vcap = self.config.visible_chunks_cap
         cam = jnp.asarray(_pack_cam(np.eye(4, dtype=np.float32),
                                     np.zeros(3, np.float32)))
-        meta = np.zeros(META_SHORTS * vcap, np.int16)
-        meta[vcap] = 1           # one quad from pool slot 0, dir 0
-        meta[7 * vcap] = 0x3F    # all six dirs kept
+        if counts6_pool is not None:
+            # the production path: META5 + device counts6 mirror
+            meta = np.zeros(META5_SHORTS * vcap, np.int16)
+            meta[vcap] = 0x3F    # all six dirs kept (slot 0's counts)
+        else:
+            meta = np.zeros(META_SHORTS * vcap, np.int16)
+            meta[vcap] = 1           # one quad from pool slot 0, dir 0
+            meta[7 * vcap] = 0x3F    # all six dirs kept
         for cap in self.gather_buckets:
-            step, fused = self._steps_for(cap)
-            _c, _d, _s, quads, quad_world, total_dev = fused(
-                quad_pool, jnp.asarray(meta), cam)
+            step, fused, fused5 = self._steps_for(cap)
+            if counts6_pool is not None:
+                _c, _d, _s, quads, quad_world, total_dev = fused5(
+                    quad_pool, counts6_pool, jnp.asarray(meta), cam)
+            else:
+                _c, _d, _s, quads, quad_world, total_dev = fused(
+                    quad_pool, jnp.asarray(meta), cam)
             jax.block_until_ready(
                 step(quads, quad_world, total_dev, cam))
             if self.config.temporal_hiz:
@@ -933,13 +1004,24 @@ class Renderer:
         counts (+ optional [vcap, 6] keep mask), sizes the capacity
         bucket from the MASKED total, and truncates suffix units to
         fit.  Returns (slots i32[vcap], counts6 i64[vcap, 6],
-        mask6 i64[vcap, 6], positions i32[vcap, 3], cap)."""
+        mask6 i64[vcap, 6], positions i32[vcap, 3], cap, truncated);
+        ``truncated`` counts6 differ from the pool's device mirror, so
+        render_fused must ship them (the 11-short fallback layout)."""
         counts6 = _normalize_counts6(counts_sel)
         mask6 = (np.ones_like(counts6) if dir_mask is None
                  else np.asarray(dir_mask, np.int64))
+        # Zero the mask where the HOST counts row is empty: callers pad
+        # the vcap arrays with mask=1 rows, which the legacy layout
+        # neutralized via its zeroed count upload — but the META5 layout
+        # gathers counts from the device mirror, where a padding entry
+        # (slot 0) aliases a LIVE chunk's real counts.  Masking on the
+        # host row (all-zero for padding AND for empty meshes, whose
+        # contribution is zero either way) keeps both layouts identical.
+        mask6 = mask6 * (counts6.sum(axis=1, keepdims=True) > 0)
         total = int((counts6 * mask6).sum())
         cap = self.bucket_for(total)
-        if total > cap:
+        truncated = total > cap
+        if truncated:
             counts6, total = _truncate_units(counts6, mask6, cap)
         slots_a = np.asarray(visible_slots, np.int32)
         pos_a = np.asarray(positions_sel, np.int32)
@@ -950,7 +1032,7 @@ class Renderer:
                 "draw-list meta exceeds int16 range (pool slot > 32767 "
                 "or |chunk grid coord| > 32767); shrink the pool or the "
                 "world extent, or widen the meta upload")
-        return slots_a, counts6, mask6, pos_a, cap
+        return slots_a, counts6, mask6, pos_a, cap, truncated
 
     def prepare_uploads(self, quad_pool, visible_slots, counts_sel,
                         positions_sel, dir_mask=None):
@@ -962,7 +1044,7 @@ class Renderer:
         ``counts_sel``: [vcap] totals (legacy) or [vcap, 6] per-face-dir
         counts; ``dir_mask``: optional [vcap, 6] 0/1 keep mask (see
         _expand_uploads_impl)."""
-        slots_a, counts6, mask6, pos_a, cap = self._prep_meta(
+        slots_a, counts6, mask6, pos_a, cap, _trunc = self._prep_meta(
             visible_slots, counts_sel, positions_sel, dir_mask)
         quads, quad_world, total_dev = _expand_uploads(
             quad_pool,
@@ -975,28 +1057,36 @@ class Renderer:
         return quads, quad_world, total_dev
 
     def render_fused(self, quad_pool, visible_slots, counts_sel,
-                     positions_sel, view_proj, cam_pos, dir_mask=None):
+                     positions_sel, view_proj, cam_pos, dir_mask=None,
+                     counts6_dev=None):
         """Draw-list expansion + render in ONE dispatch (the moving-camera
         path).  Returns (color, depth, stats, uploads) — cache ``uploads``
         and call render_prepared while the draw list stays unchanged.
         All per-frame host state crosses as TWO consolidated uploads
         (draw-list ints, camera floats) — each separate H2D costs a round
-        trip on relay-attached hosts."""
-        slots_a, counts6, mask6, pos_a, cap = self._prep_meta(
+        trip on relay-attached hosts.  With ``counts6_dev`` (the pool's
+        device counts6 mirror, QuadPool.counts6_dev) the draw-list upload
+        drops the 6 count shorts per chunk (META5); the 11-short layout
+        remains for truncated frames (clipped counts differ from the
+        mirror) and mirror-less callers."""
+        slots_a, counts6, mask6, pos_a, cap, truncated = self._prep_meta(
             visible_slots, counts_sel, positions_sel, dir_mask)
         vcap = self.config.visible_chunks_cap
-        meta = _pack_meta(vcap, slots_a, counts6, mask6, pos_a)
-        _, fused = self._steps_for(cap)
-        color, depth, stats, quads, quad_world, total_dev = fused(
-            quad_pool,
-            jnp.asarray(meta),
-            jnp.asarray(_pack_cam(view_proj, cam_pos)),
-        )
+        cam = jnp.asarray(_pack_cam(view_proj, cam_pos))
+        _, fused, fused5 = self._steps_for(cap)
+        if counts6_dev is not None and not truncated:
+            meta = _pack_meta5(vcap, slots_a, mask6, pos_a)
+            color, depth, stats, quads, quad_world, total_dev = fused5(
+                quad_pool, counts6_dev, jnp.asarray(meta), cam)
+        else:
+            meta = _pack_meta(vcap, slots_a, counts6, mask6, pos_a)
+            color, depth, stats, quads, quad_world, total_dev = fused(
+                quad_pool, jnp.asarray(meta), cam)
         return color, depth, stats, (quads, quad_world, total_dev)
 
     def render_prepared(self, uploads, view_proj, cam_pos):
         quads, quad_world, total = uploads
-        step, _ = self._steps_for(int(quads.shape[0]))
+        step, _, _ = self._steps_for(int(quads.shape[0]))
         return step(
             quads, quad_world, total,
             jnp.asarray(_pack_cam(view_proj, cam_pos)),

@@ -336,3 +336,59 @@ def test_temporal_hiz_world_change_resets_pyramid():
     r3 = eng.render_frame(dt=0.0)
     np.testing.assert_array_equal(np.asarray(r2.color),
                                   np.asarray(r3.color))
+
+
+def test_counts6_device_mirror_tracks_host():
+    """QuadPool.counts6_dev (updated inside the donated quad scatters)
+    must equal the host counts6 for every LIVE slot after every mutation
+    kind: single insert, batched insert_many (flat-stream path, with and
+    without wide meshes), None-mesh insert, and remove + slot reuse.
+    Freed slots may hold stale device rows by design (never gathered)."""
+    rng = np.random.default_rng(5)
+
+    def mk(n):
+        # dir-grouped packed quads (dir in bits 29..31, ascending)
+        d = np.sort(rng.integers(0, 6, n).astype(np.uint32))
+        return (d << np.uint32(29)) | rng.integers(
+            0, 2**20, n, dtype=np.uint32)
+
+    pool = QuadPool(slots=32, qcap=1024)
+
+    def check():
+        dev = np.asarray(pool.counts6_dev)
+        for key, slot in pool.by_pos.items():
+            np.testing.assert_array_equal(
+                dev[slot], pool.counts6[slot], err_msg=f"slot {slot} {key}")
+
+    pool.insert((0, 0, 0), mk(37))
+    pool.insert((1, 0, 0), None)          # uniform/empty chunk
+    check()
+    pool.insert_many([((2, 0, 0), mk(5)), ((3, 0, 0), mk(300)),
+                      ((4, 0, 0), None)])
+    check()
+    # wide mesh forces the qcap-wide flat bucket
+    pool.insert_many([((5, 0, 0), mk(700)), ((6, 0, 0), mk(2))])
+    check()
+    pool.remove((2, 0, 0))
+    pool.insert((7, 0, 0), mk(11))        # may reuse the freed slot
+    pool.insert_many([((8, 0, 0), mk(0))])
+    check()
+    # re-insert over an existing key (row rewrite in place)
+    pool.insert((0, 0, 0), mk(64))
+    check()
+
+
+def test_meta5_fused_matches_legacy_layout(engine):
+    """The META5 fast path (5-short meta + device counts6 mirror) and the
+    11-short legacy layout must produce bit-identical frames and stats
+    for the same draw list."""
+    res = engine.render_frame(dt=0.0)  # engine path = META5 (counts6_dev)
+    vp = engine.camera.view_projection_matrix()
+    c2, d2, s2, _ = engine.renderer.render_fused(
+        engine.pool.quads, engine._last_visible_slots,
+        engine._last_counts_sel, engine._last_positions_sel,
+        vp, engine.camera.position, dir_mask=engine._last_dir_mask)
+    np.testing.assert_array_equal(res.color_numpy(),
+                                  np.asarray(c2).view(np.uint32))
+    np.testing.assert_array_equal(np.asarray(res.depth), np.asarray(d2))
+    np.testing.assert_array_equal(np.asarray(res.stats), np.asarray(s2))
