@@ -20,6 +20,7 @@ Per frame (main.rs RedrawRequested, :207-310):
 from __future__ import annotations
 
 import functools
+import os
 import time
 from dataclasses import dataclass
 
@@ -577,8 +578,9 @@ class Engine:
         Renderer.warm_buckets): a moving camera whose quad total crosses a
         bucket boundary would otherwise pay a multi-second jit trace
         inside one frame."""
-        self.renderer.warm_buckets(self.pool.quads,
-                                    self.pool.counts6_dev)
+        self.renderer.warm_buckets(
+            self.pool.quads,
+            None if os.environ.get("DPVR_META11") else self.pool.counts6_dev)
 
     def _dir_keep_mask(self, positions, cam_pos) -> np.ndarray:
         """Per-chunk face-direction keep mask [n, 6] (0 = every quad of
@@ -720,7 +722,10 @@ class Engine:
             color, depth, stats, uploads = self.renderer.render_fused(
                 self.pool.quads, visible_slots, counts_sel, positions_sel,
                 vp, cam.position, dir_mask=mask_sel,
-                counts6_dev=self.pool.counts6_dev,
+                # META5 fast path; DPVR_META11=1 forces the legacy
+                # 11-short layout (A/B measurement knob)
+                counts6_dev=(None if os.environ.get("DPVR_META11")
+                             else self.pool.counts6_dev),
             )
             self._upload_cache = (sig, uploads)
         if FUNCTION_COUNTERS.enabled:
