@@ -82,16 +82,24 @@ def _pool_set_rows_prefix(pool, slots, rows):
     return pool.at[slots].set(full)
 
 
-@functools.partial(jax.jit, donate_argnums=(0, 1), static_argnames=("mc",))
-def _pool_set_rows_flat(pool, c6pool, slots, flat, starts, counts, *,
-                        mc: int):
+@functools.partial(jax.jit, donate_argnums=(0, 1),
+                   static_argnames=("k", "mc"))
+def _pool_set_rows_flat(pool, c6pool, packed, *, k: int, mc: int):
     """Row update from a FLAT concatenated quad stream: the batch crosses
     host->device as sum(counts) quads (pow2-padded) instead of k
     bucket-width rows — a streaming frame's ~9x~300-quad batch is ~11 KB
     of real payload vs 32 KB of padded rows, and H2D through the relay
     is the whole cost of the insert path (NOTES.md round 3).  Rows are
-    rebuilt device-side with one [k, mc] gather."""
-    k = slots.shape[0]
+    rebuilt device-side with one [k, mc] gather.
+
+    ``packed`` u32[3k + fp] is ONE consolidated upload — slots | starts |
+    counts header, then the flat quad words: each SEPARATE host->device
+    array costs a relay round trip (NOTES.md), so the three tiny index
+    arrays ride in front of the payload they describe."""
+    slots = packed[:k].astype(jnp.int32)
+    starts = packed[k:2 * k].astype(jnp.int32)
+    counts = packed[2 * k:3 * k].astype(jnp.int32)
+    flat = packed[3 * k:]
     j = jax.lax.broadcasted_iota(jnp.int32, (k, mc), 1)
     idx = jnp.clip(starts[:, None] + j, 0, flat.shape[0] - 1)
     vals = jnp.where(j < counts[:, None], flat[idx], jnp.uint32(0))
@@ -294,13 +302,15 @@ class QuadPool:
         # pow2 with a 2048 floor: bounds the flat-shape ladder to
         # {2048, 4096, 8192, ...} (each distinct shape is one retrace)
         fp = 1 << max(11, (max(total, 1) - 1).bit_length())
-        flat = np.zeros(fp, np.uint32)
+        packed = np.zeros(3 * kp + fp, np.uint32)
+        packed[:kp] = slots.astype(np.uint32)
+        packed[kp:2 * kp] = starts.astype(np.uint32)
+        packed[2 * kp:3 * kp] = counts.astype(np.uint32)
         if total:
-            flat[:total] = np.concatenate(parts)
+            packed[3 * kp:3 * kp + total] = np.concatenate(parts)
         self.quads, self.counts6_dev = _pool_set_rows_flat(
-            self.quads, self.counts6_dev, jnp.asarray(slots),
-            jnp.asarray(flat), jnp.asarray(starts.astype(np.int32)),
-            jnp.asarray(counts), mc=mc)
+            self.quads, self.counts6_dev, jnp.asarray(packed),
+            k=kp, mc=mc)
         self._dev_cache = None
         self._lookup_cache = None
 
