@@ -392,3 +392,45 @@ def test_meta5_fused_matches_legacy_layout(engine):
                                   np.asarray(c2).view(np.uint32))
     np.testing.assert_array_equal(np.asarray(res.depth), np.asarray(d2))
     np.testing.assert_array_equal(np.asarray(res.stats), np.asarray(s2))
+
+
+def test_truncated_draw_list_routes_to_legacy_layout():
+    """When the masked quad total exceeds the largest gather bucket the
+    clipped counts differ from the pool's device mirror, so render_fused
+    must ship them via the 11-short layout — with and without a mirror
+    the frames must match, and the gathered total must equal the cap."""
+    from differential_projection_voxel_renderer_tpu.rendering.pipeline import (
+        Renderer,
+    )
+
+    cfg = RenderConfig(width=256, height=128, gather_cap=16384,
+                       quads_cap=8192, tile_k_cap=2048, use_pallas=False,
+                       visible_chunks_cap=16)
+    r = Renderer(cfg)
+    pool = QuadPool(slots=8, qcap=4096)
+    rng = np.random.default_rng(9)
+    for i in range(5):  # 5 x 4096 = 20480 masked quads > 16384 cap
+        d = np.sort(rng.integers(0, 6, 4096).astype(np.uint32))
+        q = ((d << np.uint32(29))
+             | rng.integers(0, 2**20, 4096, dtype=np.uint32))
+        pool.insert((i, 0, 0), q)
+    vcap = cfg.visible_chunks_cap
+    slots = np.zeros(vcap, np.int32)
+    counts = np.zeros((vcap, 6), np.int32)
+    pos = np.zeros((vcap, 3), np.int32)
+    for i in range(5):
+        s = pool.by_pos[(i, 0, 0)]
+        slots[i] = s
+        counts[i] = pool.counts6[s]
+        pos[i] = pool.positions[s]
+    vp = np.eye(4, dtype=np.float32)
+    cam = np.zeros(3, np.float32)
+    *_, cap, truncated = r._prep_meta(slots, counts, pos, None)
+    assert truncated and cap == 16384
+    c1, d1, s1, _ = r.render_fused(pool.quads, slots, counts, pos, vp, cam,
+                                   counts6_dev=pool.counts6_dev)
+    c2, d2, s2, _ = r.render_fused(pool.quads, slots, counts, pos, vp, cam)
+    np.testing.assert_array_equal(np.asarray(c1), np.asarray(c2))
+    np.testing.assert_array_equal(np.asarray(d1), np.asarray(d2))
+    np.testing.assert_array_equal(np.asarray(s1), np.asarray(s2))
+    assert int(np.asarray(s1)[0]) == 16384  # clipped to the cap exactly
