@@ -14,6 +14,7 @@ Reference: src/world.rs
 
 from __future__ import annotations
 
+import collections
 from dataclasses import dataclass
 
 import numpy as np
@@ -54,6 +55,15 @@ class World:
         # camera chunk at which the view sphere was last found complete;
         # skips the O(candidates) generation scan on static frames
         self._filled_at: tuple[int, int, int] | None = None
+        # mid-fill missing-candidate queue: the vectorized sphere scan
+        # depends only on (camera chunk, chunk-set version), so while the
+        # camera stays in one chunk the per-frame scan (meshgrid + isin
+        # over ~15k candidates, ~0.7 ms at vd12) runs ONCE and streaming
+        # frames just pop their budget from the queue
+        self._missing_queue: object | None = None  # collections.deque
+        self._missing_at: tuple[int, int, int] | None = None
+        self._queue_version = -1
+        self._sphere_offsets: dict[int, np.ndarray] = {}  # vd -> offsets
         # monotonically increasing mutation counter (chunk set changes);
         # callers key caches off it (the engine skips remesh scans /
         # cache retention when nothing changed)
@@ -105,40 +115,54 @@ class World:
         if self._filled_at == cam:
             return False  # sphere already filled at this camera chunk
 
-        r = np.arange(-vd, vd + 1, dtype=np.int64)
-        gx, gy, gz = np.meshgrid(r, r, r, indexing="ij")
-        offs = np.stack([gx, gy, gz], axis=-1).reshape(-1, 3)
-        dist_sq = (offs.astype(np.float32) ** 2).sum(-1)
-        offs = offs[dist_sq <= float(vd * vd)]
-        # Reference iterates x-outer / y / z-inner (world.rs:66-68);
-        # meshgrid(indexing="ij") preserves that order.
-        #
-        # Vectorized missing-scan: a Python membership loop over the
-        # ~7k-candidate sphere cost ~5 ms per streaming frame.  Both
-        # sides pack (x, y, z) into one int64 (21 bits per axis) and one
-        # np.isin finds the missing candidates in reference order.
-        cand = offs + np.asarray(cam, dtype=np.int64)
-        _, loaded = self._positions_array()
+        if (self._missing_at != cam or self._queue_version != self.version
+                or self._missing_queue is None):
+            offs = self._sphere_offsets.get(vd)
+            if offs is None:
+                r = np.arange(-vd, vd + 1, dtype=np.int64)
+                gx, gy, gz = np.meshgrid(r, r, r, indexing="ij")
+                offs = np.stack([gx, gy, gz], axis=-1).reshape(-1, 3)
+                dist_sq = (offs.astype(np.float32) ** 2).sum(-1)
+                offs = offs[dist_sq <= float(vd * vd)]
+                self._sphere_offsets[vd] = offs
+            # Reference iterates x-outer / y / z-inner (world.rs:66-68);
+            # meshgrid(indexing="ij") preserves that order.
+            #
+            # Vectorized missing-scan: a Python membership loop over the
+            # ~7k-candidate sphere cost ~5 ms per streaming frame.  Both
+            # sides pack (x, y, z) into one int64 (21 bits per axis) and
+            # one np.isin finds the missing candidates in reference
+            # order.  The result is QUEUED: it depends only on (camera
+            # chunk, chunk-set version), so subsequent frames in the same
+            # chunk pop their budget instead of rescanning.
+            cand = offs + np.asarray(cam, dtype=np.int64)
+            _, loaded = self._positions_array()
 
-        def pack(a):
-            m = np.int64(0x1FFFFF)
-            return (((a[:, 0] & m) << 42) | ((a[:, 1] & m) << 21)
-                    | (a[:, 2] & m))
+            def pack(a):
+                m = np.int64(0x1FFFFF)
+                return (((a[:, 0] & m) << 42) | ((a[:, 1] & m) << 21)
+                        | (a[:, 2] & m))
 
-        if len(loaded):
-            missing = ~np.isin(pack(cand), pack(loaded),
-                               assume_unique=False)
-        else:
-            missing = np.ones(len(cand), dtype=bool)
+            if len(loaded):
+                missing = ~np.isin(pack(cand), pack(loaded),
+                                   assume_unique=False)
+            else:
+                missing = np.ones(len(cand), dtype=bool)
+            self._missing_queue = collections.deque(
+                map(tuple, cand[missing].tolist()))
+            self._missing_at = cam
+
+        queue = self._missing_queue
         generated = 0
-        for i in np.nonzero(missing)[0]:
-            pos = (int(cand[i, 0]), int(cand[i, 1]), int(cand[i, 2]))
-            if pos not in self.chunks:  # paranoia vs pack collisions
-                self.chunks[pos] = Chunk.generate_terrain(pos)
+        while queue and generated < self.config.max_chunks_per_frame:
+            pos = queue.popleft()
+            if pos not in self.chunks:  # paranoia vs pack collisions /
+                self.chunks[pos] = Chunk.generate_terrain(pos)  # ext adds
                 self._note_add(pos)
                 generated += 1
-                if generated >= self.config.max_chunks_per_frame:
-                    return True
+        if queue and generated >= self.config.max_chunks_per_frame:
+            self._queue_version = self.version
+            return True
 
         unload = vd + 2
         unload_sq = float(unload * unload)
@@ -155,6 +179,7 @@ class World:
             self._invalidate_cache()
         if generated == 0:
             self._filled_at = cam
+        self._queue_version = self.version
         return generated > 0
 
     # ---------------------------------------------------------- visibility
