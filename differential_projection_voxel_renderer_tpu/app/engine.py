@@ -108,6 +108,12 @@ def _pool_set_rows_flat(pool, c6pool, packed, *, k: int, mc: int):
             c6pool.at[slots].set(_c6_of(vals, counts)))
 
 
+def _meta11_env() -> bool:
+    """DPVR_META11: force the legacy 11-short draw-list layout (A/B knob).
+    Parsed like the other numeric knobs so "0" means off."""
+    return bool(int(os.environ.get("DPVR_META11", "0") or "0"))
+
+
 def _dir_counts(quads: np.ndarray) -> np.ndarray:
     """Per-face-direction counts of a packed quad array.  The pool's
     dir-skip gather assumes rows are dir-CONTIGUOUS in face order (the
@@ -590,7 +596,7 @@ class Engine:
         inside one frame."""
         self.renderer.warm_buckets(
             self.pool.quads,
-            None if os.environ.get("DPVR_META11") else self.pool.counts6_dev)
+            None if _meta11_env() else self.pool.counts6_dev)
 
     def _dir_keep_mask(self, positions, cam_pos) -> np.ndarray:
         """Per-chunk face-direction keep mask [n, 6] (0 = every quad of
@@ -734,7 +740,7 @@ class Engine:
                 vp, cam.position, dir_mask=mask_sel,
                 # META5 fast path; DPVR_META11=1 forces the legacy
                 # 11-short layout (A/B measurement knob)
-                counts6_dev=(None if os.environ.get("DPVR_META11")
+                counts6_dev=(None if _meta11_env()
                              else self.pool.counts6_dev),
             )
             self._upload_cache = (sig, uploads)

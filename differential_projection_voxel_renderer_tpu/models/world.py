@@ -95,6 +95,7 @@ class World:
     def set_view_distance(self, view_distance: int) -> None:
         self.config.view_distance = max(1, int(view_distance))
         self._filled_at = None
+        self._missing_queue = None  # queue was built for the old sphere
 
     def view_distance(self) -> int:
         return self.config.view_distance
@@ -154,13 +155,17 @@ class World:
 
         queue = self._missing_queue
         generated = 0
-        while queue and generated < self.config.max_chunks_per_frame:
+        # budget floor of 1 preserves the pre-queue semantics (the old
+        # loop generated a chunk BEFORE checking the budget, so even
+        # max_chunks_per_frame <= 0 made progress each frame)
+        budget = max(1, self.config.max_chunks_per_frame)
+        while queue and generated < budget:
             pos = queue.popleft()
             if pos not in self.chunks:  # paranoia vs pack collisions /
                 self.chunks[pos] = Chunk.generate_terrain(pos)  # ext adds
                 self._note_add(pos)
                 generated += 1
-        if queue and generated >= self.config.max_chunks_per_frame:
+        if queue and generated >= budget:
             self._queue_version = self.version
             return True
 

@@ -973,6 +973,16 @@ class Renderer:
             if counts6_pool is not None:
                 _c, _d, _s, quads, quad_world, total_dev = fused5(
                     quad_pool, counts6_pool, jnp.asarray(meta), cam)
+                if cap == self.gather_buckets[-1]:
+                    # the 11-short truncation fallback is reachable only
+                    # at the LARGEST bucket (truncated => total > every
+                    # bucket): warm it there too, or the first over-cap
+                    # frame pays the trace mid-flight
+                    meta11 = np.zeros(META_SHORTS * vcap, np.int16)
+                    meta11[vcap] = 1
+                    meta11[7 * vcap] = 0x3F
+                    jax.block_until_ready(fused(
+                        quad_pool, jnp.asarray(meta11), cam)[0])
             else:
                 _c, _d, _s, quads, quad_world, total_dev = fused(
                     quad_pool, jnp.asarray(meta), cam)
@@ -1074,7 +1084,12 @@ class Renderer:
         vcap = self.config.visible_chunks_cap
         cam = jnp.asarray(_pack_cam(view_proj, cam_pos))
         _, fused, fused5 = self._steps_for(cap)
-        if counts6_dev is not None and not truncated:
+        # legacy [vcap] totals put everything in a synthetic dir-0
+        # segment, which the device mirror (true per-dir counts) does not
+        # reproduce — with a dir_mask the two would disagree on lengths,
+        # so legacy-counts callers always take the 11-short layout
+        legacy_counts = np.asarray(counts_sel).ndim == 1
+        if counts6_dev is not None and not truncated and not legacy_counts:
             meta = _pack_meta5(vcap, slots_a, mask6, pos_a)
             color, depth, stats, quads, quad_world, total_dev = fused5(
                 quad_pool, counts6_dev, jnp.asarray(meta), cam)

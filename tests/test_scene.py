@@ -192,3 +192,25 @@ def test_controller_moves_camera():
     ctl.update_camera(cam, 0.5)
     # default camera looks -Z; speed 10 * dt 0.5 = 5 units
     np.testing.assert_allclose(cam.position, [0, 0, -5], atol=1e-5)
+
+
+def test_set_view_distance_restarts_streaming_without_moving():
+    """Raising the view distance with a STATIC camera must resume
+    generation (the missing-candidate queue is invalidated): regression
+    for the queue cache reusing a drained vd-N queue after vd grows."""
+    from differential_projection_voxel_renderer_tpu.models.world import (
+        World,
+        WorldConfig,
+    )
+
+    w = World(WorldConfig(view_distance=2, max_chunks_per_frame=64))
+    cam = np.array([0.0, 0.0, 0.0], np.float32)
+    while w.update(cam):
+        pass
+    n2 = w.chunk_count()
+    assert not w.update(cam)  # filled at vd 2
+    w.set_view_distance(4)
+    assert w.update(cam), "vd raise must restart streaming in place"
+    while w.update(cam):
+        pass
+    assert w.chunk_count() > n2
