@@ -260,10 +260,14 @@ def main():
             # raster / raster0 with optional _tpsN / _opiN / _sgN suffixes
             # (_sgN = shared-stream group size, ops/raster stream_group)
             tps = None
-            opi = 2
-            sg = 1
+            # defaults mirror the PRODUCTION knobs (RenderConfig:
+            # opi6 + sg5 + bq1024, the measured v5e winner) so a plain
+            # `raster` stage measures what the pipeline actually runs;
+            # suffixes override for sweeps
+            opi = 6
+            sg = 5
+            bq = 1024
             rt = False
-            bq = 256
             base = st
             if "_rt" in base:
                 base = base.replace("_rt", "")

@@ -71,17 +71,6 @@ def _pool_set_rows(pool, c6pool, slots, rows, counts):
             c6pool.at[slots].set(_c6_of(rows, counts)))
 
 
-@functools.partial(jax.jit, donate_argnums=0)
-def _pool_set_rows_prefix(pool, slots, rows):
-    """Row update from PREFIX rows: only rows[:, :mc] crosses host->device
-    (terrain chunks average a few hundred quads; shipping the full qcap-wide
-    row costs 16 KB/chunk of mostly zeros through the relay — NOTES.md
-    '~100 ms/MB').  The zero-pad to qcap happens device-side."""
-    k, mc = rows.shape
-    full = jnp.zeros((k, pool.shape[1]), pool.dtype).at[:, :mc].set(rows)
-    return pool.at[slots].set(full)
-
-
 @functools.partial(jax.jit, donate_argnums=(0, 1),
                    static_argnames=("k", "mc"))
 def _pool_set_rows_flat(pool, c6pool, packed, *, k: int, mc: int):

@@ -214,3 +214,41 @@ def test_set_view_distance_restarts_streaming_without_moving():
     while w.update(cam):
         pass
     assert w.chunk_count() > n2
+
+
+def test_streaming_queue_equivalence_under_camera_motion():
+    """The missing-candidate queue cache must not change WHAT gets
+    streamed: a world updated frame-by-frame along a camera path ends
+    with exactly the chunk set of a world filled from scratch at the
+    final position (same vd, same hysteresis band for the stragglers)."""
+    from differential_projection_voxel_renderer_tpu.models.world import (
+        World,
+        WorldConfig,
+    )
+
+    rng = np.random.default_rng(3)
+    w = World(WorldConfig(view_distance=3, max_chunks_per_frame=7))
+    cam = np.array([0.0, 0.0, 0.0], np.float32)
+    for _ in range(220):
+        cam = cam + rng.uniform(-9, 9, 3).astype(np.float32)
+        w.update(cam)
+    while w.update(cam):
+        pass
+    w.update(cam)  # terminal unload pass
+
+    ref = World(WorldConfig(view_distance=3, max_chunks_per_frame=10**9))
+    while ref.update(cam):
+        pass
+    ref_keys = set(ref.chunks)
+    keys = set(w.chunks)
+    # every in-sphere chunk must be present...
+    assert ref_keys <= keys
+    # ...and nothing may survive beyond the vd+2 hysteresis shell
+    from differential_projection_voxel_renderer_tpu.models.world import (
+        world_to_chunk_pos,
+    )
+    cc = np.asarray(world_to_chunk_pos(cam))
+    extra = np.array(sorted(keys - ref_keys)).reshape(-1, 3)
+    if len(extra):
+        d2 = ((extra - cc) ** 2).sum(1)
+        assert d2.max() <= (3 + 2) ** 2
