@@ -116,7 +116,7 @@ def main():
 
     W, H = 1280, 720
     TH = int(os.environ.get("PROF_TH", "16"))
-    TW = int(os.environ.get("PROF_TW", "128"))  # 64 -> pair kernel
+    TW = int(os.environ.get("PROF_TW", "128"))
     GQ = quads_np.shape[0]
     RC = int(os.environ.get("PROF_RC", "49152"))
     TK = int(os.environ.get("PROF_TK", "98304"))
@@ -310,26 +310,19 @@ def main():
                 # vary a harmless record field per iteration to defeat CSE
                 r = records.at[23, 0].set(i)
                 if (sg != 1 or rt or bq != 256) and (
-                        TW == 64
-                        or int(np.asarray(tile_counts).shape[0]) > 2000):
-                    # the pair/packed kernels take none of these knobs;
-                    # a silently mislabeled measurement would pollute the
+                        int(np.asarray(tile_counts).shape[0]) > 2000):
+                    # the packed kernel takes none of these knobs; a
+                    # silently mislabeled measurement would pollute the
                     # NOTES record
                     raise SystemExit(
                         f"{st}: _sg/_rt/_bq only apply to the octet "
-                        f"kernel (PROF_TW=128, unpacked)")
+                        f"kernel (unpacked)")
                 if int(np.asarray(tile_counts).shape[0]) > 2000:
                     # per-BIN metadata -> the packed kernel
                     c, d = RP.rasterize_pallas_packed(
                         r, tile_starts, tile_counts, octet_rows,
                         octet_zmin, height=H, width=W, tile_h=TH,
                         out_h=out_h)
-                elif TW == 64:
-                    c, d = R.rasterize_pallas_pair(
-                        r, tile_starts, tile_counts, octet_rows,
-                        octet_zmin, height=H, width=W, tile_h=TH,
-                        out_h=out_h, pairs_per_step=tps,
-                        octets_per_iter=opi)
                 else:
                     c, d = R.rasterize_pallas(
                         r, tile_starts, tile_counts, octet_rows,

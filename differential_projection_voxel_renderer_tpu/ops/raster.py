@@ -1087,404 +1087,13 @@ def _raster_kernel_shared(y0_ref, starts_hbm, counts_hbm, rows_hbm, zmin_hbm,
         start_first_blocks(step + 1)
 
 
-def _raster_kernel_pair(y0_ref, starts_hbm, counts_hbm, rows_hbm, zmin_hbm,
-                        rec_hbm, *refs,
-                        height, width, tile_h, tiles_x, pairs_per_step,
-                        opi=2):
-    """Paired half-tile rasterizer: 16x64 tiles, two adjacent tiles per
-    [8, 128] row evaluation.
-
-    The octet kernel's p50 quad is ~7 px wide, so a 128-lane row eval is
-    mostly idle lanes.  Halving the tile width doubles lane utilization
-    WITHOUT any packing machinery: tiles (2p, 2p+1) cover one contiguous
-    128-lane pixel window, so nx/ny and the whole per-pixel math are
-    identical to the octet kernel — only the ITEM STREAMS are per-half.
-    Each eval combines one octet from the left tile's stream (lanes
-    0..63) and one from the right tile's (64..127) by lane-selecting the
-    per-quad coefficients; every float op sees the same value and order
-    as the solo kernel, so frames are bit-identical (tested).
-
-    Costs vs the octet kernel: ~16 extra lane-selects per octet pair
-    (hoisted, row-invariant), row spans iterate the UNION of the two
-    sides' ranges, and per-half occlusion-break state.
-
-    MEASURED VERDICT (v5e, 720p vd12): 5.6 ms at opi4 vs 2.77 ms for the
-    octet kernel — the bet LOSES on this core.  Where the halving went:
-    64-px tiles grow the binned item stream 30% (76.5k vs 59k — near
-    quads are wide), the union row span eats ~25% more, and every pair
-    pays the per-tile stream machinery (geo/DMA/transpose) twice.  A
-    joint (non-per-side) break was another +0.4 ms.  Kept opt-in
-    (tile_w=64) for cores with cheaper per-tile fixed costs; the frame
-    is bit-identical to the solo kernel up to the documented 1-ulp
-    FMA-contraction variance (tests/test_render.py
-    test_pair_kernel_matches_jnp, boundary-verified)."""
-    (color_ref, depth_ref,
-     starts_ref, counts_ref, rows_ref, zmin_ref,
-     rec_vmem, rec_tL, rec_tR, sem, meta_sem) = refs
-    step = pl.program_id(0)
-    pairs_x = tiles_x // 2
-    steps_x = pairs_x // pairs_per_step
-    n_sub = tile_h // 8
-
-    metas = ((starts_hbm, starts_ref), (counts_hbm, counts_ref),
-             (rows_hbm, rows_ref), (zmin_hbm, zmin_ref))
-
-    @pl.when(step == 0)
-    def _():
-        for i, (src, dst) in enumerate(metas):
-            pltpu.make_async_copy(src, dst, meta_sem.at[i]).start()
-        for i, (src, dst) in enumerate(metas):
-            pltpu.make_async_copy(src, dst, meta_sem.at[i]).wait()
-
-    sub = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0)
-    lane = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1)
-    lane64 = lane >= 64
-    wf = jnp.float32(width)
-    hf = jnp.float32(height)
-    inff = jnp.full((8, 128), jnp.inf, jnp.float32)
-    skyv = jnp.full((8, 128), SKY_I32, jnp.int32)
-    n_oct_cap = rows_hbm.shape[0] - 1
-
-    def tile_acc0():
-        return tuple([inff, skyv] * n_sub)
-
-    def side_geo(st, j, s):
-        pr = st // steps_x
-        pc = (st % steps_x) * pairs_per_step + j
-        t = pr * tiles_x + pc * 2 + s
-        count = counts_ref[t]
-        base = starts_ref[t]
-        first_blk = base // BLOCK_Q
-        last_blk = (base + jnp.maximum(count, 1) - 1) // BLOCK_Q
-        nblocks = jnp.where(count > 0, last_blk - first_blk + 1, 0)
-        return count, base, first_blk, nblocks
-
-    def dma(slot, first_blk, b):
-        off = pl.multiple_of((first_blk + b) * BLOCK_Q, BLOCK_Q)
-        return pltpu.make_async_copy(
-            rec_hbm.at[:, pl.ds(off, BLOCK_Q)],
-            rec_vmem.at[:, pl.ds(slot * BLOCK_Q, BLOCK_Q)],
-            sem.at[slot],
-        )
-
-    geo = [[side_geo(step, j, s) for s in (0, 1)]
-           for j in range(pairs_per_step)]
-
-    def start_first_blocks(st):
-        for j in range(pairs_per_step):
-            for s in (0, 1):
-                _, _, fb, nb = side_geo(st, j, s)
-
-                @pl.when(nb > 0)
-                def _(fb=fb, j=j, s=s):
-                    dma(4 * j + 2 * s, fb, 0).start()
-
-    @pl.when(step == 0)
-    def _():
-        start_first_blocks(step)
-
-    def do_pair(j):
-        (cntL, baseL, fbL, nbL), (cntR, baseR, fbR, nbR) = geo[j]
-        pr = step // steps_x
-        pc = (step % steps_x) * pairs_per_step + j
-        py0 = y0_ref[0] + pr * tile_h
-        px0 = pc * 128
-        px = jnp.float32(px0) + lane.astype(jnp.float32)
-        nxv = (2.0 * (px + 0.5) - wf) / wf  # identical to the solo kernel
-        nblocks = jnp.maximum(nbL, nbR)
-
-        def block_body(b, carry):
-            acc, dmaxL0, dmaxR0 = carry
-            for s, (nb, fb) in enumerate(((nbL, fbL), (nbR, fbR))):
-                @pl.when(b + 1 < nb)
-                def _(s=s, fb=fb, nb=nb):
-                    dma(4 * j + 2 * s + (b + 1) % 2, fb, b + 1).start()
-
-            @pl.when(b < nbL)
-            def _():
-                dma(4 * j + b % 2, fbL, b).wait()
-                rec_tL[:] = jnp.transpose(
-                    rec_vmem[:, pl.ds(
-                        pl.multiple_of((4 * j + b % 2) * BLOCK_Q, BLOCK_Q),
-                        BLOCK_Q)])
-
-            @pl.when(b < nbR)
-            def _():
-                dma(4 * j + 2 + b % 2, fbR, b).wait()
-                rec_tR[:] = jnp.transpose(
-                    rec_vmem[:, pl.ds(
-                        pl.multiple_of((4 * j + 2 + b % 2) * BLOCK_Q,
-                                       BLOCK_Q), BLOCK_Q)])
-
-            blk0L = (fbL + b) * BLOCK_Q
-            blk0R = (fbR + b) * BLOCK_Q
-            k_loL = jnp.where(b < nbL, jnp.maximum(baseL - blk0L, 0), 0)
-            k_hiL = jnp.where(b < nbL,
-                              jnp.minimum(baseL + cntL - blk0L, BLOCK_Q), 0)
-            k_loR = jnp.where(b < nbR, jnp.maximum(baseR - blk0R, 0), 0)
-            k_hiR = jnp.minimum(jnp.where(b < nbR, baseR + cntR - blk0R, 0),
-                                BLOCK_Q)
-            gbL = blk0L // 8
-            gbR = blk0R // 8
-
-            def load_side(rec_t, o, k_lo, k_hi):
-                oc = jnp.minimum(o, BLOCK_Q // 8 - 1)
-                g8 = pl.multiple_of(oc * 8, 8)
-                recs = [rec_t[pl.ds(g8, 8), f:f + 1]
-                        for f in range(N_BLEND_FIELDS + 4)]
-                fro = list(jax.lax.bitcast_convert_type(r, jnp.float32)
-                           for r in recs[:N_BLEND_FIELDS])
-                iro = recs[N_BLEND_FIELDS:N_BLEND_FIELDS + 4]
-                kv = o * 8 + jax.lax.broadcasted_iota(jnp.int32, (8, 1), 0)
-                kmask = (kv >= k_lo) & (kv < k_hi)
-                fro[12] = jnp.where(kmask, fro[12], jnp.float32(jnp.inf))
-                fro[13] = jnp.where(kmask, fro[13], jnp.float32(-jnp.inf))
-                return fro, iro
-
-            def load_pair(o, aliveL, aliveR):
-                # a side whose break has fired contributes nothing more:
-                # clamping its k_hi to 0 kills its coverage (kmask) AND
-                # its row span, so the union span shrinks to the live side
-                ekL = jnp.where(aliveL, k_hiL, 0)
-                ekR = jnp.where(aliveR, k_hiR, 0)
-                froL, iroL = load_side(rec_tL, o, k_loL, ekL)
-                froR, iroR = load_side(rec_tR, o, k_loR, ekR)
-
-                def sel(il):
-                    return jnp.where(lane64, froR[il], froL[il])
-
-                # row-invariant combined vregs (hoisted once per octet
-                # pair): plane x-products, per-plane constants, coverage
-                # bounds, texel words
-                bases = tuple(sel(i) * nxv for i in (0, 3, 6, 9))
-                consts = tuple(sel(i) for i in (2, 5, 8, 11))
-                bounds = tuple(sel(i) for i in (12, 13, 14, 15))
-                iroc = tuple(jnp.where(lane64, iroR[i], iroL[i])
-                             for i in range(4))
-                # per-row per-side [8,1] linear terms (a01, a11, a21, z1)
-                linL = tuple(froL[i] for i in (1, 4, 7, 10))
-                linR = tuple(froR[i] for i in (1, 4, 7, 10))
-                activeL = o * 8 < ekL
-                activeR = o * 8 < ekR
-                rbL = rows_ref[jnp.minimum(gbL + o, n_oct_cap)]
-                rbR = rows_ref[jnp.minimum(gbR + o, n_oct_cap)]
-                ry0 = jnp.minimum(
-                    jnp.where(activeL, rbL & 0xFF, tile_h - 1),
-                    jnp.where(activeR, rbR & 0xFF, tile_h - 1))
-                ry1 = jnp.maximum(jnp.where(activeL, rbL >> 8, 0),
-                                  jnp.where(activeR, rbR >> 8, 0))
-                return (bases, consts, bounds, iroc, linL, linR, ry0, ry1)
-
-            def eval_row(P, y):
-                bases, consts, bounds, iroc, linL, linR, _, _ = P
-                py = (py0 + y).astype(jnp.float32)
-                ny = 1.0 - 2.0 * (py + 0.5) / hf
-                # qu = (base + a01*ny) + a02 — the same values in the
-                # same order as _eval_one_quad_row, with a01*ny computed
-                # per side then lane-selected (selects are exact)
-                qu = bases[0] + jnp.where(lane64, linR[0] * ny,
-                                          linL[0] * ny) + consts[0]
-                qv = bases[1] + jnp.where(lane64, linR[1] * ny,
-                                          linL[1] * ny) + consts[1]
-                qw = bases[2] + jnp.where(lane64, linR[2] * ny,
-                                          linL[2] * ny) + consts[2]
-                z = bases[3] + jnp.where(lane64, linR[3] * ny,
-                                         linL[3] * ny) + consts[3]
-                cover = (
-                    (qw > 0.0)
-                    & (qu >= bounds[0] * qw) & (qu <= bounds[1] * qw)
-                    & (qv >= bounds[2] * qw) & (qv <= bounds[3] * qw)
-                )
-                inv = 1.0 / qw
-                uu = qu * inv
-                vv = qv * inv
-                tu = (uu * 8.0).astype(jnp.int32) & 7
-                tv = (vv * 8.0).astype(jnp.int32) & 7
-                idx = tv * 8 + tu
-                word = jnp.where(idx < 32, iroc[2], iroc[3])
-                shift = idx & 31
-                bit = jax.lax.shift_right_logical(word, shift) & 1
-                c = jnp.where(bit != 0, iroc[1], iroc[0])
-                covered = cover & (z == z)
-                d = jnp.where(covered, z, jnp.inf)
-                c = jnp.where(covered, c, jnp.int32(2**31 - 1))
-                for shift in (4, 2, 1):
-                    d2 = pltpu.roll(d, shift, 0)
-                    c2 = pltpu.roll(c, shift, 0)
-                    lt = (d2 < d) | ((d2 == d) & (c2 < c))
-                    d = jnp.where(lt, d2, d)
-                    c = jnp.where(lt, c2, c)
-                return d, c
-
-            def merge(acc, y, d, c):
-                out = []
-                for i in range(n_sub):
-                    ad, ac = acc[2 * i], acc[2 * i + 1]
-                    upd = (sub == y - 8 * i) & (
-                        (d < ad) | ((d == ad) & (c < ac)))
-                    out += [jnp.where(upd, d, ad), jnp.where(upd, c, ac)]
-                return tuple(out)
-
-            o_hiL = (k_hiL + 7) // 8
-            o_hiR = (k_hiR + 7) // 8
-            o_hi = jnp.maximum(o_hiL, o_hiR)
-
-            # per-SIDE occlusion break (the joint form — min zmin vs the
-            # pair's global dmax — measured 6.0 vs 2.77 ms solo: one
-            # near-content half kept the other's far stream alive).  Each
-            # side breaks exactly like a solo 64-px tile: suffix zmin is
-            # non-decreasing in o and dmax non-increasing, so dead stays
-            # dead, and a dead side's octets are killed via load_pair.
-            def alive_side(o, dmaxS, k_lo, o_hiS, gb):
-                zm = jnp.where((o >= k_lo // 8) & (o < o_hiS),
-                               zmin_ref[jnp.minimum(gb + o, n_oct_cap)],
-                               jnp.float32(jnp.inf))
-                return (o < o_hiS) & ((o * 8 < k_lo) | (zm <= dmaxS))
-
-            def octet_group_body(o, dmaxL, dmaxR, acc):
-                group = [load_pair(o + jj,
-                                   alive_side(o + jj, dmaxL, k_loL,
-                                              o_hiL, gbL),
-                                   alive_side(o + jj, dmaxR, k_loR,
-                                              o_hiR, gbR))
-                         for jj in range(opi)]
-
-                def rows_body(i, acc):
-                    for P in group:
-                        y = P[6] + 4 * i
-                        evs = [eval_row(P, y + u) for u in range(4)]
-                        for u, (d, c) in enumerate(evs):
-                            d = jnp.where(y + u <= P[7], d, jnp.inf)
-                            acc = merge(acc, y + u, d, c)
-                    return acc
-
-                iters = (group[0][7] - group[0][6] + 4) // 4
-                for jj in range(1, opi):
-                    g = group[jj]
-                    iters = jnp.maximum(
-                        iters, jnp.where(o + jj < o_hi,
-                                         (g[7] - g[6] + 4) // 4, 0))
-                return jax.lax.fori_loop(0, iters, rows_body, acc)
-
-            def w_cond(st):
-                o, dmaxL, dmaxR, _ = st
-                return (alive_side(o, dmaxL, k_loL, o_hiL, gbL)
-                        | alive_side(o, dmaxR, k_loR, o_hiR, gbR))
-
-            def w_body(st):
-                o, dmaxL, dmaxR, acc = st
-                acc = octet_group_body(o, dmaxL, dmaxR, acc)
-
-                def _dmax_half(a, right):
-                    m = a[0]
-                    for i in range(1, n_sub):
-                        m = jnp.maximum(m, a[2 * i])
-                    return jnp.max(jnp.where(lane64 == right, m,
-                                             jnp.float32(-jnp.inf)))
-
-                return (o + opi, _dmax_half(acc, False),
-                        _dmax_half(acc, True), acc)
-
-            o0 = jnp.minimum(k_loL, k_loR) // 8
-            _, dmaxL1, dmaxR1, acc = jax.lax.while_loop(
-                w_cond, w_body, (o0, dmaxL0, dmaxR0, acc))
-            return acc, dmaxL1, dmaxR1
-
-        acc, _, _ = jax.lax.fori_loop(
-            0, nblocks, block_body,
-            (tile_acc0(), jnp.float32(jnp.inf), jnp.float32(jnp.inf)))
-        for i in range(n_sub):
-            depth_ref[pl.ds(i * 8, 8), pl.ds(128 * j, 128)] = acc[2 * i]
-            color_ref[pl.ds(i * 8, 8), pl.ds(128 * j, 128)] = acc[2 * i + 1]
-
-    for j in range(pairs_per_step):
-        do_pair(j)
-
-    @pl.when(step + 1 < pl.num_programs(0))
-    def _():
-        start_first_blocks(step + 1)
-
-
-@functools.partial(
-    jax.jit,
-    static_argnames=("height", "width", "tile_h", "out_h",
-                     "interpret", "pairs_per_step", "octets_per_iter"),
-)
-def rasterize_pallas_pair(records, tile_starts, tile_counts, octet_rows,
-                          octet_zmin, *,
-                          height: int, width: int, tile_h: int,
-                          out_h: int | None = None,
-                          interpret: bool = False,
-                          pairs_per_step: int | None = None,
-                          y0_px=0, octets_per_iter: int = 2):
-    """Paired half-tile rasterizer wrapper (see _raster_kernel_pair):
-    tile_w == 64; ``tile_starts``/``tile_counts``/``octet_rows``/
-    ``octet_zmin`` are binned at tiles_x = width // 64.  No
-    init-framebuffer path (the two-pass far pass keeps the octet
-    kernel).  Returns (color, depth) of shape [out_h, width]."""
-    out_h = out_h or height
-    assert out_h % tile_h == 0 and width % 128 == 0
-    assert tile_h % 8 == 0
-    assert records.shape[1] % BLOCK_Q == 0 and records.shape[0] == 24
-    tiles_y, tiles_x = out_h // tile_h, width // 64
-    pairs_x = tiles_x // 2
-    n_pairs = tiles_y * pairs_x
-    if pairs_per_step is None:
-        pps = next((t for t in (8, 6, 5, 4, 3, 2, 1)
-                    if pairs_x % t == 0 and 128 * t <= 1024), 1)
-    else:
-        pps = pairs_per_step
-        assert pairs_x % pps == 0
-
-    kernel = functools.partial(
-        _raster_kernel_pair, height=height, width=width, tile_h=tile_h,
-        tiles_x=tiles_x, pairs_per_step=pps, opi=octets_per_iter,
-    )
-    steps_x = pairs_x // pps
-    n_oct = records.shape[1] // 8
-
-    def _fb_block(st, _y0r):
-        return (st // steps_x, st % steps_x)
-
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
-        grid=(n_pairs // pps,),
-        in_specs=[
-            pl.BlockSpec(memory_space=pl.ANY),  # tile starts
-            pl.BlockSpec(memory_space=pl.ANY),  # tile counts
-            pl.BlockSpec(memory_space=pl.ANY),  # octet rows
-            pl.BlockSpec(memory_space=pl.ANY),  # octet zmin
-            pl.BlockSpec(memory_space=pl.ANY),  # records
-        ],
-        out_specs=[
-            pl.BlockSpec((tile_h, 128 * pps), _fb_block,
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((tile_h, 128 * pps), _fb_block,
-                         memory_space=pltpu.VMEM),
-        ],
-        scratch_shapes=[
-            pltpu.SMEM((tiles_y * tiles_x,), jnp.int32),
-            pltpu.SMEM((tiles_y * tiles_x,), jnp.int32),
-            pltpu.SMEM((n_oct,), jnp.int32),
-            pltpu.SMEM((n_oct,), jnp.float32),
-            pltpu.VMEM((24, 4 * pps * BLOCK_Q), jnp.int32),
-            pltpu.VMEM((BLOCK_Q, 24), jnp.int32),
-            pltpu.VMEM((BLOCK_Q, 24), jnp.int32),
-            pltpu.SemaphoreType.DMA((4 * pps,)),
-            pltpu.SemaphoreType.DMA((4,)),
-        ],
-    )
-    y0_arr = jnp.asarray(y0_px, jnp.int32).reshape(1)
-    color, depth = pl.pallas_call(
-        kernel,
-        grid_spec=grid_spec,
-        out_shape=[
-            jax.ShapeDtypeStruct((out_h, width), jnp.int32),
-            jax.ShapeDtypeStruct((out_h, width), jnp.float32),
-        ],
-        interpret=interpret,
-    )(y0_arr, tile_starts, tile_counts, octet_rows, octet_zmin, records)
-    return color, depth
+# The paired half-tile kernel (_raster_kernel_pair / rasterize_pallas_pair,
+# tile_w=64: two 16x64 tiles per [8, 128] row eval) was built, measured, and
+# REMOVED in round 4: 5.6 ms vs 2.54 ms for the shared-stream octet kernel at
+# 720p/vd12 — strictly dominated on this core (64-px tiles grow the binned
+# stream ~30%, union row spans eat ~25%, and per-half stream machinery
+# doubles).  Full post-mortem in NOTES.md ("Paired half-tile raster"); see
+# git history for the implementation.
 
 
 def pick_tile(height: int, width: int) -> tuple[int, int]:

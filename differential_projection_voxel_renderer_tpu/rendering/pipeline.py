@@ -481,37 +481,24 @@ def _render_step(
             init_depth = jnp.pad(
                 init_depth, ((0, out_h - bh), (0, 0)),
                 constant_values=jnp.inf)
-        if tile_w == 64:
-            # paired half-tile kernel: two 16x64 tiles per [8,128] eval
-            # (ops/raster._raster_kernel_pair) — bit-identical frames,
-            # roughly half the row evaluations of the 128-wide octet
-            # kernel at terrain quad sizes.  No init path: the two-pass
-            # far pass keeps tile_w=128.
-            assert init_color is None, (
-                "tile_w=64 has no init-framebuffer path; use tile_w=128 "
-                "for the two-pass mode")
-            color, depth = raster_ops.rasterize_pallas_pair(
-                records, tile_starts, tile_counts, octet_rows, octet_zmin,
-                height=height, width=width, tile_h=tile_h, out_h=out_h,
-                interpret=interpret, y0_px=band_y0,
-            )
-        else:
-            # stream knobs: RenderConfig fields, with DPVR_STREAM_GROUP /
-            # DPVR_ROW_TREE / DPVR_BLOCK_Q env overrides read at trace
-            # time (like DPVR_BIN_ORDER); frames are bit-identical under
-            # every combination
-            color, depth = raster_ops.rasterize_pallas(
-                records, tile_starts, tile_counts, octet_rows, octet_zmin,
-                init_color, init_depth,
-                height=height, width=width,
-                tile_h=tile_h, tile_w=tile_w, out_h=out_h,
-                interpret=interpret, y0_px=band_y0,
-                stream_group=int(os.environ.get("DPVR_STREAM_GROUP",
-                                                str(stream_group))),
-                row_tree=bool(int(os.environ.get("DPVR_ROW_TREE",
-                                                 str(int(row_tree))))),
-                block_q=int(os.environ.get("DPVR_BLOCK_Q", str(block_q))),
-            )
+        # stream knobs: RenderConfig fields, with DPVR_STREAM_GROUP /
+        # DPVR_ROW_TREE / DPVR_BLOCK_Q env overrides read at trace
+        # time (like DPVR_BIN_ORDER); frames are bit-identical under
+        # every combination.  (tile_w is always 128: the 64-px paired
+        # half-tile kernel measured strictly worse and was removed in
+        # round 4 — see ops/raster.py note + NOTES.md.)
+        color, depth = raster_ops.rasterize_pallas(
+            records, tile_starts, tile_counts, octet_rows, octet_zmin,
+            init_color, init_depth,
+            height=height, width=width,
+            tile_h=tile_h, tile_w=tile_w, out_h=out_h,
+            interpret=interpret, y0_px=band_y0,
+            stream_group=int(os.environ.get("DPVR_STREAM_GROUP",
+                                            str(stream_group))),
+            row_tree=bool(int(os.environ.get("DPVR_ROW_TREE",
+                                             str(int(row_tree))))),
+            block_q=int(os.environ.get("DPVR_BLOCK_Q", str(block_q))),
+        )
         if out_h != bh:
             color = color[:bh]
             depth = depth[:bh]

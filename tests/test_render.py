@@ -152,23 +152,8 @@ def test_octet_kernel_matches_jnp_exact_mode(fuzz_scene):
     np.testing.assert_array_equal(s1[:2], s2[:2])
 
 
-def test_pair_kernel_matches_jnp(fuzz_scene):
-    """Paired half-tile kernel (tile_w=64, ops/raster._raster_kernel_pair)
-    vs the jnp twin: boundary-verified full-frame parity.  The pair
-    kernel's per-pixel values equal the solo kernel's (lane selects are
-    exact), but interpret mode runs through XLA:CPU, whose FMA
-    contraction differs across the pair's [8,1]-mul-then-select lowering
-    shape — the documented 1-ulp linear-form variance (measured: ONE
-    depth ulp on one pixel).  The f64 boundary gate proves each such
-    pixel; on hardware the Mosaic path faces the same contraction
-    freedom, so bench.py --selftest applies the same gate."""
-    _, _, _, renderer, args = fuzz_scene
-    c1, d1, s1 = _step(renderer, args, use_pallas=False, interpret=False)
-    c2, d2, s2 = _step(renderer, args, use_pallas=True, interpret=True,
-                       tile=(16, 64), packed=False)
-    records = _packed_records(renderer, args)
-    _assert_kernel_parity_boundary(c1, d1, c2, d2, records)
-    np.testing.assert_array_equal(s1[:2], s2[:2])
+# (test_pair_kernel_matches_jnp was removed with the strictly-dominated
+# paired half-tile kernel in round 4 — see ops/raster.py note + NOTES.md.)
 
 
 def test_shared_stream_kernel_matches_jnp(fuzz_scene, monkeypatch):
