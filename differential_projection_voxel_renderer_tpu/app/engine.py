@@ -420,6 +420,7 @@ class Engine:
         # frames skip the remesh scan, cache retention, visibility query,
         # index building, and host->device uploads entirely)
         self._seen_world_version = -1
+        self._seen_unload_version = -1
         self._seen_visible_sig = None
         self._seen_vp = None
         self._visible_cache = None
@@ -635,8 +636,13 @@ class Engine:
             self._visible_cache = vis_pos
             if not (cam_same and world_v == self._seen_world_version):
                 self._remesh_positions(vis_pos)
-                if world_v != self._seen_world_version:
+                if self.world.unload_version != self._seen_unload_version:
+                    # retention only matters after an UNLOAD; streaming
+                    # frames bump world.version every frame but unload
+                    # rarely (the vd+2 hysteresis defers pruning), and
+                    # the retain scan is O(pool) Python (~0.4 ms at vd12)
                     self.pool.retain(self.world.chunks)
+                    self._seen_unload_version = self.world.unload_version
             self._seen_vp = vp_now.copy()
             self._seen_world_version = self.world.version
 

@@ -68,6 +68,13 @@ class World:
         # callers key caches off it (the engine skips remesh scans /
         # cache retention when nothing changed)
         self.version = 0
+        # bumped ONLY when chunks are unloaded: mesh-cache retention
+        # (engine: pool.retain) only matters after an unload, and
+        # streaming frames bump `version` every frame — keying retention
+        # off this counter removes an O(pool) Python scan per streaming
+        # frame (the reference's retain runs per frame, main.rs:280, but
+        # its HashMap::retain is native; ours was ~0.4 ms of Python)
+        self.unload_version = 0
 
     # -------------------------------------------------------------- access
     def get_or_generate_chunk(self, chunk_pos) -> Chunk:
@@ -91,6 +98,7 @@ class World:
         self.last_camera_chunk = None
         self._filled_at = None
         self._invalidate_cache()
+        self.unload_version += 1
 
     def set_view_distance(self, view_distance: int) -> None:
         self.config.view_distance = max(1, int(view_distance))
@@ -182,6 +190,7 @@ class World:
         }
         if len(self.chunks) != before:
             self._invalidate_cache()
+            self.unload_version += 1
         if generated == 0:
             self._filled_at = cam
         self._queue_version = self.version

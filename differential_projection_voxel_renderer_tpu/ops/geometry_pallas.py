@@ -32,36 +32,60 @@ from jax.experimental.pallas import tpu as pltpu
 from . import projection as proj_ops
 
 
-def _geom_kernel(scalf_ref, scali_ref, q_ref, wx_ref, wy_ref, wz_ref,
-                 valid_ref, bbx_ref, bby_ref, dn_ref, sub_ref,
-                 *, width, height, backface_culling, subpixel_culling,
-                 block_rows):
-    # per-frame scalars: vp (16 f32), cam (3 f32); count (int32)
+def geom_block_compute(q, wx, wy, wz, scalf_ref, scali_ref, base, *,
+                       width, height, backface_culling,
+                       subpixel_culling=True):
+    """Stage-A math for one [R, 128] block of the gather stream — shared
+    verbatim by the standalone geometry kernel below AND the raster
+    kernel's fused next-frame geometry pass (ops/raster.py): one set of
+    ops, so the two callers cannot drift.
+
+    ``q``/``wx``/``wy``/``wz``: the block's values (already in VMEM);
+    ``scalf_ref``: SMEM f32[19] (view-proj 16 + cam 3); ``scali_ref``:
+    SMEM i32[2] (n_quads, skip); ``base``: the block's first global
+    stream index.  Returns (valid i32, bbx i32, bby i32, dn f32, sub i32)
+    blocks."""
     vpl = [[scalf_ref[4 * r + c] for c in range(4)] for r in range(4)]
     cam = (scalf_ref[16], scalf_ref[17], scalf_ref[18])
     n_quads = scali_ref[0]
     skip = scali_ref[1]
-
-    step = pl.program_id(0)
-    base = step * (block_rows * 128)
+    rows = q.shape[0]
     idx = base + (
-        jax.lax.broadcasted_iota(jnp.int32, (block_rows, 128), 0) * 128
-        + jax.lax.broadcasted_iota(jnp.int32, (block_rows, 128), 1)
+        jax.lax.broadcasted_iota(jnp.int32, (rows, 128), 0) * 128
+        + jax.lax.broadcasted_iota(jnp.int32, (rows, 128), 1)
     )
     in_stream = (idx < n_quads) & (idx >= skip)
 
-    dec = proj_ops.decode_quads(q_ref[:])  # int32 in-kernel decode
+    dec = proj_ops.decode_quads(q)  # int32 in-kernel decode
     pr = proj_ops.stage_a_fields(
-        dec, (wx_ref[:], wy_ref[:], wz_ref[:]), in_stream, vpl, cam,
+        dec, (wx, wy, wz), in_stream, vpl, cam,
         width=width, height=height, span_mode=False,
         backface_culling=backface_culling,
         subpixel_culling=subpixel_culling,
     )
-    valid_ref[:] = pr["valid"].astype(jnp.int32)
-    bbx_ref[:] = pr["bb_x0"] | (pr["bb_x1"] << 16)
-    bby_ref[:] = pr["bb_y0"] | (pr["bb_y1"] << 16)
-    dn_ref[:] = pr["depth_near"]
-    sub_ref[:] = pr["subpixel"].astype(jnp.int32)
+    return (pr["valid"].astype(jnp.int32),
+            pr["bb_x0"] | (pr["bb_x1"] << 16),
+            pr["bb_y0"] | (pr["bb_y1"] << 16),
+            pr["depth_near"],
+            pr["subpixel"].astype(jnp.int32))
+
+
+def _geom_kernel(scalf_ref, scali_ref, q_ref, wx_ref, wy_ref, wz_ref,
+                 valid_ref, bbx_ref, bby_ref, dn_ref, sub_ref,
+                 *, width, height, backface_culling, subpixel_culling,
+                 block_rows):
+    step = pl.program_id(0)
+    base = step * (block_rows * 128)
+    valid, bbx, bby, dn, sub = geom_block_compute(
+        q_ref[:], wx_ref[:], wy_ref[:], wz_ref[:], scalf_ref, scali_ref,
+        base, width=width, height=height,
+        backface_culling=backface_culling,
+        subpixel_culling=subpixel_culling)
+    valid_ref[:] = valid
+    bbx_ref[:] = bbx
+    bby_ref[:] = bby
+    dn_ref[:] = dn
+    sub_ref[:] = sub
 
 
 @functools.partial(jax.jit, static_argnames=(

@@ -156,6 +156,41 @@ def test_octet_kernel_matches_jnp_exact_mode(fuzz_scene):
 # paired half-tile kernel in round 4 — see ops/raster.py note + NOTES.md.)
 
 
+def test_pre_geom_split_bit_identical(fuzz_scene):
+    """The pipelined-frame decomposition (geometry kernel run separately,
+    its outputs handed to _render_step as ``pre_geom``) renders the
+    bit-identical frame to the serial step — the correctness basis of the
+    frames-in-flight throughput mode (geometry of frame N+1 dispatched
+    beside the raster of frame N)."""
+    from differential_projection_voxel_renderer_tpu.ops import (
+        geometry_pallas as G,
+    )
+    from differential_projection_voxel_renderer_tpu.ops import projection as P
+
+    _, _, _, renderer, args = fuzz_scene
+    cfg = renderer.config
+    c1, d1, s1 = _step(renderer, args, use_pallas=True, interpret=True,
+                       packed=False)
+    quads, quad_world, total, vp, cam = args
+    t = P.view_tables(vp, cam)
+    ga = G.project_cull_pallas(
+        quads, (quad_world[0], quad_world[1], quad_world[2]), total,
+        t.view_proj, t.cam_pos, width=cfg.width, height=cfg.height,
+        backface_culling=cfg.backface_culling, interpret=True)
+    pre = (ga["valid"], ga["bbx"], ga["bby"], ga["depth_near"],
+           ga["subpixel"].sum().astype(jnp.int32))
+    color, depth, stats = _render_step(
+        *args, color_tables=renderer._tables_np, width=cfg.width,
+        height=cfg.height, tile_h=16, tile_w=128,
+        gather_cap=cfg.gather_cap, render_cap=cfg.quads_cap,
+        span_mode=False, backface_culling=cfg.backface_culling,
+        use_pallas=True, interpret=True, tile_k_cap=cfg.quads_cap,
+        pre_geom=pre)
+    c2 = np.asarray(color).view(np.uint32)
+    parity.assert_kernel_parity(c1, d1, c2, np.asarray(depth))
+    np.testing.assert_array_equal(s1[:2], np.asarray(stats)[:2])
+
+
 def test_shared_stream_kernel_matches_jnp(fuzz_scene, monkeypatch):
     """Shared-stream octet kernel (ops/raster._raster_kernel_shared,
     DPVR_STREAM_GROUP > 1): adjacent tiles share one record DMA chain.
