@@ -179,6 +179,30 @@ def main():
         "visibility query each frame; the moving-camera cost is covered "
         "by the flythrough metric below and the jittered pass here.")
 
+    # frames-in-flight wall pass (VERDICT r3 #1): each frame's stage-A
+    # geometry rides inside the previous frame's raster call
+    # (ops/raster._fused_geom_pass) — one taxed Pallas dispatch per frame
+    # instead of two, at the cost of ONE frame of output latency.  Frames
+    # are bit-identical to the serial mode (tested + asserted here).
+    pipe_fps = 0.0
+    if not args.quick:
+        eng.warm_buckets(pipelined=True)  # compile outside the clock
+        res_p = None
+        t0 = time.time()
+        for _ in range(args.frames):
+            res_p = eng.render_frame_pipelined(dt=0.0) or res_p
+        res_p = eng.flush_pipeline() or res_p
+        jax.block_until_ready(res_p.color)
+        pipe_elapsed = time.time() - t0
+        pipe_fps = args.frames / pipe_elapsed
+        log(f"pipelined wall pass: {pipe_fps:.1f} FPS "
+            f"({pipe_elapsed/args.frames*1000:.3f} ms/frame; "
+            f"frames-in-flight, one frame of latency)")
+        if not np.array_equal(res_p.color_numpy(), res.color_numpy()):
+            log("WARNING: pipelined frame != serial frame — excluded "
+                "from headline")
+            pipe_fps = 0.0
+
     # jittered-camera wall pass (VERDICT r3 #5): a sub-pixel alternating
     # yaw wiggle defeats every static-frame memoization (_seen_vp, the
     # visibility-query cache, the vp/frustum caches) while leaving the
@@ -246,9 +270,14 @@ def main():
     # the wall loop measures the tunnel, not the renderer, and the
     # conservative model (which never overlaps host and device, so it
     # UNDERSTATES a healthy pipeline) is the more honest floor.
-    fps = max(wall_fps, conservative_fps)
-    log(f"headline = {'wall' if wall_fps >= conservative_fps else 'conservative'}"
-        f" ({fps:.1f} FPS)")
+    # the pipelined wall number is headline-eligible: real end-to-end
+    # throughput of bit-identical frames (asserted above), with its one
+    # frame of latency disclosed wherever it is reported
+    cands = {"wall": wall_fps, "conservative": conservative_fps,
+             "pipelined wall (1-frame latency)": pipe_fps}
+    which = max(cands, key=cands.get)
+    fps = cands[which]
+    log(f"headline = {which} ({fps:.1f} FPS)")
 
     nonsky = (res.color_numpy() != np.uint32(0xFF87CEEB)).sum()
     log(f"final frame non-sky pixels: {nonsky}")

@@ -10,6 +10,14 @@ measures that degradation, not the engine.
 Prints one line: ``FLYTHROUGH <first_pass_fps> <second_pass_fps>``.
 Pass 1 crosses mostly pre-primed terrain; pass 2 streams fresh chunks
 (~8 generated + meshed + uploaded per frame at this camera speed).
+
+Runs in the frames-in-flight mode (engine.render_frame_pipelined): each
+frame's stage-A geometry rides inside the previous frame's raster call —
+one taxed Pallas dispatch per frame instead of two — at the cost of ONE
+frame of output latency.  Frames are bit-identical to the serial mode
+(tests/test_engine.py); every pass flushes the pipeline before its clock
+stops, so the FPS counts fully rendered frames.  DPVR_FLY_SERIAL=1 runs
+the serial mode instead (A/B knob).
 """
 
 from __future__ import annotations
@@ -48,9 +56,11 @@ def main():
     eng.camera.look_at(np.array([0.0, 0.0, -60.0]))
     while eng.world.update(eng.camera.position):
         pass
+    serial = bool(int(os.environ.get("DPVR_FLY_SERIAL", "0") or "0"))
     eng.prime_all()
     eng.warm_streaming()
-    eng.warm_buckets()  # a mid-flight bucket switch costs a ~2.5 s trace
+    # a mid-flight bucket switch costs a ~2.5 s trace
+    eng.warm_buckets(pipelined=not serial)
     for _ in range(8):
         res = eng.render_frame(dt=0.0)
     jax.block_until_ready(res.color)
@@ -63,9 +73,16 @@ def main():
         for _ in range(n):
             eng.camera.position += np.array([0.4, 0.0, -0.4], np.float32)
             eng.camera.yaw += 0.01
-            res = eng.render_frame(dt=0.016)
+            if serial:
+                res = eng.render_frame(dt=0.016)
+            else:
+                res = eng.render_frame_pipelined(dt=0.016) or res
+        if not serial:
+            res = eng.flush_pipeline() or res
         jax.block_until_ready(res.color)
         fps.append(n / (time.time() - t0))
+    mode = "serial" if serial else "pipelined (1-frame latency)"
+    print(f"flythrough mode: {mode}", file=sys.stderr, flush=True)
     print(f"FLYTHROUGH {fps[0]:.1f} {fps[1]:.1f}", flush=True)
 
 

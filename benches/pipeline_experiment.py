@@ -16,6 +16,14 @@ and the mid XLA of frame i-1 can overlap the geometry kernel.  Variants:
   pipe      — pipelined, scheduler free to place geometry anywhere
   pipedep   — pipelined + a zero-cost data dependency forcing
               geometry(i) AFTER raster(i-1) (adjacent Pallas calls)
+  fused     — pipelined with geometry(i) fused INSIDE raster(i-1)'s
+              Pallas call (ops/raster._fused_geom_pass): ONE taxed
+              Pallas dispatch per frame instead of two
+
+MEASURED (v5e, vd12, 45.8k-quad stream, 30 frames in one jit):
+  base 3.695 / pipe 3.581 / pipedep 3.573 ms — explicit adjacency does
+  NOT share the flat per-call stall in the real pipeline; the fused
+  variant is the structural fix.
 
 All three render identical frames (pre_geom is the exact geometry output
 the serial step computes internally; tested in tests/test_render.py).
@@ -107,7 +115,126 @@ def run_variant(variant: str):
         timeit(jax.jit(run), (vps_d, cams_d), k, variant)
         return
 
+    # ---- wall-style variants: k SEPARATE async dispatches, blocked at
+    # the end — the shape of bench.py's wall metric (the dispatch queue
+    # overlaps per-call overheads differently than a fori loop).
+    # walla: device-resident cameras, independent dispatches
+    # wallb: two chained dispatches per frame (geometry, then step)
+    # wallc: pipelined chain (each dispatch consumes the previous pre)
+    # walld: walla + a FRESH numpy camera H2D per frame (the engine's
+    #        render_prepared shape — isolates the per-frame transfer cost)
+    # walle: walld but through the engine's packed-cam step (_step_camf)
+    # wallf/wallg: like walla/walle but every frame's output is RETAINED
+    # and blocked on — distinguishes genuine dispatch overlap from the
+    # relay skipping computations whose result buffers were dropped
+    if variant in ("walla", "wallb", "wallc", "walld", "walle", "wallf",
+                   "wallg"):
+        import json as _json
+        import time as _time
+
+        stepj = jax.jit(step)
+        geomj = jax.jit(geom)
+
+        def pipej(qp, wp, np_, vpp, cpp, prep, vpc, cpc):
+            c, d, s, pre = step(
+                qp, wp, np_, vpp, cpp, pre_geom=prep,
+                next_geom=(quads, qw, n_quads, vpc, cpc))
+            return c, d, s, pre
+        pipej = jax.jit(pipej)
+
+        def prestep(qp, wp, np_, vp1, cam1, pre1):
+            return step(qp, wp, np_, vp1, cam1, pre_geom=pre1)
+        prestep = jax.jit(prestep)
+
+        from differential_projection_voxel_renderer_tpu.rendering import (
+            pipeline as PL2,
+        )
+
+        step_packed = jax.jit(functools.partial(
+            PL2._step_camf, gather_cap=GQ, color_tables=tables,
+            width=W, height=H, tile_h=16, tile_w=128, render_cap=RC,
+            span_mode=False, backface_culling=True, use_pallas=True,
+            interpret=False, tile_k_cap=TK))
+
+        def one_pass():
+            if variant == "walla":
+                for i in range(k):
+                    c, d, s = stepj(quads, qw, n_quads, vps_d[i], cams_d[i])
+            elif variant == "wallf":
+                outs = []
+                for i in range(k):
+                    c, d, s = stepj(quads, qw, n_quads, vps_d[i], cams_d[i])
+                    outs.append(c)
+                for o in outs:
+                    jax.block_until_ready(o)
+            elif variant == "wallg":
+                outs = []
+                for i in range(k):
+                    camf = jnp.asarray(PL2._pack_cam(vps[i], cams[i]))
+                    c, d, s = step_packed(quads, qw, n_quads, camf)
+                    outs.append(c)
+                for o in outs:
+                    jax.block_until_ready(o)
+            elif variant == "walld":
+                for i in range(k):
+                    vp1 = jnp.asarray(vps[i])        # fresh numpy -> H2D
+                    cam1 = jnp.asarray(cams[i])
+                    c, d, s = stepj(quads, qw, n_quads, vp1, cam1)
+            elif variant == "walle":
+                for i in range(k):
+                    camf = jnp.asarray(PL2._pack_cam(vps[i], cams[i]))
+                    c, d, s = step_packed(quads, qw, n_quads, camf)
+            elif variant == "wallb":
+                # two dispatches per frame: geometry, then mid+raster
+                for i in range(k):
+                    pre = geomj(vps_d[i], cams_d[i])
+                    c, d, s = prestep(quads, qw, n_quads, vps_d[i],
+                                      cams_d[i], pre)
+            else:  # wallc: pipelined, one dispatch/frame, fused geometry
+                pre = geomj(vps_d[0], cams_d[0])
+                for i in range(1, k):
+                    c, d, s, pre = pipej(quads, qw, n_quads,
+                                         vps_d[i - 1], cams_d[i - 1],
+                                         pre, vps_d[i], cams_d[i])
+                c, d, s = prestep(quads, qw, n_quads, vps_d[k - 1],
+                                  cams_d[k - 1], pre)
+            return c
+
+        jax.block_until_ready(one_pass())  # compile
+        best = float("inf")
+        for _ in range(3):
+            t0 = _time.time()
+            c = one_pass()
+            jax.block_until_ready(c)
+            best = min(best, (_time.time() - t0) / k * 1000)
+        log(f"{variant}: {best:.3f} ms/frame (best of 3 wall passes)")
+        print(_json.dumps({"stage": variant, "ms": round(best, 4)}),
+              flush=True)
+        return
+
     forced = variant == "pipedep"
+
+    if variant == "fused":
+        def run(vps, cams):
+            pre0 = geom(vps[0], cams[0])
+
+            def it(i, carry):
+                pre_prev, acc = carry
+                c, d, s, pre_cur = step(
+                    quads, qw, n_quads, vps[i - 1], cams[i - 1],
+                    pre_geom=pre_prev,
+                    next_geom=(quads, qw, n_quads, vps[i], cams[i]))
+                probe = (c[0, 0] + s[1]).astype(jnp.float32)
+                return pre_cur, acc + probe
+
+            pre_last, acc = jax.lax.fori_loop(1, k, it, (pre0, jnp.zeros(
+                (), jnp.float32)))
+            c, d, s = step(quads, qw, n_quads, vps[k - 1], cams[k - 1],
+                           pre_geom=pre_last)
+            return acc + (c[0, 0] + s[1]).astype(jnp.float32)
+
+        timeit(jax.jit(run), (vps_d, cams_d), k, variant)
+        return
 
     def run(vps, cams):
         pre0 = geom(vps[0], cams[0])

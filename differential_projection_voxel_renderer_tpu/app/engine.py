@@ -19,6 +19,7 @@ Per frame (main.rs RedrawRequested, :207-310):
 
 from __future__ import annotations
 
+import collections
 import functools
 import os
 import time
@@ -427,6 +428,9 @@ class Engine:
         self._upload_cache = None
         self._prev_hiz = None          # temporal_hiz: last static frame's
         self._prev_hiz_sig = None      # max pyramid + its (sig, vp) identity
+        # frames-in-flight bookkeeping: (rendered_meshes, visible) per
+        # entered-but-not-yet-emitted frame (render_frame_pipelined)
+        self._pipe_meta: collections.deque = collections.deque()
 
     # ------------------------------------------------------------- meshing
     def _remesh(self, visible_chunks) -> int:
@@ -579,14 +583,16 @@ class Engine:
         README numbers)."""
         self._remesh(list(self.world.chunks.values()))
 
-    def warm_buckets(self) -> None:
+    def warm_buckets(self, pipelined: bool = False) -> None:
         """Pre-trace every renderer capacity bucket (see
         Renderer.warm_buckets): a moving camera whose quad total crosses a
         bucket boundary would otherwise pay a multi-second jit trace
-        inside one frame."""
+        inside one frame.  ``pipelined`` additionally warms the
+        frames-in-flight step family."""
         self.renderer.warm_buckets(
             self.pool.quads,
-            None if _meta11_env() else self.pool.counts6_dev)
+            None if _meta11_env() else self.pool.counts6_dev,
+            pipelined=pipelined)
 
     def _dir_keep_mask(self, positions, cam_pos) -> np.ndarray:
         """Per-chunk face-direction keep mask [n, 6] (0 = every quad of
@@ -616,8 +622,11 @@ class Engine:
         return keep
 
     # --------------------------------------------------------------- frame
-    def render_frame(self, dt: float = 0.016) -> FrameResult:
-        frame_t0 = time.perf_counter()
+    def _funnel(self, dt: float):
+        """Host side of a frame: camera/world update, visibility,
+        remeshing, culling funnel, draw-list build.  Fills the _last_*
+        draw-list arrays and returns (vp, sig, n, n_visible, cam_same).
+        Shared by the serial and pipelined frame entry points."""
         cam = self.camera
         self.controller.update_camera(cam, dt)
         self.world.update(cam.position)
@@ -699,15 +708,26 @@ class Engine:
         self._last_positions_sel = positions_sel
         self._last_n_visible = n
 
+        # the draw-list identity for upload reuse.  The dir mask is part
+        # of it: it changes only when the camera crosses a chunk plane,
+        # and a stale mask would DROP newly-front-facing geometry.
+        sig = (self.world.version, visible_slots[:n].tobytes(),
+               counts_sel[:n].tobytes(), mask_sel[:n].tobytes())
+        return vp, sig, n, n_visible_meshes, cam_same
+
+    def render_frame(self, dt: float = 0.016) -> FrameResult:
+        if (self.renderer._pipe_carry is not None
+                or self.renderer._pipe_done is not None):
+            raise RuntimeError(
+                "frames-in-flight pipeline is non-empty; call "
+                "flush_pipeline() before mixing in serial render_frame")
+        frame_t0 = time.perf_counter()
+        vp, sig, n, n_visible_meshes, cam_same = self._funnel(dt)
+        cam = self.camera
         # reuse the device-side gather arrays when the draw list is
         # unchanged (the TPU analogue of the reference's mesh/basis caches);
         # when it DID change, expansion + render go out as ONE dispatch
         # (moving-camera frames would otherwise pay two round trips).
-        # The dir mask is part of the identity: it changes only when the
-        # camera crosses a chunk plane, and a stale mask would DROP
-        # newly-front-facing geometry.
-        sig = (self.world.version, visible_slots[:n].tobytes(),
-               counts_sel[:n].tobytes(), mask_sel[:n].tobytes())
         if self._upload_cache is not None and self._upload_cache[0] == sig:
             uploads = self._upload_cache[1]
             if self.config.temporal_hiz and cam_same:
@@ -731,14 +751,19 @@ class Engine:
                 )
         else:
             color, depth, stats, uploads = self.renderer.render_fused(
-                self.pool.quads, visible_slots, counts_sel, positions_sel,
-                vp, cam.position, dir_mask=mask_sel,
+                self.pool.quads, self._last_visible_slots,
+                self._last_counts_sel, self._last_positions_sel,
+                vp, cam.position, dir_mask=self._last_dir_mask,
                 # META5 fast path; DPVR_META11=1 forces the legacy
                 # 11-short layout (A/B measurement knob)
                 counts6_dev=(None if _meta11_env()
                              else self.pool.counts6_dev),
             )
             self._upload_cache = (sig, uploads)
+        self._frame_bookkeeping(stats, n, frame_t0)
+        return FrameResult(color, depth, stats, n, n_visible_meshes)
+
+    def _frame_bookkeeping(self, stats, n, frame_t0) -> None:
         if FUNCTION_COUNTERS.enabled:
             st = np.asarray(stats)
             FUNCTION_COUNTERS.add("render_frames")
@@ -761,4 +786,49 @@ class Engine:
                 self._fps_frames = 0
                 self._fps_t0 = now
 
-        return FrameResult(color, depth, stats, n, n_visible_meshes)
+    def render_frame_pipelined(self, dt: float = 0.016) -> FrameResult | None:
+        """Frames-in-flight frame (throughput mode): run this frame's
+        funnel and dispatch it with its stage-A geometry fused into the
+        PREVIOUS frame's raster call (one taxed Pallas dispatch per frame
+        instead of two; rendering/pipeline.py render_*_pipelined), and
+        return the previous frame's FrameResult — None on the first call.
+        Drain the last frame with flush_pipeline().  Every emitted frame
+        is bit-identical to render_frame's output for the same camera
+        sequence (tested); the cost is ONE frame of output latency,
+        honestly labeled wherever this mode is benchmarked.  The
+        reference's analog is its Rayon pipeline overlap (main.rs:578-597).
+        """
+        frame_t0 = time.perf_counter()
+        vp, sig, n, n_visible_meshes, _cam_same = self._funnel(dt)
+        cam = self.camera
+        self._prev_hiz = None
+        if self._upload_cache is not None and self._upload_cache[0] == sig:
+            out = self.renderer.render_prepared_pipelined(
+                self._upload_cache[1], vp, cam.position)
+        else:
+            out, uploads = self.renderer.render_fused_pipelined(
+                self.pool.quads, self._last_visible_slots,
+                self._last_counts_sel, self._last_positions_sel,
+                vp, cam.position, dir_mask=self._last_dir_mask,
+                counts6_dev=(None if _meta11_env()
+                             else self.pool.counts6_dev),
+            )
+            self._upload_cache = (sig, uploads)
+        self._pipe_meta.append((n, n_visible_meshes))
+        if out is None:
+            return None
+        color, depth, stats = out
+        pn, pv = self._pipe_meta.popleft()
+        self._frame_bookkeeping(stats, pn, frame_t0)
+        return FrameResult(color, depth, stats, pn, pv)
+
+    def flush_pipeline(self) -> FrameResult | None:
+        """Drain the frames-in-flight pipeline: render + return the
+        pending frame (None when the pipeline is empty)."""
+        out = self.renderer.pipeline_flush()
+        if out is None:
+            self._pipe_meta.clear()
+            return None
+        color, depth, stats = out
+        pn, pv = self._pipe_meta.popleft()
+        return FrameResult(color, depth, stats, pn, pv)

@@ -49,6 +49,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..utils.config import SKY_COLOR
+from . import geometry_pallas as geom_ops
 
 F_FIELDS = (
     "a00", "a01", "a02", "a10", "a11", "a12", "a20", "a21", "a22",
@@ -616,20 +617,122 @@ def _walk_block(rec_t, rows_ref, zmin_ref, nxv, py0, hf, *, tile_h,
     return acc, dmax1
 
 
-def _raster_kernel(y0_ref, starts_hbm, counts_hbm, rows_hbm, zmin_hbm,
-                   rec_hbm, *refs,
+def _split_refs(args, with_init: bool, with_geom: bool):
+    """Unpack the kernels' varargs (everything after ``y0_ref``) according
+    to the optional-feature flags.  Operand order is fixed by
+    ``rasterize_pallas``: [geom scalar-prefetch (2)] | meta+records ANY
+    inputs (5) | [geom stream ANY inputs (4)] | [init blocks (2)] |
+    out blocks (2) | [geom ANY outputs (5)] | base scratch (8) |
+    [geom scratch (5)]."""
+    i = 0
+    gscal = gin = gout = gscratch = None
+    if with_geom:
+        gscal = args[i:i + 2]
+        i += 2
+    meta = args[i:i + 5]
+    i += 5
+    if with_geom:
+        gin = args[i:i + 4]
+        i += 4
+    init = (None, None)
+    if with_init:
+        init = args[i:i + 2]
+        i += 2
+    outs = args[i:i + 2]
+    i += 2
+    if with_geom:
+        gout = args[i:i + 5]
+        i += 5
+    scratch = args[i:i + 8]
+    i += 8
+    if with_geom:
+        gscratch = args[i:i + 5]
+    return gscal, meta, gin, init, outs, gout, scratch, gscratch
+
+
+def _fused_geom_pass(step, gscal, gin, gout, gscratch, *, gbr, gblocks,
+                     bps, width, height, backface_culling):
+    """Next-frame stage A computed INSIDE the raster call (the
+    frames-in-flight device pipeline): each grid step processes ``bps``
+    [gbr, 128] blocks of the NEXT frame's gather stream with the exact
+    geometry-kernel math (geometry_pallas.geom_block_compute — shared
+    code), writing valid/bbx/bby/depth/subpixel to ANY-space outputs.
+
+    Why here: every input-bearing Pallas call pays a flat ~0.9 ms
+    dispatch stall on this toolchain REGARDLESS of operand count
+    (NOTES.md round 2), and explicit cross-call adjacency does not share
+    the stall in practice (benches/pipeline_experiment.py: 3.57 vs 3.69
+    ms serial).  Folding the geometry pass into the already-taxed raster
+    call deletes one taxed call per frame outright.  The ~0.05 ms of
+    stage-A compute and ~2 MB of DMA disappear into the raster's idle
+    lanes; outputs feed the NEXT frame's mid stage as ``pre_geom``."""
+    (gscalf, gscali) = gscal
+    (gq_hbm, gwx_hbm, gwy_hbm, gwz_hbm) = gin
+    (gvalid_hbm, gbbx_hbm, gbby_hbm, gdn_hbm, gsub_hbm) = gout
+    (gq_v, gw_v, goi_v, gdn_v, gsem) = gscratch
+
+    for j in range(bps):
+        gb = step * bps + j
+
+        @pl.when(gb < gblocks)
+        def _(gb=gb):
+            off = pl.multiple_of(gb * gbr, gbr)
+            ins = [
+                pltpu.make_async_copy(gq_hbm.at[pl.ds(off, gbr)],
+                                      gq_v, gsem.at[0]),
+                pltpu.make_async_copy(gwx_hbm.at[pl.ds(off, gbr)],
+                                      gw_v.at[0], gsem.at[1]),
+                pltpu.make_async_copy(gwy_hbm.at[pl.ds(off, gbr)],
+                                      gw_v.at[1], gsem.at[2]),
+                pltpu.make_async_copy(gwz_hbm.at[pl.ds(off, gbr)],
+                                      gw_v.at[2], gsem.at[3]),
+            ]
+            for c in ins:
+                c.start()
+            for c in ins:
+                c.wait()
+            valid, bbx, bby, dn, sub = geom_ops.geom_block_compute(
+                gq_v[:], gw_v[0], gw_v[1], gw_v[2], gscalf, gscali,
+                gb * (gbr * 128), width=width, height=height,
+                backface_culling=backface_culling)
+            goi_v[0, :, :] = valid
+            goi_v[1, :, :] = bbx
+            goi_v[2, :, :] = bby
+            goi_v[3, :, :] = sub
+            gdn_v[:, :] = dn
+            outs = [
+                pltpu.make_async_copy(goi_v.at[0],
+                                      gvalid_hbm.at[pl.ds(off, gbr)],
+                                      gsem.at[4]),
+                pltpu.make_async_copy(goi_v.at[1],
+                                      gbbx_hbm.at[pl.ds(off, gbr)],
+                                      gsem.at[5]),
+                pltpu.make_async_copy(goi_v.at[2],
+                                      gbby_hbm.at[pl.ds(off, gbr)],
+                                      gsem.at[6]),
+                pltpu.make_async_copy(gdn_v, gdn_hbm.at[pl.ds(off, gbr)],
+                                      gsem.at[7]),
+                pltpu.make_async_copy(goi_v.at[3],
+                                      gsub_hbm.at[pl.ds(off, gbr)],
+                                      gsem.at[8]),
+            ]
+            for c in outs:
+                c.start()
+            for c in outs:
+                c.wait()
+
+
+def _raster_kernel(y0_ref, *args,
                    height, width, tile_h, tile_w, tiles_x,
                    tiles_per_step, pin_mul, with_init, opi=2,
-                   row_tree=False, bq=BLOCK_Q):
-    if with_init:
-        (initc_ref, initd_ref, color_ref, depth_ref,
-         starts_ref, counts_ref, rows_ref, zmin_ref,
-         rec_vmem, rec_t, sem, meta_sem) = refs
-    else:
-        (color_ref, depth_ref,
-         starts_ref, counts_ref, rows_ref, zmin_ref,
-         rec_vmem, rec_t, sem, meta_sem) = refs
-        initc_ref = initd_ref = None
+                   row_tree=False, bq=BLOCK_Q, geom_cfg=None):
+    gscal, meta_in, gin, init, outs, gout, scratch, gscratch = _split_refs(
+        args, with_init, geom_cfg is not None)
+    starts_hbm, counts_hbm, rows_hbm, zmin_hbm, rec_hbm = meta_in
+    initc_ref, initd_ref = init
+    color_ref, depth_ref = outs
+    (starts_ref, counts_ref, rows_ref, zmin_ref,
+     rec_vmem, rec_t, sem, meta_sem) = scratch
     """Octet rasterizer: per 16x128 framebuffer tile (VREG-resident
     accumulator, 2 sublane-groups), the tile's item stream is DMA'd
     HBM -> VMEM in double-buffered 256-record blocks and processed 8 quads
@@ -782,22 +885,27 @@ def _raster_kernel(y0_ref, starts_hbm, counts_hbm, rows_hbm, zmin_hbm,
     def _():
         start_first_blocks(step + 1)
 
+    if geom_cfg is not None:
+        _fused_geom_pass(step, gscal, gin, gout, gscratch, **geom_cfg)
+
 
 @functools.partial(
     jax.jit,
     static_argnames=("height", "width", "tile_h", "tile_w", "out_h",
                      "interpret", "tiles_per_step", "octets_per_iter",
-                     "stream_group", "row_tree", "block_q"),
+                     "stream_group", "row_tree", "block_q",
+                     "geom_backface"),
 )
 def rasterize_pallas(records, tile_starts, tile_counts, octet_rows,
-                     octet_zmin, init_color=None, init_depth=None, *,
+                     octet_zmin, init_color=None, init_depth=None,
+                     next_geom=None, *,
                      height: int, width: int, tile_h: int, tile_w: int,
                      out_h: int | None = None,
                      interpret: bool = False,
                      tiles_per_step: int | None = None,
                      y0_px=0, octets_per_iter: int = 6,
                      stream_group: int = 1, row_tree: bool = False,
-                     block_q: int = BLOCK_Q):
+                     block_q: int = BLOCK_Q, geom_backface: bool = True):
     """Binned, streamed, tiled Pallas rasterizer over the flat item stream.
 
     ``records`` i32[24, ITEM_CAP] — field-major quad records (floats
@@ -811,7 +919,14 @@ def rasterize_pallas(records, tile_starts, tile_counts, octet_rows,
     height) is the padded buffer height when the framebuffer is not a
     tile multiple — NDC math always uses the true ``height``; callers
     crop rows [height:out_h].  Returns (color, depth) of shape
-    [out_h, width]."""
+    [out_h, width].
+
+    ``next_geom`` (optional) = (quads u32[GQ2], wx, wy, wz f32[GQ2],
+    scalf f32[19], scali i32[2]): fuses the NEXT frame's stage-A geometry
+    pass into this call (see _fused_geom_pass) and returns an extra dict
+    {valid, bbx, bby, depth_near, subpixel} of flat [GQ2] arrays —
+    bit-identical to geometry_pallas.project_cull_pallas on the same
+    inputs (shared math; tested)."""
     out_h = out_h or height
     assert out_h % tile_h == 0 and width % tile_w == 0
     assert tile_w == 128 and tile_h % 8 == 0
@@ -845,6 +960,29 @@ def rasterize_pallas(records, tile_starts, tile_counts, octet_rows,
         assert tiles_x % tps == 0
 
     with_init = init_color is not None
+    n_steps = n_tiles // tps
+
+    # fused next-frame geometry pass sizing (see _fused_geom_pass)
+    geom_cfg = None
+    geom_in = ()
+    geom_scal = ()
+    if next_geom is not None:
+        gq2, gwx, gwy, gwz, gscalf, gscali = next_geom
+        grows = gq2.shape[0] // 128
+        assert gq2.shape[0] % 128 == 0, "geom stream must be lane-aligned"
+        gbr = 64
+        while grows % gbr:
+            gbr //= 2
+        gblocks = grows // gbr
+        bps = -(-gblocks // n_steps)
+        geom_cfg = dict(gbr=gbr, gblocks=gblocks, bps=bps, width=width,
+                        height=height, backface_culling=geom_backface)
+        bcast = jax.lax.bitcast_convert_type
+        geom_in = (bcast(gq2, jnp.int32).reshape(grows, 128),
+                   gwx.reshape(grows, 128), gwy.reshape(grows, 128),
+                   gwz.reshape(grows, 128))
+        geom_scal = (gscalf, gscali)
+
     if stream_group > 1:
         # shared-stream variant: stream_group adjacent tiles share one
         # record DMA chain + transpose (bit-identical frames; see
@@ -855,6 +993,7 @@ def rasterize_pallas(records, tile_starts, tile_counts, octet_rows,
             tile_h=tile_h, tiles_x=tiles_x, tiles_per_step=tps,
             stream_group=stream_group, with_init=with_init,
             opi=octets_per_iter, row_tree=row_tree, bq=block_q,
+            geom_cfg=geom_cfg,
         )
     else:
         kernel = functools.partial(
@@ -863,17 +1002,17 @@ def rasterize_pallas(records, tile_starts, tile_counts, octet_rows,
             # interpret mode runs through XLA and must pin mul rounding
             # like the jnp twin; Mosaic-compiled kernels never contract
             pin_mul=interpret, with_init=with_init, opi=octets_per_iter,
-            row_tree=row_tree, bq=block_q,
+            row_tree=row_tree, bq=block_q, geom_cfg=geom_cfg,
         )
     steps_x = tiles_x // tps
     n_oct = records.shape[1] // 8
     n_slots = (2 * (tps // stream_group) if stream_group > 1 else 2 * tps)
 
-    def _fb_block(st, _y0r):
+    def _fb_block(st, *_scal):
         return (st // steps_x, st % steps_x)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,  # y0_px (band row offset), 1 element
+        num_scalar_prefetch=1 + (2 if geom_cfg else 0),
         grid=(n_tiles // tps,),
         in_specs=[
             # metadata + records all stay in HBM; the kernel DMAs the
@@ -883,7 +1022,8 @@ def rasterize_pallas(records, tile_starts, tile_counts, octet_rows,
             pl.BlockSpec(memory_space=pl.ANY),  # octet rows
             pl.BlockSpec(memory_space=pl.ANY),  # octet zmin
             pl.BlockSpec(memory_space=pl.ANY),  # records
-        ] + ([
+        ] + ([pl.BlockSpec(memory_space=pl.ANY)] * 4 if geom_cfg else [])
+        + ([
             pl.BlockSpec((tile_h, 128 * tps), _fb_block,
                          memory_space=pltpu.VMEM),  # init color
             pl.BlockSpec((tile_h, 128 * tps), _fb_block,
@@ -894,7 +1034,7 @@ def rasterize_pallas(records, tile_starts, tile_counts, octet_rows,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((tile_h, 128 * tps), _fb_block,
                          memory_space=pltpu.VMEM),
-        ],
+        ] + ([pl.BlockSpec(memory_space=pl.ANY)] * 5 if geom_cfg else []),
         scratch_shapes=[
             pltpu.SMEM((n_tiles,), jnp.int32),
             pltpu.SMEM((n_tiles,), jnp.int32),
@@ -904,27 +1044,54 @@ def rasterize_pallas(records, tile_starts, tile_counts, octet_rows,
             pltpu.VMEM((block_q, 24), jnp.int32),
             pltpu.SemaphoreType.DMA((n_slots,)),
             pltpu.SemaphoreType.DMA((4,)),
-        ],
+        ] + ([
+            pltpu.VMEM((geom_cfg["gbr"], 128), jnp.int32),      # gq_v
+            pltpu.VMEM((3, geom_cfg["gbr"], 128), jnp.float32),  # gw_v
+            pltpu.VMEM((4, geom_cfg["gbr"], 128), jnp.int32),   # goi_v
+            pltpu.VMEM((geom_cfg["gbr"], 128), jnp.float32),    # gdn_v
+            pltpu.SemaphoreType.DMA((9,)),
+        ] if geom_cfg else []),
     )
     y0_arr = jnp.asarray(y0_px, jnp.int32).reshape(1)
-    color, depth = pl.pallas_call(
+    out_shape = [
+        jax.ShapeDtypeStruct((out_h, width), jnp.int32),
+        jax.ShapeDtypeStruct((out_h, width), jnp.float32),
+    ]
+    if geom_cfg:
+        grows = geom_in[0].shape[0]
+        out_shape += [
+            jax.ShapeDtypeStruct((grows, 128), jnp.int32),    # valid
+            jax.ShapeDtypeStruct((grows, 128), jnp.int32),    # bbx
+            jax.ShapeDtypeStruct((grows, 128), jnp.int32),    # bby
+            jax.ShapeDtypeStruct((grows, 128), jnp.float32),  # depth_near
+            jax.ShapeDtypeStruct((grows, 128), jnp.int32),    # subpixel
+        ]
+    outs = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=[
-            jax.ShapeDtypeStruct((out_h, width), jnp.int32),
-            jax.ShapeDtypeStruct((out_h, width), jnp.float32),
-        ],
+        out_shape=out_shape,
         interpret=interpret,
-    )(y0_arr, tile_starts, tile_counts, octet_rows, octet_zmin, records,
+    )(y0_arr, *geom_scal, tile_starts, tile_counts, octet_rows, octet_zmin,
+      records, *geom_in,
       *((init_color, init_depth) if with_init else ()))
+    color, depth = outs[0], outs[1]
+    if geom_cfg:
+        gq_flat = geom_in[0].shape[0] * 128
+        gv, gbx, gby, gdn, gsb = outs[2:7]
+        return color, depth, dict(
+            valid=gv.reshape(gq_flat) != 0,
+            bbx=gbx.reshape(gq_flat),
+            bby=gby.reshape(gq_flat),
+            depth_near=gdn.reshape(gq_flat),
+            subpixel=gsb.reshape(gq_flat),
+        )
     return color, depth
 
 
-def _raster_kernel_shared(y0_ref, starts_hbm, counts_hbm, rows_hbm, zmin_hbm,
-                          rec_hbm, *refs,
+def _raster_kernel_shared(y0_ref, *args,
                           height, width, tile_h, tiles_x,
                           tiles_per_step, stream_group, with_init, opi=6,
-                          row_tree=False, bq=BLOCK_Q):
+                          row_tree=False, bq=BLOCK_Q, geom_cfg=None):
     """Octet rasterizer with a SHARED record stream per tile group.
 
     Identical per-pixel math, item stream, row spans and blend order as
@@ -947,15 +1114,13 @@ def _raster_kernel_shared(y0_ref, starts_hbm, counts_hbm, rows_hbm, zmin_hbm,
     segment (stream_group x n_sub x 2 vregs) — vreg pressure bounds the
     useful group size — and a tile's octets can arrive one block later
     than solo (its segment is walked inside the shared chain)."""
-    if with_init:
-        (initc_ref, initd_ref, color_ref, depth_ref,
-         starts_ref, counts_ref, rows_ref, zmin_ref,
-         rec_vmem, rec_t, sem, meta_sem) = refs
-    else:
-        (color_ref, depth_ref,
-         starts_ref, counts_ref, rows_ref, zmin_ref,
-         rec_vmem, rec_t, sem, meta_sem) = refs
-        initc_ref = initd_ref = None
+    gscal, meta_in, gin, init, outs, gout, scratch, gscratch = _split_refs(
+        args, with_init, geom_cfg is not None)
+    starts_hbm, counts_hbm, rows_hbm, zmin_hbm, rec_hbm = meta_in
+    initc_ref, initd_ref = init
+    color_ref, depth_ref = outs
+    (starts_ref, counts_ref, rows_ref, zmin_ref,
+     rec_vmem, rec_t, sem, meta_sem) = scratch
     step = pl.program_id(0)
     steps_x = tiles_x // tiles_per_step
     n_groups = tiles_per_step // stream_group
@@ -1085,6 +1250,9 @@ def _raster_kernel_shared(y0_ref, starts_hbm, counts_hbm, rows_hbm, zmin_hbm,
     @pl.when(step + 1 < pl.num_programs(0))
     def _():
         start_first_blocks(step + 1)
+
+    if geom_cfg is not None:
+        _fused_geom_pass(step, gscal, gin, gout, gscratch, **geom_cfg)
 
 
 # The paired half-tile kernel (_raster_kernel_pair / rasterize_pallas_pair,

@@ -212,14 +212,93 @@ def run_hardware_selftest(*, interpret=False, size=128, seed=42,
 
 
 def run_selftests(*, interpret=False, seed=42):
-    """Both kernel configurations' parity gates, each named: the solo
-    kernel (128x128, tiles_x=1 degrades stream_group to 1) AND the
+    """Every kernel configuration's parity gate, each named: the solo
+    kernel (128x128, tiles_x=1 degrades stream_group to 1), the
     production shared-stream kernel (640x128: tiles_x=5 -> sg5 + bq1024,
-    the exact configuration the 1280x720 headline frame compiles).
-    Returns e.g. "solo@128x128: exact | sg5+bq1024@640x128: exact"."""
+    the exact configuration the 1280x720 headline frame compiles), and
+    the frames-in-flight fused-geometry configuration (the pipelined
+    mode's raster call with the next-frame stage-A pass riding in it).
+    Returns e.g. "solo@128x128: exact | sg5+bq1024@640x128: exact |
+    pipelined@640x128: exact"."""
     v1 = run_hardware_selftest(interpret=interpret, seed=seed)
     v2 = run_hardware_selftest(interpret=interpret, seed=seed, width=640)
-    return f"solo@128x128: {v1} | sg5+bq1024@640x128: {v2}"
+    v3 = run_pipelined_selftest(interpret=interpret, seed=seed)
+    return (f"solo@128x128: {v1} | sg5+bq1024@640x128: {v2} | "
+            f"pipelined@640x128: {v3}")
+
+
+def run_pipelined_selftest(*, interpret=False, seed=42, size=128,
+                           width=640):
+    """Frames-in-flight gate: render the fuzz scene through the pipelined
+    decomposition — stage A from the standalone geometry kernel handed in
+    as ``pre_geom``, the NEXT frame's geometry fused into the raster call
+    (ops/raster._fused_geom_pass) — and demand (a) the frame equals the
+    serial step's bit-for-bit and (b) the fused pass's outputs equal the
+    standalone geometry kernel's.  On hardware both compile via Mosaic
+    (no FMA contraction), so equality is exact; a mismatch is a real
+    kernel bug.  depth_near tolerates the documented 1-ulp interpret-mode
+    contraction variance ONLY under interpret=True."""
+    from ..meshing.greedy import mesh_chunk
+    from ..models.camera import Camera
+    from ..ops import geometry_pallas as G
+    from ..ops import projection as P
+    from ..utils.config import RenderConfig
+    from .pipeline import Renderer, _render_step, build_gather_indices
+
+    chunk = fuzz_chunk(seed)
+    quads = mesh_chunk(chunk)
+    cam = Camera(np.array([16.0, 48.0, 16.0], np.float32), width / size)
+    cam.look_at(np.array([16.0, 8.0, 16.0], np.float32))
+    renderer = Renderer(RenderConfig(width=width, height=size,
+                                     use_pallas=False))
+    cfg = renderer.config
+    pool = np.zeros((4, 4096), np.uint32)
+    counts_sel = np.zeros(cfg.visible_chunks_cap, np.int32)
+    positions_sel = np.zeros((cfg.visible_chunks_cap, 3), np.int32)
+    pool[0, : len(quads)] = quads
+    counts_sel[0] = len(quads)
+    visible = np.zeros(cfg.visible_chunks_cap, np.int32)
+    slot_of, within, quad_world, total = build_gather_indices(
+        counts_sel, visible, positions_sel, cfg.gather_cap)
+    args = (jnp.asarray(pool[slot_of, within]), jnp.asarray(quad_world),
+            jnp.asarray(total, jnp.int32),
+            jnp.asarray(cam.view_projection_matrix(), jnp.float32),
+            jnp.asarray(cam.position, jnp.float32))
+    kw = dict(color_tables=renderer._tables_np, width=cfg.width,
+              height=cfg.height, tile_h=16, tile_w=128,
+              gather_cap=cfg.gather_cap, render_cap=cfg.quads_cap,
+              span_mode=False, backface_culling=cfg.backface_culling,
+              use_pallas=True, interpret=interpret,
+              tile_k_cap=cfg.quads_cap)
+    c1, d1, s1 = _render_step(*args, **kw)
+    t = P.view_tables(args[3], args[4])
+    ga0 = G.project_cull_pallas(
+        args[0], (args[1][0], args[1][1], args[1][2]), args[2],
+        t.view_proj, t.cam_pos, width=cfg.width, height=cfg.height,
+        backface_culling=cfg.backface_culling, interpret=interpret)
+    pre = (ga0["valid"], ga0["bbx"], ga0["bby"], ga0["depth_near"],
+           ga0["subpixel"].sum().astype(jnp.int32))
+    c2, d2, s2, pre_next = _render_step(
+        *args, pre_geom=pre, next_geom=(args[0], args[1], args[2],
+                                        args[3], args[4]), **kw)
+    assert_kernel_parity(np.asarray(c1).view(np.uint32), np.asarray(d1),
+                         np.asarray(c2).view(np.uint32), np.asarray(d2))
+    np.testing.assert_array_equal(np.asarray(s1)[:2], np.asarray(s2)[:2])
+    np.testing.assert_array_equal(np.asarray(ga0["valid"]),
+                                  np.asarray(pre_next[0]))
+    np.testing.assert_array_equal(np.asarray(ga0["bbx"]),
+                                  np.asarray(pre_next[1]))
+    np.testing.assert_array_equal(np.asarray(ga0["bby"]),
+                                  np.asarray(pre_next[2]))
+    dn0 = np.asarray(ga0["depth_near"])
+    dn1 = np.asarray(pre_next[3])
+    if interpret:
+        ulp = np.spacing(np.maximum(np.abs(dn0), np.float32(1e-30))
+                         .astype(np.float32))
+        assert (np.abs(dn0 - dn1) <= 2 * ulp).all()
+        return "exact (dn <= 2 ulp, interpret)"
+    np.testing.assert_array_equal(dn0, dn1)
+    return "exact"
 
 
 def run_production_parity(renderer, uploads, view_proj, cam_pos):

@@ -182,7 +182,17 @@ def _render_step(
                           # mode projects once and masks per pass instead
                           # of paying the geometry stage (and its
                           # per-Pallas-call dispatch tax) twice
+    next_geom=None,       # (quads2, quad_world2, n2, view_proj2, cam2):
+                          # fuse the NEXT frame's stage-A geometry into
+                          # this frame's raster call (frames-in-flight;
+                          # ops/raster._fused_geom_pass) and return its
+                          # pre_geom tuple as a 4th output
 ):
+    if next_geom is not None:
+        assert (use_pallas and not span_mode and not packed_raster
+                and band_h is None and not debug_return_records), (
+            "next_geom (frames-in-flight fused geometry) requires the "
+            "production pallas path")
     tables = proj_ops.view_tables(view_proj, cam_pos)
 
     # The quad stream arrives pre-gathered: flattening the visible chunks'
@@ -200,7 +210,10 @@ def _render_step(
     # the XLA lowering of the same ops); span mode and the jnp path use
     # the XLA form.
     if pre_geom is not None:
-        assert use_pallas and not span_mode
+        # works for both the pallas path and the jnp twin (the jnp branch
+        # only needs the valid mask for compaction — it reprojects the
+        # compacted stream anyway)
+        assert not span_mode
         proj_a = None
         valid_a, bbx_a, bby_a, dn_a, subpix_total = pre_geom
         # the shared pass projected the whole stream; this pass's quad
@@ -487,9 +500,19 @@ def _render_step(
         # every combination.  (tile_w is always 128: the 64-px paired
         # half-tile kernel measured strictly worse and was removed in
         # round 4 — see ops/raster.py note + NOTES.md.)
-        color, depth = raster_ops.rasterize_pallas(
+        ng = None
+        if next_geom is not None:
+            # frames-in-flight: next frame's stage A rides in this raster
+            # call (one taxed Pallas dispatch per frame instead of two)
+            q2, qw2, n2, vp2, cp2 = next_geom
+            scalf = jnp.concatenate([
+                jnp.asarray(vp2, jnp.float32).reshape(16),
+                jnp.asarray(cp2, jnp.float32)])
+            scali = jnp.stack([jnp.asarray(n2, jnp.int32), jnp.int32(0)])
+            ng = (q2, qw2[0], qw2[1], qw2[2], scalf, scali)
+        out = raster_ops.rasterize_pallas(
             records, tile_starts, tile_counts, octet_rows, octet_zmin,
-            init_color, init_depth,
+            init_color, init_depth, ng,
             height=height, width=width,
             tile_h=tile_h, tile_w=tile_w, out_h=out_h,
             interpret=interpret, y0_px=band_y0,
@@ -498,16 +521,26 @@ def _render_step(
             row_tree=bool(int(os.environ.get("DPVR_ROW_TREE",
                                              str(int(row_tree))))),
             block_q=int(os.environ.get("DPVR_BLOCK_Q", str(block_q))),
+            geom_backface=backface_culling,
         )
+        pre_next = None
+        if next_geom is not None:
+            color, depth, ga = out
+            pre_next = (ga["valid"], ga["bbx"], ga["bby"],
+                        ga["depth_near"],
+                        ga["subpixel"].sum().astype(jnp.int32))
+        else:
+            color, depth = out
         if out_h != bh:
             color = color[:bh]
             depth = depth[:bh]
     else:
         # jnp path: compact first (keeps the full-frame loop short), then
-        # rasterize the survivors in stream order
+        # rasterize the survivors in stream order.  ``valid_a`` (not
+        # proj_a["valid"]) so pre_geom and the hiz cull apply here too.
         rcap = min(gq, 65536)
         count_c, overflow, (q_c, wx_c, wy_c, wz_c) = proj_ops.compact_stream(
-            proj_a["valid"], rcap, (quads, wq[0], wq[1], wq[2])
+            valid_a, rcap, (quads, wq[0], wq[1], wq[2])
         )
         wq_c = (wx_c, wy_c, wz_c)
         in_render = jnp.arange(rcap, dtype=jnp.int32) < count_c
@@ -529,6 +562,8 @@ def _render_step(
         bin_overflow = jnp.int32(0)
     stats = jnp.stack([n_quads, count, overflow, bin_overflow,
                        subpix_total, hiz_culled])
+    if next_geom is not None:
+        return color, depth, stats, pre_next
     return color, depth, stats
 
 
@@ -810,6 +845,41 @@ def _fused_frame5(quad_pool, counts6_pool, meta_i, cam_f, *, vcap: int,
     return color, depth, stats, quads, quad_world, total
 
 
+def _pipe_fused5(quad_pool, counts6_pool, meta_i, cam_c,
+                 quads_p, qw_p, n_p, cam_p, pre_p, *, vcap: int,
+                 gather_cap: int, **step_kw):
+    """Frames-in-flight step with the CURRENT frame's draw-list expansion
+    fused in (META5 layout): one dispatch per moving/streaming frame —
+    expansion(N) + render(N-1) + fused geometry(N)."""
+    slots_sel, mask6_sel, positions_sel = _unpack_meta5(meta_i, vcap)
+    counts6_sel = counts6_pool[slots_sel]
+    quads_c, qw_c, total_c = _expand_uploads_impl(
+        quad_pool, slots_sel, counts6_sel, mask6_sel, positions_sel,
+        gather_cap)
+    color, depth, stats, pre_c = _pipe_step_camf(
+        quads_p, qw_p, n_p, cam_p, pre_p,
+        quads_c, qw_c, total_c, cam_c,
+        gather_cap=gather_cap, **step_kw)
+    return color, depth, stats, pre_c, quads_c, qw_c, total_c
+
+
+def _geom_fused5(quad_pool, counts6_pool, meta_i, cam_f, *, vcap: int,
+                 gather_cap: int, width: int, height: int,
+                 backface_culling: bool, use_pallas: bool,
+                 interpret: bool):
+    """Draw-list expansion + stage A only — seeds the pipeline when the
+    draw list changed and there is no carried frame to render."""
+    slots_sel, mask6_sel, positions_sel = _unpack_meta5(meta_i, vcap)
+    counts6_sel = counts6_pool[slots_sel]
+    quads, qw, total = _expand_uploads_impl(
+        quad_pool, slots_sel, counts6_sel, mask6_sel, positions_sel,
+        gather_cap)
+    pre = _geom_camf(quads, qw, total, cam_f, width=width, height=height,
+                     backface_culling=backface_culling,
+                     use_pallas=use_pallas, interpret=interpret)
+    return pre, quads, qw, total
+
+
 def _step_camf_hiz(quads, quad_world, n_quads, cam_f, hiz1, *,
                    gather_cap: int, near_quads: int = 0, **step_kw):
     """Temporal-occlusion step: one render pass with ``hiz1`` (the
@@ -835,6 +905,74 @@ def _step_camf(quads, quad_world, n_quads, cam_f, *, gather_cap: int,
                               gather_cap=gather_cap, **step_kw)
     return _render_step(quads, quad_world, n_quads, view_proj, cam_pos,
                         gather_cap=gather_cap, **step_kw)
+
+
+def _geom_stage(quads, quad_world, n_quads, view_proj, cam_pos, *,
+                width: int, height: int, backface_culling: bool,
+                use_pallas: bool, interpret: bool):
+    """Stage A alone -> the pre_geom tuple (valid, bbx, bby, depth_near,
+    subpix_total) — seeds the frames-in-flight pipeline (the steady state
+    gets it for free from the raster call's fused pass).  Same math as
+    the step's internal stage A on both paths (shared code)."""
+    tables = proj_ops.view_tables(view_proj, cam_pos)
+    wq = (quad_world[0], quad_world[1], quad_world[2])
+    if use_pallas:
+        ga = geom_ops.project_cull_pallas(
+            quads, wq, n_quads, tables.view_proj, tables.cam_pos,
+            width=width, height=height,
+            backface_culling=backface_culling, interpret=interpret)
+        return (ga["valid"], ga["bbx"], ga["bby"], ga["depth_near"],
+                ga["subpixel"].sum().astype(jnp.int32))
+    gq = quads.shape[0]
+    in_stream = jnp.arange(gq, dtype=jnp.int32) < n_quads
+    pr = proj_ops.project_and_cull(
+        quads, wq, in_stream, tables, width=width, height=height,
+        span_mode=False, backface_culling=backface_culling)
+    return (pr["valid"], pr["bb_x0"] | (pr["bb_x1"] << 16),
+            pr["bb_y0"] | (pr["bb_y1"] << 16), pr["depth_near"],
+            pr["subpixel"].sum().astype(jnp.int32))
+
+
+def _geom_camf(quads, quad_world, n_quads, cam_f, *, width: int,
+               height: int, backface_culling: bool, use_pallas: bool,
+               interpret: bool):
+    view_proj, cam_pos = _unpack_cam(cam_f)
+    return _geom_stage(quads, quad_world, n_quads, view_proj, cam_pos,
+                       width=width, height=height,
+                       backface_culling=backface_culling,
+                       use_pallas=use_pallas, interpret=interpret)
+
+
+def _pipe_step_camf(quads_p, qw_p, n_p, cam_p, pre_p,
+                    quads_c, qw_c, n_c, cam_c, *, gather_cap: int,
+                    near_quads: int = 0, **step_kw):
+    """Frames-in-flight step: render frame N-1 (the carried ``pre_p``
+    geometry + its stream/camera) and compute frame N's stage A in the
+    SAME dispatch — on the pallas path the geometry rides INSIDE the
+    raster kernel call (ops/raster._fused_geom_pass), so each frame pays
+    the flat per-Pallas-call dispatch tax once instead of twice.  Returns
+    (color, depth, stats) of frame N-1 and frame N's pre_geom carry.
+    Frames are bit-identical to the serial step (tested)."""
+    assert not near_quads, "pipelined mode excludes two-pass occlusion"
+    vp_p, cp_p = _unpack_cam(cam_p)
+    if step_kw.get("use_pallas"):
+        vp_c, cp_c = _unpack_cam(cam_c)
+        color, depth, stats, pre_c = _render_step(
+            quads_p, qw_p, n_p, vp_p, cp_p, gather_cap=gather_cap,
+            pre_geom=pre_p, next_geom=(quads_c, qw_c, n_c, vp_c, cp_c),
+            **step_kw)
+        return color, depth, stats, pre_c
+    # jnp twin: same decomposition, geometry as plain XLA in the same jit
+    color, depth, stats = _render_step(
+        quads_p, qw_p, n_p, vp_p, cp_p, gather_cap=gather_cap,
+        pre_geom=pre_p, **step_kw)
+    vp_c, cp_c = _unpack_cam(cam_c)
+    pre_c = _geom_stage(
+        quads_c, qw_c, n_c, vp_c, cp_c, width=step_kw["width"],
+        height=step_kw["height"],
+        backface_culling=step_kw["backface_culling"],
+        use_pallas=False, interpret=step_kw["interpret"])
+    return color, depth, stats, pre_c
 
 
 class Renderer:
@@ -890,6 +1028,10 @@ class Renderer:
             sorted(c for c in cands if c >= 16384)) or (cfg.gather_cap,)
         self._steps: dict[int, tuple] = {}
         self._hiz_steps: dict[int, object] = {}
+        self._pipe_steps: dict[int, tuple] = {}
+        self._pipe_carry: tuple | None = None  # (cap, uploads, cam_f, pre)
+        self._pipe_done: tuple | None = None   # serially-rendered result
+        #                                        awaiting emission
         if cfg.temporal_hiz and cfg.two_pass_near_quads:
             raise ValueError(
                 "temporal_hiz and two_pass_near_quads are mutually "
@@ -934,7 +1076,8 @@ class Renderer:
                 return c
         return self.gather_buckets[-1]
 
-    def warm_buckets(self, quad_pool, counts6_pool=None) -> None:
+    def warm_buckets(self, quad_pool, counts6_pool=None,
+                     pipelined: bool = False) -> None:
         """Pre-trace + compile EVERY capacity bucket's (fused, step) pair.
 
         The bucket scheme jits one step per gather cap; the first frame
@@ -978,6 +1121,16 @@ class Renderer:
             if self.config.temporal_hiz:
                 jax.block_until_ready(self._hiz_step_for(cap)(
                     quads, quad_world, total_dev, cam, self.empty_hiz()))
+            if pipelined and counts6_pool is not None:
+                pipe, geom, pipe_f5, geom_f5 = self._pipe_steps_for(cap)
+                pre, q2, qw2, t2 = geom_f5(quad_pool, counts6_pool,
+                                           jnp.asarray(meta), cam)
+                jax.block_until_ready(geom(q2, qw2, t2, cam)[0])
+                jax.block_until_ready(pipe(
+                    q2, qw2, t2, cam, pre, q2, qw2, t2, cam)[0])
+                jax.block_until_ready(pipe_f5(
+                    quad_pool, counts6_pool, jnp.asarray(meta), cam,
+                    q2, qw2, t2, cam, pre)[0])
 
     def _rebuild_tables(self) -> None:
         self._tables_np = build_quad_color_tables(
@@ -1093,6 +1246,145 @@ class Renderer:
             quads, quad_world, total,
             jnp.asarray(_pack_cam(view_proj, cam_pos)),
         )
+
+    # ------------------------------------------- frames-in-flight pipeline
+    def _check_pipelined(self) -> None:
+        cfg = self.config
+        if (cfg.temporal_hiz or cfg.two_pass_near_quads or cfg.span_mode
+                or cfg.packed_raster):
+            raise ValueError(
+                "pipelined rendering excludes temporal_hiz, two-pass "
+                "occlusion, span mode and the packed kernel")
+
+    def _geom_kw(self) -> dict:
+        k = self._base_step_kw
+        return dict(width=k["width"], height=k["height"],
+                    backface_culling=k["backface_culling"],
+                    use_pallas=k["use_pallas"], interpret=k["interpret"])
+
+    def _pipe_steps_for(self, cap: int):
+        """(pipe_step, geom_step, pipe_fused5, geom_fused5) jits for one
+        bucket — compiled lazily; warm via warm_buckets(pipelined=True)."""
+        got = self._pipe_steps.get(cap)
+        if got is not None:
+            return got
+        kw = self._bucket_kw(cap)
+        gkw = self._geom_kw()
+        vcap = self.config.visible_chunks_cap
+        got = (
+            jax.jit(functools.partial(_pipe_step_camf, gather_cap=cap,
+                                      **kw)),
+            jax.jit(functools.partial(_geom_camf, **gkw)),
+            jax.jit(functools.partial(_pipe_fused5, gather_cap=cap,
+                                      vcap=vcap, **kw)),
+            jax.jit(functools.partial(_geom_fused5, gather_cap=cap,
+                                      vcap=vcap, **gkw)),
+        )
+        self._pipe_steps[cap] = got
+        return got
+
+    def render_prepared_pipelined(self, uploads, view_proj, cam_pos):
+        """Frames-in-flight render (one frame of latency): dispatch frame
+        N (its stage-A geometry fused into the carried frame's raster
+        call) and return frame N-1's (color, depth, stats) — or None when
+        the pipeline was empty (first frame; drain the tail with
+        pipeline_flush).  Exactly one result is emitted per entered frame
+        across render_*_pipelined / pipeline_flush calls, in order, and
+        every frame is bit-identical to render_prepared (tested); only
+        the dispatch schedule changes — each frame pays ONE taxed Pallas
+        call instead of two (ops/raster._fused_geom_pass)."""
+        self._check_pipelined()
+        quads, quad_world, total = uploads
+        cap = int(quads.shape[0])
+        cam = jnp.asarray(_pack_cam(view_proj, cam_pos))
+        out, carry = self._pipe_drain_if(cap)
+        pipe, geom, _, _ = self._pipe_steps_for(cap)
+        if carry is None:
+            pre = geom(quads, quad_world, total, cam)
+            self._pipe_carry = (cap, uploads, cam, pre)
+            return out
+        _, up_p, cam_p, pre_p = carry
+        color, depth, stats, pre_c = pipe(
+            up_p[0], up_p[1], up_p[2], cam_p, pre_p,
+            quads, quad_world, total, cam)
+        self._pipe_carry = (cap, uploads, cam, pre_c)
+        return color, depth, stats
+
+    def render_fused_pipelined(self, quad_pool, visible_slots, counts_sel,
+                               positions_sel, view_proj, cam_pos,
+                               dir_mask=None, counts6_dev=None):
+        """Pipelined render with the CURRENT frame's draw-list expansion
+        fused into the same dispatch (the moving/streaming path; META5
+        layout).  Returns (result_or_None, uploads): ``result`` is the
+        OLDEST pending frame's (color, depth, stats) and ``uploads`` is
+        frame N's expanded stream (cache it like render_fused's).
+        Truncated frames / legacy counts / missing counts6 mirror fall
+        back to a serial render on the well-tested path (the pipeline
+        drains first; emission order is preserved via a done-queue)."""
+        self._check_pipelined()
+        slots_a, counts6, mask6, pos_a, cap, truncated = self._prep_meta(
+            visible_slots, counts_sel, positions_sel, dir_mask)
+        legacy_counts = np.asarray(counts_sel).ndim == 1
+        if counts6_dev is None or truncated or legacy_counts:
+            out = self.pipeline_flush()
+            color, depth, stats, uploads = self.render_fused(
+                quad_pool, visible_slots, counts_sel, positions_sel,
+                view_proj, cam_pos, dir_mask=dir_mask,
+                counts6_dev=counts6_dev)
+            if out is None:
+                return (color, depth, stats), uploads
+            # pipeline held a frame: emit it now, queue the serial result
+            self._pipe_done = (color, depth, stats)
+            return out, uploads
+        vcap = self.config.visible_chunks_cap
+        cam = jnp.asarray(_pack_cam(view_proj, cam_pos))
+        meta = jnp.asarray(_pack_meta5(vcap, slots_a, mask6, pos_a))
+        out, carry = self._pipe_drain_if(cap)
+        pipe, geom, pipe_f5, geom_f5 = self._pipe_steps_for(cap)
+        if carry is None:
+            pre, quads, qw, total = geom_f5(quad_pool, counts6_dev, meta,
+                                            cam)
+            uploads = (quads, qw, total)
+            self._pipe_carry = (cap, uploads, cam, pre)
+            return out, uploads
+        _, up_p, cam_p, pre_p = carry
+        color, depth, stats, pre_c, quads, qw, total = pipe_f5(
+            quad_pool, counts6_dev, meta, cam,
+            up_p[0], up_p[1], up_p[2], cam_p, pre_p)
+        uploads = (quads, qw, total)
+        self._pipe_carry = (cap, uploads, cam, pre_c)
+        return (color, depth, stats), uploads
+
+    def _pipe_drain_if(self, cap: int):
+        """Emit any done-queue entry / drain a bucket-mismatched carry.
+        Returns (result_or_None, carry_or_None): ``carry`` is usable for
+        a pipelined step at ``cap``; ``result`` must be emitted first."""
+        done = self._pipe_done
+        self._pipe_done = None
+        carry = self._pipe_carry
+        if done is not None:
+            # the done-queue is only ever filled with an empty carry
+            assert carry is None, "done-queue entry beside a live carry"
+            return done, None
+        if carry is not None and carry[0] != cap:
+            return self.pipeline_flush(), None
+        return None, carry
+
+    def pipeline_flush(self):
+        """Drain the frames-in-flight state: emit the done-queue entry or
+        render the carried frame serially (its geometry recomputes — same
+        math, identical frame).  Returns (color, depth, stats) or None."""
+        done = self._pipe_done
+        self._pipe_done = None
+        if done is not None:
+            return done
+        carry = self._pipe_carry
+        if carry is None:
+            return None
+        self._pipe_carry = None
+        cap, up, cam, _pre = carry
+        step, _, _ = self._steps_for(cap)
+        return step(up[0], up[1], up[2], cam)
 
     def _hiz_step_for(self, gather_cap: int):
         got = self._hiz_steps.get(gather_cap)

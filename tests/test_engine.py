@@ -434,3 +434,61 @@ def test_truncated_draw_list_routes_to_legacy_layout():
     np.testing.assert_array_equal(np.asarray(d1), np.asarray(d2))
     np.testing.assert_array_equal(np.asarray(s1), np.asarray(s2))
     assert int(np.asarray(s1)[0]) == 16384  # clipped to the cap exactly
+
+
+def test_pipelined_frames_bit_identical_to_serial():
+    """Frames-in-flight mode (render_frame_pipelined): a moving-camera +
+    streaming sequence emits every frame exactly once, in order, and each
+    frame is bit-identical to the serial engine's output for the same
+    camera path — including across capacity-bucket switches (the drain
+    path) and streaming draw-list changes (the fused pipelined path)."""
+    def path(eng):
+        frames = []
+        for i in range(10):
+            eng.camera.position = (
+                eng.camera.position + np.array([2.0, 0.0, -1.0],
+                                               np.float32))
+            eng.camera.yaw += 0.02
+            yield i
+
+    eng_a = _small_engine()
+    eng_a.world.generate_region((-3, -1, -3), (3, 1, 3))
+    eng_a.prime()
+    serial = []
+    for _ in path(eng_a):
+        r = eng_a.render_frame(dt=0.0)
+        serial.append((r.color_numpy().copy(), r.depth_numpy().copy(),
+                       np.asarray(r.stats).copy(), r.rendered_meshes))
+
+    eng_b = _small_engine()
+    eng_b.world.generate_region((-3, -1, -3), (3, 1, 3))
+    eng_b.prime()
+    piped = []
+    for _ in path(eng_b):
+        r = eng_b.render_frame_pipelined(dt=0.0)
+        if r is not None:
+            piped.append((r.color_numpy().copy(), r.depth_numpy().copy(),
+                          np.asarray(r.stats).copy(), r.rendered_meshes))
+    tail = eng_b.flush_pipeline()
+    assert tail is not None
+    piped.append((tail.color_numpy().copy(), tail.depth_numpy().copy(),
+                  np.asarray(tail.stats).copy(), tail.rendered_meshes))
+    assert eng_b.flush_pipeline() is None
+
+    assert len(piped) == len(serial)
+    for i, (s, p) in enumerate(zip(serial, piped)):
+        np.testing.assert_array_equal(s[0], p[0], err_msg=f"frame {i} color")
+        np.testing.assert_array_equal(s[1], p[1], err_msg=f"frame {i} depth")
+        np.testing.assert_array_equal(s[2][:2], p[2][:2])
+        assert s[3] == p[3]
+
+
+def test_render_frame_rejects_nonempty_pipeline():
+    eng = _small_engine()
+    eng.world.generate_region((-1, 0, -1), (1, 0, 1))
+    eng.prime()
+    assert eng.render_frame_pipelined(dt=0.0) is None
+    with pytest.raises(RuntimeError):
+        eng.render_frame(dt=0.0)
+    assert eng.flush_pipeline() is not None
+    eng.render_frame(dt=0.0)  # empty pipeline: serial works again

@@ -156,6 +156,77 @@ def test_octet_kernel_matches_jnp_exact_mode(fuzz_scene):
 # paired half-tile kernel in round 4 — see ops/raster.py note + NOTES.md.)
 
 
+def test_fused_geom_pass_matches_geometry_kernel(fuzz_scene):
+    """The raster kernel's fused next-frame geometry pass
+    (ops/raster._fused_geom_pass) must produce the exact outputs of the
+    standalone geometry kernel (shared geom_block_compute math), and the
+    frame it rides in must be bit-identical to the serial step — the
+    frames-in-flight mode's device-side correctness contract."""
+    from differential_projection_voxel_renderer_tpu.ops import (
+        geometry_pallas as G,
+    )
+    from differential_projection_voxel_renderer_tpu.ops import projection as P
+    from differential_projection_voxel_renderer_tpu.rendering.pipeline import (
+        _geom_stage,
+    )
+
+    _, _, _, renderer, args = fuzz_scene
+    cfg = renderer.config
+    quads, quad_world, total, vp, cam = args
+    c1, d1, s1 = _step(renderer, args, use_pallas=True, interpret=True,
+                       packed=False)
+    # pipelined step: render THIS frame from its own pre-computed stage A
+    # while fusing the same frame's geometry as "next" (self-referential
+    # is fine: the pass only reads the stream + camera)
+    t = P.view_tables(vp, cam)
+    ga0 = G.project_cull_pallas(
+        quads, (quad_world[0], quad_world[1], quad_world[2]), total,
+        t.view_proj, t.cam_pos, width=cfg.width, height=cfg.height,
+        backface_culling=cfg.backface_culling, interpret=True)
+    pre = (ga0["valid"], ga0["bbx"], ga0["bby"], ga0["depth_near"],
+           ga0["subpixel"].sum().astype(jnp.int32))
+    color, depth, stats, pre_next = _render_step(
+        *args, color_tables=renderer._tables_np, width=cfg.width,
+        height=cfg.height, tile_h=16, tile_w=128,
+        gather_cap=cfg.gather_cap, render_cap=cfg.quads_cap,
+        span_mode=False, backface_culling=cfg.backface_culling,
+        use_pallas=True, interpret=True, tile_k_cap=cfg.quads_cap,
+        pre_geom=pre, next_geom=(quads, quad_world, total, vp, cam))
+    c2 = np.asarray(color).view(np.uint32)
+    parity.assert_kernel_parity(c1, d1, c2, np.asarray(depth))
+    np.testing.assert_array_equal(s1[:2], np.asarray(stats)[:2])
+    # the fused pass's outputs == the standalone geometry kernel's
+    np.testing.assert_array_equal(np.asarray(ga0["valid"]),
+                                  np.asarray(pre_next[0]))
+    np.testing.assert_array_equal(np.asarray(ga0["bbx"]),
+                                  np.asarray(pre_next[1]))
+    np.testing.assert_array_equal(np.asarray(ga0["bby"]),
+                                  np.asarray(pre_next[2]))
+    # depth_near: interpret mode lowers the two programs through XLA:CPU,
+    # whose LLVM contraction differs across program shapes — the
+    # documented 1-ulp linear-form variance (NOTES.md).  Mosaic never
+    # contracts, so the HARDWARE gate (bench.py run_selftests pipelined
+    # config) demands exact equality; here we bound the variance to one
+    # ulp.  dn only orders the stream and drives the conservative break,
+    # and valid/bbx/bby (the coverage-deciding fields) are exact.
+    dn0 = np.asarray(ga0["depth_near"])
+    dn1 = np.asarray(pre_next[3])
+    ulp = np.spacing(np.maximum(np.abs(dn0), np.float32(1e-30))
+                     .astype(np.float32))
+    assert (np.abs(dn0 - dn1) <= 2 * ulp).all(), "depth_near off > 2 ulp"
+    np.testing.assert_array_equal(
+        int(ga0["subpixel"].sum()), int(np.asarray(pre_next[4])))
+    # ... and == the XLA form (the jnp-path pipelined twin, _geom_stage)
+    gx = _geom_stage(quads, quad_world, total, vp, cam, width=cfg.width,
+                     height=cfg.height,
+                     backface_culling=cfg.backface_culling,
+                     use_pallas=False, interpret=True)
+    np.testing.assert_array_equal(np.asarray(gx[0]),
+                                  np.asarray(pre_next[0]))
+    gx3 = np.asarray(gx[3])
+    assert (np.abs(gx3 - dn1) <= 2 * ulp).all()
+
+
 def test_pre_geom_split_bit_identical(fuzz_scene):
     """The pipelined-frame decomposition (geometry kernel run separately,
     its outputs handed to _render_step as ``pre_geom``) renders the
