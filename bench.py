@@ -29,6 +29,31 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
+def sync_frame(res):
+    """Force completion of this frame's chain: fetch a 1-pixel slice to
+    host.  block_until_ready alone does not reliably round-trip on this
+    relay (NOTES.md "Infra quirks")."""
+    return int(np.asarray(res.color[:1, :1])[0, 0])
+
+
+class FrameChain:
+    """Chains every timed frame's output into one device value so a
+    single D2H at pass end PROVABLY waits for every frame — the relay
+    neither blocks reliably (block_until_ready) nor is a fetch of the
+    last frame guaranteed to force unrelated earlier programs.  Cost: two
+    tiny device programs per frame (slice + add), dispatch-only."""
+
+    def __init__(self):
+        self.acc = None
+
+    def add(self, res):
+        probe = res.color[:1, :1]
+        self.acc = probe if self.acc is None else self.acc + probe
+
+    def sync(self) -> int:
+        return int(np.asarray(self.acc)[0, 0])
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--frames", type=int, default=120)
@@ -144,7 +169,7 @@ def main():
     res = None
     for _ in range(args.warmup):
         res = eng.render_frame(dt=0.0)
-    jax.block_until_ready(res.color)
+    sync_frame(res)
     log(f"warm frame stats: {np.asarray(res.stats)} "
         f"rendered={res.rendered_meshes}/{res.visible_chunks}")
 
@@ -160,10 +185,12 @@ def main():
     # number, the per-pass spread is logged for the record
     pass_fps = []
     for p in range(1 if args.quick else 3):
+        chain = FrameChain()
         t0 = time.time()
         for _ in range(args.frames):
             res = eng.render_frame(dt=0.0)
-        jax.block_until_ready(res.color)
+            chain.add(res)
+        chain.sync()
         elapsed = time.time() - t0
         pass_fps.append(args.frames / elapsed)
         log(f"pass {p}: {args.frames} frames in {elapsed:.3f}s -> "
@@ -188,11 +215,15 @@ def main():
     if not args.quick:
         eng.warm_buckets(pipelined=True)  # compile outside the clock
         res_p = None
+        chain = FrameChain()
         t0 = time.time()
         for _ in range(args.frames):
             res_p = eng.render_frame_pipelined(dt=0.0) or res_p
+            if res_p is not None:
+                chain.add(res_p)
         res_p = eng.flush_pipeline() or res_p
-        jax.block_until_ready(res_p.color)
+        chain.add(res_p)
+        chain.sync()
         pipe_elapsed = time.time() - t0
         pipe_fps = args.frames / pipe_elapsed
         log(f"pipelined wall pass: {pipe_fps:.1f} FPS "
@@ -211,11 +242,13 @@ def main():
     # number to the reference's every-frame visibility query (main.rs:221).
     if not args.quick:
         base_yaw = eng.camera.yaw
+        chain = FrameChain()
         t0 = time.time()
         for i in range(args.frames):
             eng.camera.yaw = base_yaw + (1e-6 if i % 2 else -1e-6)
             res = eng.render_frame(dt=0.0)
-        jax.block_until_ready(res.color)
+            chain.add(res)
+        chain.sync()
         jit_elapsed = time.time() - t0
         eng.camera.yaw = base_yaw
         jit_fps = args.frames / jit_elapsed
@@ -228,7 +261,7 @@ def main():
     for _ in range(min(args.frames, 30)):
         res = eng.render_frame(dt=0.0)
     host_ms = (time.time() - t0) / min(args.frames, 30) * 1000
-    jax.block_until_ready(res.color)
+    sync_frame(res)
     log(f"host-side per-frame (culling + dispatch): {host_ms:.3f} ms")
 
     # pure device throughput: N frames inside ONE jit dispatch (immune to
@@ -250,9 +283,11 @@ def main():
     import jax.numpy as jnp
     rep_args = (quads, quad_world, total,
                 jnp.asarray(vps, jnp.float32), jnp.asarray(cams))
-    out = jax.block_until_ready(rep(*rep_args))  # compile
+    out = rep(*rep_args)  # compile
+    _ = int(np.asarray(out[0][:1, :1])[0, 0])  # forced D2H round trip
     t0 = time.time()
-    out = jax.block_until_ready(rep(*rep_args))
+    out = rep(*rep_args)
+    _ = int(np.asarray(out[0][:1, :1])[0, 0])
     device_ms = (time.time() - t0) / k * 1000
     log(f"device per-frame (single dispatch x{k}): {device_ms:.3f} ms")
 

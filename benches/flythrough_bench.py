@@ -63,11 +63,16 @@ def main():
     eng.warm_buckets(pipelined=not serial)
     for _ in range(8):
         res = eng.render_frame(dt=0.0)
-    jax.block_until_ready(res.color)
+    # force a real D2H round trip: block_until_ready alone does not
+    # reliably block on this relay (NOTES.md "Infra quirks")
+    np.asarray(res.color[:1, :1])
     jax.block_until_ready(eng.pool.quads)
 
     fps = []
     for _ in range(2):
+        # chain every frame into one device value: a single end-of-pass
+        # D2H then provably waits for EVERY frame (see above)
+        acc = None
         t0 = time.time()
         n = 40
         for _ in range(n):
@@ -77,9 +82,12 @@ def main():
                 res = eng.render_frame(dt=0.016)
             else:
                 res = eng.render_frame_pipelined(dt=0.016) or res
+            probe = res.color[:1, :1]
+            acc = probe if acc is None else acc + probe
         if not serial:
             res = eng.flush_pipeline() or res
-        jax.block_until_ready(res.color)
+            acc = acc + res.color[:1, :1]
+        np.asarray(acc)  # forced D2H of the whole chain
         fps.append(n / (time.time() - t0))
     mode = "serial" if serial else "pipelined (1-frame latency)"
     print(f"flythrough mode: {mode}", file=sys.stderr, flush=True)

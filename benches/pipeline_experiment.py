@@ -116,17 +116,21 @@ def run_variant(variant: str):
         return
 
     # ---- wall-style variants: k SEPARATE async dispatches, blocked at
-    # the end — the shape of bench.py's wall metric (the dispatch queue
-    # overlaps per-call overheads differently than a fori loop).
-    # walla: device-resident cameras, independent dispatches
+    # the end.
+    # WARNING (measured, NOTES.md round 4): on this relay,
+    # block_until_ready does NOT reliably force execution, and fetching
+    # the last frame does not force unrelated earlier frames — the
+    # INDEPENDENT-dispatch variants below (walla/d/e/f/g) therefore
+    # measure dispatch-ACCEPTANCE rate (0.14-1.5 ms/frame), not device
+    # throughput.  Only the CHAINED variants (wallb 3.786 / wallc 3.839
+    # ms) are honest here; kept as the record of how the trap was found.
+    # walla: device-resident cameras, independent dispatches [INVALID]
     # wallb: two chained dispatches per frame (geometry, then step)
     # wallc: pipelined chain (each dispatch consumes the previous pre)
-    # walld: walla + a FRESH numpy camera H2D per frame (the engine's
-    #        render_prepared shape — isolates the per-frame transfer cost)
-    # walle: walld but through the engine's packed-cam step (_step_camf)
-    # wallf/wallg: like walla/walle but every frame's output is RETAINED
-    # and blocked on — distinguishes genuine dispatch overlap from the
-    # relay skipping computations whose result buffers were dropped
+    # walld: walla + fresh numpy camera H2D per frame [INVALID]
+    # walle: walld through the packed-cam step [INVALID]
+    # wallf/g: walla/walle + per-frame block_until_ready [INVALID —
+    #          block_until_ready itself does not block]
     if variant in ("walla", "wallb", "wallc", "walld", "walle", "wallf",
                    "wallg"):
         import json as _json
