@@ -36,22 +36,16 @@ def sync_frame(res):
     return int(np.asarray(res.color[:1, :1])[0, 0])
 
 
-class FrameChain:
-    """Chains every timed frame's output into one device value so a
-    single D2H at pass end PROVABLY waits for every frame — the relay
-    neither blocks reliably (block_until_ready) nor is a fetch of the
-    last frame guaranteed to force unrelated earlier programs.  Cost: two
-    tiny device programs per frame (slice + add), dispatch-only."""
-
-    def __init__(self):
-        self.acc = None
-
-    def add(self, res):
-        probe = res.color[:1, :1]
-        self.acc = probe if self.acc is None else self.acc + probe
-
-    def sync(self) -> int:
-        return int(np.asarray(self.acc)[0, 0])
+# NOTE on wall-pass synchronization (measured, NOTES.md round 4): a
+# per-frame dependency chain (fold each frame's pixel into a running
+# device scalar) is NOT a usable barrier here — the relay resolves a
+# dispatch's pending-output arguments SYNCHRONOUSLY, so chaining adds a
+# round trip per frame and measured 11-13 ms/frame on the same state
+# where the unchained loop measures ~3.  The wall passes therefore
+# dispatch frames independently (paced by the relay's own per-dispatch
+# round trips) and end with ONE real D2H fetch; the airtight
+# cross-check is the single-dispatch fori measure below (k frames in
+# ONE program, output fetched), which nothing can skip or reorder.
 
 
 def main():
@@ -185,12 +179,10 @@ def main():
     # number, the per-pass spread is logged for the record
     pass_fps = []
     for p in range(1 if args.quick else 3):
-        chain = FrameChain()
         t0 = time.time()
         for _ in range(args.frames):
             res = eng.render_frame(dt=0.0)
-            chain.add(res)
-        chain.sync()
+        sync_frame(res)
         elapsed = time.time() - t0
         pass_fps.append(args.frames / elapsed)
         log(f"pass {p}: {args.frames} frames in {elapsed:.3f}s -> "
@@ -215,15 +207,11 @@ def main():
     if not args.quick:
         eng.warm_buckets(pipelined=True)  # compile outside the clock
         res_p = None
-        chain = FrameChain()
         t0 = time.time()
         for _ in range(args.frames):
             res_p = eng.render_frame_pipelined(dt=0.0) or res_p
-            if res_p is not None:
-                chain.add(res_p)
         res_p = eng.flush_pipeline() or res_p
-        chain.add(res_p)
-        chain.sync()
+        sync_frame(res_p)
         pipe_elapsed = time.time() - t0
         pipe_fps = args.frames / pipe_elapsed
         log(f"pipelined wall pass: {pipe_fps:.1f} FPS "
@@ -242,13 +230,11 @@ def main():
     # number to the reference's every-frame visibility query (main.rs:221).
     if not args.quick:
         base_yaw = eng.camera.yaw
-        chain = FrameChain()
         t0 = time.time()
         for i in range(args.frames):
             eng.camera.yaw = base_yaw + (1e-6 if i % 2 else -1e-6)
             res = eng.render_frame(dt=0.0)
-            chain.add(res)
-        chain.sync()
+        sync_frame(res)
         jit_elapsed = time.time() - t0
         eng.camera.yaw = base_yaw
         jit_fps = args.frames / jit_elapsed

@@ -70,9 +70,6 @@ def main():
 
     fps = []
     for _ in range(2):
-        # chain every frame into one device value: a single end-of-pass
-        # D2H then provably waits for EVERY frame (see above)
-        acc = None
         t0 = time.time()
         n = 40
         for _ in range(n):
@@ -82,12 +79,11 @@ def main():
                 res = eng.render_frame(dt=0.016)
             else:
                 res = eng.render_frame_pipelined(dt=0.016) or res
-            probe = res.color[:1, :1]
-            acc = probe if acc is None else acc + probe
         if not serial:
             res = eng.flush_pipeline() or res
-            acc = acc + res.color[:1, :1]
-        np.asarray(acc)  # forced D2H of the whole chain
+        np.asarray(res.color[:1, :1])  # forced D2H (see above; a
+        # per-frame dependency chain adds a round trip per frame on this
+        # relay and is NOT a usable barrier - NOTES.md round 4)
         fps.append(n / (time.time() - t0))
     mode = "serial" if serial else "pipelined (1-frame latency)"
     print(f"flythrough mode: {mode}", file=sys.stderr, flush=True)

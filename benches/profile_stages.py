@@ -74,12 +74,20 @@ def get_scene():
     return quads, quad_world, total, vp, cam
 
 
-def timeit(fn, args, k, label):
+def _force(out):
+    """Real D2H fetch of one leaf: block_until_ready alone does not
+    reliably round-trip on this relay (NOTES.md)."""
     import jax
+    import numpy as np
 
-    out = jax.block_until_ready(fn(*args))  # compile
+    leaf = jax.tree_util.tree_leaves(out)[0]
+    return np.asarray(leaf.ravel()[:1])
+
+
+def timeit(fn, args, k, label):
+    _force(fn(*args))  # compile
     t0 = time.time()
-    out = jax.block_until_ready(fn(*args))
+    _force(fn(*args))
     ms = (time.time() - t0) / k * 1000
     log(f"{label::>10}: {ms:.3f} ms")
     print(json.dumps({"stage": label, "ms": round(ms, 4)}), flush=True)
