@@ -89,7 +89,7 @@ def main():
                  os.path.join(os.path.dirname(os.path.abspath(__file__)),
                               "benches", "flythrough_bench.py"),
                  str(args.vd)],
-                capture_output=True, text=True, timeout=1800,
+                capture_output=True, text=True, timeout=3600,
             )
             lines = [l for l in out.stdout.splitlines()
                      if l.startswith("FLYTHROUGH")]

@@ -608,3 +608,51 @@ def test_subpixel_cull_only_exact_mode():
     _, _, stats = _step(renderer, args, use_pallas=False, interpret=False,
                         span_mode=True)
     assert stats[4] == 0 and stats[1] == 1
+
+
+def test_pipelined_bucket_switch_drains_in_order(fuzz_scene):
+    """Renderer.render_prepared_pipelined across a capacity-bucket switch:
+    the carried frame drains through the serial path and every frame is
+    emitted exactly once, in order, bit-identical to serial renders."""
+    _, quads, cam, _, _ = fuzz_scene
+    renderer = Renderer(RenderConfig(width=W, height=H, use_pallas=False,
+                                     gather_cap=65536, quads_cap=8192))
+    vp = cam.view_projection_matrix()
+    pool = np.zeros((64, 4096), np.uint32)
+    pool[0, : len(quads)] = quads
+    vcap = renderer.config.visible_chunks_cap
+
+    def uploads_for(n_chunks):
+        counts = np.zeros((vcap, 6), np.int32)
+        slots = np.zeros(vcap, np.int32)
+        positions = np.zeros((vcap, 3), np.int32)
+        # spread duplicate chunk entries on a grid so totals differ
+        for i in range(n_chunks):
+            counts[i] = 0
+            counts[i, 0] = len(quads)  # legacy-ish but per-dir col 0
+            positions[i] = (i % 5, 0, i // 5)
+        return renderer.prepare_uploads(jnp.asarray(pool), slots, counts,
+                                        positions)
+
+    up_small = uploads_for(3)    # ~ 3 * |quads|  -> small bucket
+    up_big = uploads_for(40)     # ~ 40 * |quads| -> larger bucket
+    assert int(up_small[0].shape[0]) != int(up_big[0].shape[0]), \
+        "test scene must span two capacity buckets"
+
+    s_small = renderer.render_prepared(up_small, vp, cam.position)
+    s_big = renderer.render_prepared(up_big, vp, cam.position)
+
+    assert renderer.render_prepared_pipelined(up_small, vp,
+                                              cam.position) is None
+    out1 = renderer.render_prepared_pipelined(up_big, vp, cam.position)
+    assert out1 is not None  # the drained small-bucket frame
+    np.testing.assert_array_equal(np.asarray(out1[0]),
+                                  np.asarray(s_small[0]))
+    np.testing.assert_array_equal(np.asarray(out1[1]),
+                                  np.asarray(s_small[1]))
+    out2 = renderer.pipeline_flush()
+    np.testing.assert_array_equal(np.asarray(out2[0]),
+                                  np.asarray(s_big[0]))
+    np.testing.assert_array_equal(np.asarray(out2[1]),
+                                  np.asarray(s_big[1]))
+    assert renderer.pipeline_flush() is None
