@@ -11,13 +11,14 @@ Prints one line: ``FLYTHROUGH <first_pass_fps> <second_pass_fps>``.
 Pass 1 crosses mostly pre-primed terrain; pass 2 streams fresh chunks
 (~8 generated + meshed + uploaded per frame at this camera speed).
 
-Runs in the frames-in-flight mode (engine.render_frame_pipelined): each
-frame's stage-A geometry rides inside the previous frame's raster call —
-one taxed Pallas dispatch per frame instead of two — at the cost of ONE
-frame of output latency.  Frames are bit-identical to the serial mode
-(tests/test_engine.py); every pass flushes the pipeline before its clock
-stops, so the FPS counts fully rendered frames.  DPVR_FLY_SERIAL=1 runs
-the serial mode instead (A/B knob).
+Default mode is SERIAL (one dispatch per frame, no latency).
+DPVR_FLY_PIPELINED=1 runs the frames-in-flight mode instead
+(engine.render_frame_pipelined, one frame of output latency, frames
+bit-identical — tests/test_engine.py): measured on this relay it wins
+the static wall clearly (bench.py: 309 vs 205 FPS same-session) but is
+neutral-to-slightly-slower on the flythrough (100/68 vs 117/81 in the
+same degraded session) while its warm-up compiles 16 extra programs in
+this subprocess — so serial stays the flythrough default.
 """
 
 from __future__ import annotations
@@ -56,7 +57,8 @@ def main():
     eng.camera.look_at(np.array([0.0, 0.0, -60.0]))
     while eng.world.update(eng.camera.position):
         pass
-    serial = bool(int(os.environ.get("DPVR_FLY_SERIAL", "0") or "0"))
+    serial = not bool(int(os.environ.get("DPVR_FLY_PIPELINED", "0")
+                          or "0"))
     eng.prime_all()
     eng.warm_streaming()
     # a mid-flight bucket switch costs a ~2.5 s trace
