@@ -34,26 +34,9 @@ from ..models.camera import Camera, CameraController
 from ..models.world import World, WorldConfig
 from ..ops.culling import HorizonCullingConfig, horizon_cull_mask, sort_front_to_back
 from ..ops.occlusion import occlusion_pass, project_chunk_rects
-from ..rendering.pipeline import Renderer
+from ..rendering.pipeline import Renderer, _c6_of, apply_insert_payload
 from ..utils.config import CHUNK_SIZE, QUADS_PER_CHUNK_CAP, RenderConfig
 from ..utils.profiling import FUNCTION_COUNTERS
-
-
-def _c6_of(vals, counts):
-    """Per-face-direction histogram of packed quad rows, device-side.
-
-    The pool keeps a device-resident counts6 mirror so the per-frame
-    draw-list upload can drop the 6 count shorts per chunk (META5 layout,
-    rendering/pipeline.py) — the mirror updates ride the SAME donated
-    dispatch as the quad scatter, costing zero extra H2D bytes and zero
-    extra round trips (each separate transfer is ~a round trip on
-    relay-attached hosts, NOTES.md)."""
-    k, mc = vals.shape
-    j = jax.lax.broadcasted_iota(jnp.int32, (k, mc), 1)
-    d = ((vals >> jnp.uint32(29)) & jnp.uint32(7)).astype(jnp.int32)
-    valid = j < counts[:, None]
-    return jnp.stack([((d == i) & valid).sum(1) for i in range(6)],
-                     axis=1).astype(jnp.int32)
 
 
 @functools.partial(jax.jit, donate_argnums=(0, 1))
@@ -86,16 +69,7 @@ def _pool_set_rows_flat(pool, c6pool, packed, *, k: int, mc: int):
     counts header, then the flat quad words: each SEPARATE host->device
     array costs a relay round trip (NOTES.md), so the three tiny index
     arrays ride in front of the payload they describe."""
-    slots = packed[:k].astype(jnp.int32)
-    starts = packed[k:2 * k].astype(jnp.int32)
-    counts = packed[2 * k:3 * k].astype(jnp.int32)
-    flat = packed[3 * k:]
-    j = jax.lax.broadcasted_iota(jnp.int32, (k, mc), 1)
-    idx = jnp.clip(starts[:, None] + j, 0, flat.shape[0] - 1)
-    vals = jnp.where(j < counts[:, None], flat[idx], jnp.uint32(0))
-    full = jnp.zeros((k, pool.shape[1]), pool.dtype).at[:, :mc].set(vals)
-    return (pool.at[slots].set(full),
-            c6pool.at[slots].set(_c6_of(vals, counts)))
+    return apply_insert_payload(pool, c6pool, packed, k=k, mc=mc)
 
 
 def _meta11_env() -> bool:
@@ -310,6 +284,91 @@ class QuadPool:
         self._dev_cache = None
         self._lookup_cache = None
 
+    # fused insert+render payload shape (ONE trace; bigger/odd batches
+    # fall back to insert_many's shape ladder)
+    INSERT_KP = 16
+    INSERT_MC = 512
+    INSERT_FP = 8192
+
+    def prepare_insert_payload(self, items) -> np.ndarray | None:
+        """Host bookkeeping + ONE u32 payload for a fused insert+render
+        dispatch (rendering/pipeline._fused_frame_insert), or None when
+        the batch doesn't fit the fused shape (<= INSERT_KP entries,
+        meshes <= INSERT_MC quads, flat total <= INSERT_FP) — callers
+        then fall back to insert_many.
+
+        ALL host-side state (slots, counts, counts6, positions, by_pos)
+        updates immediately, so the same frame's funnel sees the new
+        meshes; the DEVICE pool catches up inside the fused dispatch,
+        before its draw-list expansion gathers rows.  Each separate
+        host->device transfer costs ~a round trip on relay-attached
+        hosts (NOTES.md) — folding the insert into the frame upload is
+        the streaming path's round-trip diet."""
+        items = [it for it in items]
+        if not items or len(items) > self.INSERT_KP:
+            return None
+        if any(it[1] is not None and len(it[1]) > self.INSERT_MC
+               for it in items):
+            return None
+        total = sum(len(q) for _, q in items if q is not None)
+        if total > self.INSERT_FP:
+            return None
+        k = len(items)
+        kp = self.INSERT_KP
+        slots = np.zeros(kp, np.int32)
+        counts = np.zeros(kp, np.int32)
+        parts = []
+        for i, (pos, quads) in enumerate(items):
+            key = tuple(int(c) for c in pos)
+            slot = self.by_pos.get(key)
+            if slot is None:
+                if not self._free:
+                    raise RuntimeError(
+                        "QuadPool exhausted; raise `slots` "
+                        "(mesh cache capacity)")
+                slot = self._free.pop()
+                self.by_pos[key] = slot
+                self._used[slot] = True
+            n = 0
+            if quads is not None:
+                n = len(quads)
+                parts.append(np.asarray(quads, np.uint32))
+                self.counts6[slot] = _dir_counts(parts[-1])
+            else:
+                self.counts6[slot] = 0
+            slots[i] = slot
+            counts[i] = n
+            self.counts[slot] = n
+            self.positions[slot] = key
+        # pad unused entries with idempotent duplicates of entry 0
+        slots[k:] = slots[0]
+        counts[k:] = counts[0]
+        starts = np.zeros(kp, np.int64)
+        starts[:k] = np.cumsum(counts[:k]) - counts[:k]
+        starts[k:] = starts[0]
+        packed = np.zeros(3 * kp + self.INSERT_FP, np.uint32)
+        packed[:kp] = slots.astype(np.uint32)
+        packed[kp:2 * kp] = starts.astype(np.uint32)
+        packed[2 * kp:3 * kp] = counts.astype(np.uint32)
+        if total:
+            packed[3 * kp:3 * kp + total] = np.concatenate(parts)
+        self._dev_cache = None
+        self._lookup_cache = None
+        return packed
+
+    def dispatch_insert_payload(self, payload: np.ndarray) -> None:
+        """Apply a prepared payload with the STANDALONE donated scatter
+        (the fallback when the frame can't take the fused path)."""
+        self.quads, self.counts6_dev = _pool_set_rows_flat(
+            self.quads, self.counts6_dev, jnp.asarray(payload),
+            k=self.INSERT_KP, mc=self.INSERT_MC)
+
+    def adopt_device_arrays(self, quads, counts6_dev) -> None:
+        """Rebind the device pool arrays after a fused insert+render
+        dispatch returned the (donated-in, scattered) new buffers."""
+        self.quads = quads
+        self.counts6_dev = counts6_dev
+
     def remove(self, pos) -> None:
         key = tuple(int(c) for c in pos)
         slot = self.by_pos.pop(key, None)
@@ -431,6 +490,16 @@ class Engine:
         # frames-in-flight bookkeeping: (rendered_meshes, visible) per
         # entered-but-not-yet-emitted frame (render_frame_pipelined)
         self._pipe_meta: collections.deque = collections.deque()
+        # streaming fast path: fold small remesh batches into the frame
+        # dispatch (QuadPool.prepare_insert_payload + renderer
+        # render_fused_insert); falls back to insert_many for big/odd
+        # batches and to a standalone scatter when the frame can't take
+        # the fused layout
+        self.fused_insert = True
+        self._pending_insert: np.ndarray | None = None
+        assert (QuadPool.INSERT_KP == Renderer.INSERT_KP
+                and QuadPool.INSERT_MC == Renderer.INSERT_MC
+                and QuadPool.INSERT_FP == Renderer.INSERT_FP)
 
     # ------------------------------------------------------------- meshing
     def _remesh(self, visible_chunks) -> int:
@@ -453,24 +522,26 @@ class Engine:
         """Vectorized form of :meth:`_remesh` for the per-frame funnel:
         the missing-chunk scan is one sorted-key join (lookup_slots)
         instead of a Python loop over every visible chunk (~0.4 ms at
-        vd12); the Python neighbor walk only runs over the (few) missing
-        positions."""
+        vd12), and the neighbor-invalidation walk is one [M, 6, 3]
+        numpy expansion + one more sorted-key join (the per-neighbor
+        Python dict probes cost ~2 us each x 6M on streaming frames)."""
         _, has = self.pool.lookup_slots(vis_pos)
         if has.all():
             return 0
-        meshed = self.pool.by_pos
+        missing = np.asarray(vis_pos[~has], np.int64)
+        # neighbors of the missing chunks that are loaded AND meshed get
+        # remeshed too (their border faces change; main.rs:224-277)
+        offs = np.asarray(self._neighbor_offsets, np.int64)  # [6, 3]
+        nbrs = (missing[:, None, :] + offs[None, :, :]).reshape(-1, 3)
+        _, nb_meshed = self.pool.lookup_slots(nbrs)
+        keep = nbrs[nb_meshed]
         loaded = self.world.chunks
-        to_mesh: list[tuple[int, int, int]] = []
-        for p in vis_pos[~has].tolist():
-            pos = (p[0], p[1], p[2])
-            to_mesh.append(pos)
-            for off in self._neighbor_offsets:
-                np_ = (pos[0] + off[0], pos[1] + off[1], pos[2] + off[2])
-                if np_ in loaded and np_ in meshed:
-                    to_mesh.append(np_)
-        return self._mesh_list(to_mesh)
+        to_mesh = [tuple(p) for p in missing.tolist()]
+        to_mesh += [pos for p in keep.tolist()
+                    if (pos := (p[0], p[1], p[2])) in loaded]
+        return self._mesh_list(to_mesh, defer=True)
 
-    def _mesh_list(self, to_mesh) -> int:
+    def _mesh_list(self, to_mesh, defer: bool = False) -> int:
         if not to_mesh:
             return 0
         to_mesh = sorted(set(to_mesh))
@@ -482,6 +553,16 @@ class Engine:
             if chunk is None:
                 continue
             batch.append((pos, mesh_chunk(chunk, self.world.chunks)))
+        if defer and self.fused_insert and self._pending_insert is None:
+            # streaming fast path: fold the insert into THIS frame's
+            # render dispatch (one upload + one dispatch instead of
+            # three uploads across two; rendering/pipeline
+            # _fused_frame_insert).  Host pool state updates here; the
+            # device pool catches up inside the frame's dispatch.
+            payload = self.pool.prepare_insert_payload(batch)
+            if payload is not None:
+                self._pending_insert = payload
+                return len(to_mesh)
         self.pool.insert_many(batch)
         return len(to_mesh)
 
@@ -575,6 +656,34 @@ class Engine:
                           # mesh splits into its own call)
                           (1, 513), (4, 513)):
             self.pool.insert_many([(fake, np.zeros(width, np.uint32))] * bs)
+        if self.fused_insert:
+            # warm the fused insert+render jit for every capacity bucket
+            # (the streaming fast path; one trace each, else the first
+            # streaming frame pays ~2.5 s mid-flight).  The payload
+            # rewrites the throwaway slot; the draw list is synthetic —
+            # one chunk whose HOST count picks the bucket (the device
+            # expansion reads the counts6 MIRROR, which stays tiny).
+            payload = self.pool.prepare_insert_payload(
+                [(fake, np.zeros(4, np.uint32))])
+            assert payload is not None
+            vcap = self.config.visible_chunks_cap
+            slot = self.pool.by_pos[fake]
+            vs = np.zeros(vcap, np.int32)
+            vs[0] = slot
+            ps = np.zeros((vcap, 3), np.int32)
+            vp = np.eye(4, dtype=np.float32)
+            campos = np.zeros(3, np.float32)
+            for cap in self.renderer.gather_buckets:
+                cs = np.zeros((vcap, 6), np.int32)
+                # counts are NOT part of the int16 meta (META5 reads the
+                # device mirror); the host value only selects the bucket
+                cs[0, 0] = cap - 1
+                out = self.renderer.render_fused_insert(
+                    self.pool.quads, self.pool.counts6_dev, vs, cs, ps,
+                    vp, campos, payload)
+                assert out is not None
+                self.pool.adopt_device_arrays(out[0], out[1])
+            jax.block_until_ready(self.pool.quads)
         self.pool.remove(fake)
 
     def prime_all(self) -> None:
@@ -728,6 +837,26 @@ class Engine:
         # unchanged (the TPU analogue of the reference's mesh/basis caches);
         # when it DID change, expansion + render go out as ONE dispatch
         # (moving-camera frames would otherwise pay two round trips).
+        if self._pending_insert is not None:
+            # a remesh batch is folded into this frame: one consolidated
+            # upload + one dispatch (insert -> expand -> render)
+            payload = self._pending_insert
+            self._pending_insert = None
+            out = self.renderer.render_fused_insert(
+                self.pool.quads, self.pool.counts6_dev,
+                self._last_visible_slots, self._last_counts_sel,
+                self._last_positions_sel, vp, cam.position, payload,
+                dir_mask=self._last_dir_mask)
+            if out is not None:
+                pool2, c6b, color, depth, stats, uploads = out
+                self.pool.adopt_device_arrays(pool2, c6b)
+                self._upload_cache = (sig, uploads)
+                self._frame_bookkeeping(stats, n, frame_t0)
+                return FrameResult(color, depth, stats, n,
+                                   n_visible_meshes)
+            # fallback layout (truncated/legacy): standalone scatter,
+            # then the normal render path below
+            self.pool.dispatch_insert_payload(payload)
         if self._upload_cache is not None and self._upload_cache[0] == sig:
             uploads = self._upload_cache[1]
             if self.config.temporal_hiz and cam_same:
@@ -802,6 +931,11 @@ class Engine:
         vp, sig, n, n_visible_meshes, _cam_same = self._funnel(dt)
         cam = self.camera
         self._prev_hiz = None
+        if self._pending_insert is not None:
+            # the fused insert+render path is serial-only for now: apply
+            # the pending batch with the standalone scatter
+            self.pool.dispatch_insert_payload(self._pending_insert)
+            self._pending_insert = None
         if self._upload_cache is not None and self._upload_cache[0] == sig:
             out = self.renderer.render_prepared_pipelined(
                 self._upload_cache[1], vp, cam.position)

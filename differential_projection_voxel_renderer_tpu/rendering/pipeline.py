@@ -713,6 +713,42 @@ def _two_pass_step(quads, quad_world, n_quads, view_proj, cam_pos, *,
     return color, depth, stats
 
 
+def _c6_of(vals, counts):
+    """Per-face-direction histogram of packed quad rows, device-side.
+
+    The pool keeps a device-resident counts6 mirror so the per-frame
+    draw-list upload can drop the 6 count shorts per chunk (META5 layout,
+    rendering/pipeline.py) — the mirror updates ride the SAME donated
+    dispatch as the quad scatter, costing zero extra H2D bytes and zero
+    extra round trips (each separate transfer is ~a round trip on
+    relay-attached hosts, NOTES.md)."""
+    k, mc = vals.shape
+    j = jax.lax.broadcasted_iota(jnp.int32, (k, mc), 1)
+    d = ((vals >> jnp.uint32(29)) & jnp.uint32(7)).astype(jnp.int32)
+    valid = j < counts[:, None]
+    return jnp.stack([((d == i) & valid).sum(1) for i in range(6)],
+                     axis=1).astype(jnp.int32)
+
+
+def apply_insert_payload(pool, c6pool, packed, *, k: int, mc: int):
+    """Device-side half of the flat-stream insert (shared by the
+    standalone jit below and the fused insert+render frame,
+    rendering/pipeline._fused_frame_insert): rebuild [k, mc] rows from
+    the flat payload with one gather and scatter them into the pool +
+    counts6 mirror.  ``packed`` u32[3k + fp] — slots | starts | counts
+    header, then the flat quad words."""
+    slots = packed[:k].astype(jnp.int32)
+    starts = packed[k:2 * k].astype(jnp.int32)
+    counts = packed[2 * k:3 * k].astype(jnp.int32)
+    flat = packed[3 * k:]
+    j = jax.lax.broadcasted_iota(jnp.int32, (k, mc), 1)
+    idx = jnp.clip(starts[:, None] + j, 0, flat.shape[0] - 1)
+    vals = jnp.where(j < counts[:, None], flat[idx], jnp.uint32(0))
+    full = jnp.zeros((k, pool.shape[1]), pool.dtype).at[:, :mc].set(vals)
+    return (pool.at[slots].set(full),
+            c6pool.at[slots].set(_c6_of(vals, counts)))
+
+
 def _pack_cam(view_proj, cam_pos) -> np.ndarray:
     out = np.empty(19, np.float32)
     out[:16] = np.asarray(view_proj, np.float32).ravel()
@@ -880,6 +916,46 @@ def _geom_fused5(quad_pool, counts6_pool, meta_i, cam_f, *, vcap: int,
     return pre, quads, qw, total
 
 
+def _fused_frame_insert(quad_pool, counts6_pool, frame_u, *, vcap: int,
+                        gather_cap: int, kp: int, mc: int,
+                        **step_kw):
+    """Mesh-insert + draw-list expansion + render in ONE dispatch with
+    ONE consolidated upload — the streaming-frame path: on relay-attached
+    hosts each separate host->device transfer AND each dispatch costs ~a
+    round trip, and a streaming frame otherwise pays three uploads (insert
+    payload, draw-list meta, camera) across two dispatches.
+
+    ``frame_u`` u32[5*vcap/2 + 19 + 3*kp + fp]:
+      [META5 int16 pairs packed | camera f32 bits | insert payload]
+    The pool scatter (app/engine.apply_insert_payload — shared code) runs
+    BEFORE the expansion, so this frame's draw list can reference the
+    just-inserted meshes.  ``quad_pool``/``counts6_pool`` are donated;
+    returns (pool', counts6', color, depth, stats, uploads...)."""
+    n_meta = (META5_SHORTS * vcap) // 2
+    bcast = jax.lax.bitcast_convert_type
+    meta_i = bcast(frame_u[:n_meta], jnp.int16).reshape(-1)
+    cam_f = bcast(frame_u[n_meta:n_meta + 19], jnp.float32)
+    ins = frame_u[n_meta + 19:]
+    pool2, c6b = apply_insert_payload(quad_pool, counts6_pool, ins,
+                                      k=kp, mc=mc)
+    slots_sel, mask6_sel, positions_sel = _unpack_meta5(meta_i, vcap)
+    counts6_sel = c6b[slots_sel]
+    quads, quad_world, total = _expand_uploads_impl(
+        pool2, slots_sel, counts6_sel, mask6_sel, positions_sel,
+        gather_cap)
+    view_proj, cam_pos = _unpack_cam(cam_f)
+    near_quads = step_kw.pop("near_quads", 0)
+    if near_quads:
+        color, depth, stats = _two_pass_step(
+            quads, quad_world, total, view_proj, cam_pos,
+            near_quads=near_quads, gather_cap=gather_cap, **step_kw)
+    else:
+        color, depth, stats = _render_step(
+            quads, quad_world, total, view_proj, cam_pos,
+            gather_cap=gather_cap, **step_kw)
+    return pool2, c6b, color, depth, stats, quads, quad_world, total
+
+
 def _step_camf_hiz(quads, quad_world, n_quads, cam_f, hiz1, *,
                    gather_cap: int, near_quads: int = 0, **step_kw):
     """Temporal-occlusion step: one render pass with ``hiz1`` (the
@@ -1032,6 +1108,8 @@ class Renderer:
         self._pipe_carry: tuple | None = None  # (cap, uploads, cam_f, pre)
         self._pipe_done: tuple | None = None   # serially-rendered result
         #                                        awaiting emission
+        self._cam_cache: tuple | None = None   # (key bytes, device cam)
+        self._insert_steps: dict[int, object] = {}  # fused insert+render
         if cfg.temporal_hiz and cfg.two_pass_near_quads:
             raise ValueError(
                 "temporal_hiz and two_pass_near_quads are mutually "
@@ -1222,7 +1300,7 @@ class Renderer:
         slots_a, counts6, mask6, pos_a, cap, truncated = self._prep_meta(
             visible_slots, counts_sel, positions_sel, dir_mask)
         vcap = self.config.visible_chunks_cap
-        cam = jnp.asarray(_pack_cam(view_proj, cam_pos))
+        cam = self._cam_dev(view_proj, cam_pos)
         _, fused, fused5 = self._steps_for(cap)
         # legacy [vcap] totals put everything in a synthetic dir-0
         # segment, which the device mirror (true per-dir counts) does not
@@ -1239,13 +1317,75 @@ class Renderer:
                 quad_pool, jnp.asarray(meta), cam)
         return color, depth, stats, (quads, quad_world, total_dev)
 
+    def _cam_dev(self, view_proj, cam_pos):
+        """Device copy of the packed camera, cached while the camera is
+        unchanged: each separate host->device transfer costs ~a round
+        trip on relay-attached hosts (NOTES.md), and static frames would
+        otherwise re-ship 19 identical floats every frame.  Moving
+        cameras miss (one small upload per frame — inherent)."""
+        packed = _pack_cam(view_proj, cam_pos)
+        key = packed.tobytes()
+        c = self._cam_cache
+        if c is not None and c[0] == key:
+            return c[1]
+        dev = jnp.asarray(packed)
+        self._cam_cache = (key, dev)
+        return dev
+
     def render_prepared(self, uploads, view_proj, cam_pos):
         quads, quad_world, total = uploads
         step, _, _ = self._steps_for(int(quads.shape[0]))
         return step(
             quads, quad_world, total,
-            jnp.asarray(_pack_cam(view_proj, cam_pos)),
+            self._cam_dev(view_proj, cam_pos),
         )
+
+    # ----------------------------------------- fused insert+render frame
+    INSERT_KP = 16
+    INSERT_MC = 512
+    INSERT_FP = 8192
+
+    def _insert_step_for(self, gather_cap: int):
+        got = self._insert_steps.get(gather_cap)
+        if got is None:
+            got = jax.jit(
+                functools.partial(
+                    _fused_frame_insert, gather_cap=gather_cap,
+                    vcap=self.config.visible_chunks_cap,
+                    kp=self.INSERT_KP, mc=self.INSERT_MC,
+                    **self._bucket_kw(gather_cap)),
+                donate_argnums=(0, 1))
+            self._insert_steps[gather_cap] = got
+        return got
+
+    def render_fused_insert(self, quad_pool, counts6_dev, visible_slots,
+                            counts_sel, positions_sel, view_proj, cam_pos,
+                            insert_payload, dir_mask=None):
+        """Streaming-frame fast path: mesh-insert + draw-list expansion +
+        render as ONE dispatch with ONE consolidated upload (see
+        _fused_frame_insert).  ``insert_payload`` comes from
+        QuadPool.prepare_insert_payload (host state already updated).
+        Returns (new_pool, new_counts6, color, depth, stats, uploads) —
+        the caller MUST adopt the returned (donated-in) pool arrays — or
+        None when the frame needs a fallback layout (truncated / legacy
+        counts), in which case nothing was dispatched."""
+        assert insert_payload.shape == (
+            3 * self.INSERT_KP + self.INSERT_FP,)
+        slots_a, counts6, mask6, pos_a, cap, truncated = self._prep_meta(
+            visible_slots, counts_sel, positions_sel, dir_mask)
+        if truncated or np.asarray(counts_sel).ndim == 1:
+            return None
+        vcap = self.config.visible_chunks_cap
+        meta = _pack_meta5(vcap, slots_a, mask6, pos_a)
+        frame_u = np.concatenate([
+            meta.view(np.uint32),
+            _pack_cam(view_proj, cam_pos).view(np.uint32),
+            np.asarray(insert_payload, np.uint32),
+        ])
+        out = self._insert_step_for(cap)(quad_pool, counts6_dev,
+                                         jnp.asarray(frame_u))
+        pool2, c6b, color, depth, stats, quads, qw, total = out
+        return pool2, c6b, color, depth, stats, (quads, qw, total)
 
     # ------------------------------------------- frames-in-flight pipeline
     def _check_pipelined(self) -> None:
@@ -1296,7 +1436,7 @@ class Renderer:
         self._check_pipelined()
         quads, quad_world, total = uploads
         cap = int(quads.shape[0])
-        cam = jnp.asarray(_pack_cam(view_proj, cam_pos))
+        cam = self._cam_dev(view_proj, cam_pos)
         out, carry = self._pipe_drain_if(cap)
         pipe, geom, _, _ = self._pipe_steps_for(cap)
         if carry is None:
@@ -1337,7 +1477,7 @@ class Renderer:
             self._pipe_done = (color, depth, stats)
             return out, uploads
         vcap = self.config.visible_chunks_cap
-        cam = jnp.asarray(_pack_cam(view_proj, cam_pos))
+        cam = self._cam_dev(view_proj, cam_pos)
         meta = jnp.asarray(_pack_meta5(vcap, slots_a, mask6, pos_a))
         out, carry = self._pipe_drain_if(cap)
         pipe, geom, pipe_f5, geom_f5 = self._pipe_steps_for(cap)
@@ -1411,7 +1551,7 @@ class Renderer:
         quads, quad_world, total = uploads
         fn = self._hiz_step_for(int(quads.shape[0]))
         return fn(quads, quad_world, total,
-                  jnp.asarray(_pack_cam(view_proj, cam_pos)), hiz1)
+                  self._cam_dev(view_proj, cam_pos), hiz1)
 
     def render(self, quad_pool, visible_slots, counts_sel, positions_sel,
                view_proj, cam_pos):

@@ -492,3 +492,58 @@ def test_render_frame_rejects_nonempty_pipeline():
         eng.render_frame(dt=0.0)
     assert eng.flush_pipeline() is not None
     eng.render_frame(dt=0.0)  # empty pipeline: serial works again
+
+
+def test_fused_insert_frames_bit_identical():
+    """The streaming fast path (remesh batch folded into the frame's
+    render dispatch: QuadPool.prepare_insert_payload + renderer
+    render_fused_insert) renders bit-identically to the separate
+    insert_many + render path, across a streaming camera flight, and
+    leaves identical pool state (including the device counts6 mirror
+    and the packed int16/f32-in-u32 frame upload roundtrip)."""
+    def flight(eng):
+        frames = []
+        for _ in range(12):
+            # fast flight: crosses a chunk boundary every ~2 frames, so
+            # world.update streams and the remesh batch folds into the
+            # frame (the fused path under test)
+            eng.camera.position = (
+                eng.camera.position + np.array([18.0, 0.0, -9.0],
+                                               np.float32))
+            eng.camera.yaw += 0.015
+            r = eng.render_frame(dt=0.0)
+            frames.append((r.color_numpy().copy(), r.depth_numpy().copy(),
+                           np.asarray(r.stats).copy()))
+        return frames
+
+    eng_a = _small_engine()
+    eng_a.fused_insert = False
+    eng_a.world.generate_region((-3, -1, -3), (3, 1, 3))
+    eng_a.prime()
+    base = flight(eng_a)
+
+    eng_b = _small_engine()
+    assert eng_b.fused_insert
+    eng_b.world.generate_region((-3, -1, -3), (3, 1, 3))
+    eng_b.prime()
+    fused_hits = [0]
+    orig_rfi = eng_b.renderer.render_fused_insert
+    def _spy(*a, **k):
+        out = orig_rfi(*a, **k)
+        if out is not None:
+            fused_hits[0] += 1
+        return out
+    eng_b.renderer.render_fused_insert = _spy
+    fused = flight(eng_b)
+    assert fused_hits[0] > 0, "flight never took the fused-insert path"
+
+    for i, (a, b) in enumerate(zip(base, fused)):
+        np.testing.assert_array_equal(a[0], b[0], err_msg=f"frame {i}")
+        np.testing.assert_array_equal(a[1], b[1], err_msg=f"frame {i}")
+        np.testing.assert_array_equal(a[2][:2], b[2][:2])
+    # pool device state converged identically
+    np.testing.assert_array_equal(np.asarray(eng_a.pool.counts6_dev),
+                                  np.asarray(eng_b.pool.counts6_dev))
+    np.testing.assert_array_equal(np.asarray(eng_a.pool.quads),
+                                  np.asarray(eng_b.pool.quads))
+    np.testing.assert_array_equal(eng_a.pool.counts6, eng_b.pool.counts6)
