@@ -205,7 +205,13 @@ def main():
     # are bit-identical to the serial mode (tested + asserted here).
     pipe_fps = 0.0
     if not args.quick:
-        eng.warm_buckets(pipelined=True)  # compile outside the clock
+        # compile the pipelined steps for the CURRENT bucket only,
+        # outside the clock (a full warm_buckets(pipelined=True) is 16
+        # cold compiles through the relay toolchain; the static pass
+        # never leaves its bucket)
+        eng.render_frame_pipelined(dt=0.0)
+        eng.render_frame_pipelined(dt=0.0)
+        eng.flush_pipeline()
         res_p = None
         t0 = time.time()
         for _ in range(args.frames):

@@ -657,12 +657,16 @@ class Engine:
                           (1, 513), (4, 513)):
             self.pool.insert_many([(fake, np.zeros(width, np.uint32))] * bs)
         if self.fused_insert:
-            # warm the fused insert+render jit for every capacity bucket
-            # (the streaming fast path; one trace each, else the first
-            # streaming frame pays ~2.5 s mid-flight).  The payload
-            # rewrites the throwaway slot; the draw list is synthetic —
-            # one chunk whose HOST count picks the bucket (the device
-            # expansion reads the counts6 MIRROR, which stays tiny).
+            # warm the fused insert+render jit (the streaming fast path;
+            # one trace each, else the first streaming frame pays ~2.5 s
+            # mid-flight).  Each capacity bucket is its own compile
+            # (minutes cold through the relay toolchain), so warm only
+            # the buckets a flight plausibly hits: the current draw
+            # list's bucket and its smaller neighbor when known (render
+            # a frame before calling warm_streaming), else all.  The
+            # payload rewrites the throwaway slot; the draw list is
+            # synthetic — one chunk whose HOST count picks the bucket
+            # (the device expansion reads the counts6 MIRROR).
             payload = self.pool.prepare_insert_payload(
                 [(fake, np.zeros(4, np.uint32))])
             assert payload is not None
@@ -673,7 +677,12 @@ class Engine:
             ps = np.zeros((vcap, 3), np.int32)
             vp = np.eye(4, dtype=np.float32)
             campos = np.zeros(3, np.float32)
-            for cap in self.renderer.gather_buckets:
+            buckets = list(self.renderer.gather_buckets)
+            if self._upload_cache is not None:
+                cur = int(self._upload_cache[1][0].shape[0])
+                i = buckets.index(cur) if cur in buckets else 0
+                buckets = buckets[max(0, i - 1):i + 2]
+            for cap in buckets:
                 cs = np.zeros((vcap, 6), np.int32)
                 # counts are NOT part of the int16 meta (META5 reads the
                 # device mirror); the host value only selects the bucket
