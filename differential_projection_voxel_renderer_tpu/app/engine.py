@@ -679,7 +679,11 @@ class Engine:
             campos = np.zeros(3, np.float32)
             buckets = list(self.renderer.gather_buckets)
             if self._upload_cache is not None:
-                cur = int(self._upload_cache[1][0].shape[0])
+                # current bucket from the cached draw list (the fused
+                # frame paths no longer return the expanded stream)
+                total = int((self._last_counts_sel
+                             * self._last_dir_mask).sum())
+                cur = self.renderer.bucket_for(total)
                 i = buckets.index(cur) if cur in buckets else 0
                 buckets = buckets[max(0, i - 1):i + 2]
             for cap in buckets:
@@ -857,9 +861,9 @@ class Engine:
                 self._last_positions_sel, vp, cam.position, payload,
                 dir_mask=self._last_dir_mask)
             if out is not None:
-                pool2, c6b, color, depth, stats, uploads = out
+                pool2, c6b, color, depth, stats = out
                 self.pool.adopt_device_arrays(pool2, c6b)
-                self._upload_cache = (sig, uploads)
+                self._upload_cache = (sig, None)
                 self._frame_bookkeeping(stats, n, frame_t0)
                 return FrameResult(color, depth, stats, n,
                                    n_visible_meshes)
@@ -868,6 +872,15 @@ class Engine:
             self.pool.dispatch_insert_payload(payload)
         if self._upload_cache is not None and self._upload_cache[0] == sig:
             uploads = self._upload_cache[1]
+            if uploads is None:
+                # the draw list settled after moving/streaming frames
+                # (whose fused dispatches do not return the expanded
+                # stream): re-expand ONCE and reuse from here on
+                uploads = self.renderer.prepare_uploads(
+                    self.pool.quads, self._last_visible_slots,
+                    self._last_counts_sel, self._last_positions_sel,
+                    dir_mask=self._last_dir_mask)
+                self._upload_cache = (sig, uploads)
             if self.config.temporal_hiz and cam_same:
                 # static frame: cull against the previous frame's depth
                 # pyramid — exact (same camera/world/draw list), and the
@@ -945,7 +958,9 @@ class Engine:
             # the pending batch with the standalone scatter
             self.pool.dispatch_insert_payload(self._pending_insert)
             self._pending_insert = None
-        if self._upload_cache is not None and self._upload_cache[0] == sig:
+        if (self._upload_cache is not None
+                and self._upload_cache[0] == sig
+                and self._upload_cache[1] is not None):
             out = self.renderer.render_prepared_pipelined(
                 self._upload_cache[1], vp, cam.position)
         else:

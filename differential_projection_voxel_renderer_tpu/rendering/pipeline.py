@@ -626,8 +626,14 @@ def _expand_uploads_impl(quad_pool, slots_sel, counts6_sel, mask6_sel,
     starts_flat = jnp.cumsum(lens) - lens
     within = jnp.arange(gather_cap, dtype=jnp.int32) - starts_flat[unit]
     row_idx = row_start[unit] + within
-    quads = quad_pool[slot_of,
-                      jnp.clip(row_idx, 0, quad_pool.shape[1] - 1)]
+    # FLATTENED pool gather: `pool[slot_of, row_idx]` (two index vectors)
+    # lowers to a slow multi-dim gather on TPU — the same trap NOTES.md
+    # records for the hiz pyramid query ("2D advanced-index gathers are
+    # scalarized"); one flat index is a single fast gather.  Same
+    # elements, bit-identical stream.
+    qcap = quad_pool.shape[1]
+    quads = quad_pool.reshape(-1)[
+        slot_of * qcap + jnp.clip(row_idx, 0, qcap - 1)]
     wq = jnp.stack([(positions_sel[:, a].astype(jnp.float32) * 32.0)[ci]
                     for a in range(3)])
     return quads, wq, lens.sum().astype(jnp.int32)
@@ -855,14 +861,29 @@ def _fused_frame(quad_pool, meta_i, cam_f, *, vcap: int,
     return color, depth, stats, quads, quad_world, total
 
 
-def _fused_frame5(quad_pool, counts6_pool, meta_i, cam_f, *, vcap: int,
+def _fused_frame5(quad_pool, counts6_pool, frame_u, *, vcap: int,
                   gather_cap: int, **step_kw):
     """_fused_frame with the META5 draw-list upload: per-dir counts are
     GATHERED from the pool's device-resident counts6 mirror instead of
     shipped per frame — 11 -> 5 shorts/chunk of H2D on every
     draw-list-changed (streaming/moving) frame.  Padding entries carry
     slot 0 with a zero dir mask, so the stale-mirror hazard is nil: every
-    gathered length is counts * mask = 0 for them (see QuadPool)."""
+    gathered length is counts * mask = 0 for them (see QuadPool).
+
+    ``frame_u`` u32[5*vcap/2 + 19] packs the int16 meta AND the f32
+    camera into ONE upload: each separate host->device transfer costs
+    ~a round trip on relay-attached hosts (NOTES.md), and every
+    moving-camera frame takes this path.
+
+    Returns (color, depth, stats) ONLY — the expanded stream buffers
+    (2.5 MB at the vd12 cap) are per-frame garbage while the camera
+    moves (the upload cache is keyed on the draw list, which changes
+    every moving frame); when the camera STOPS, the engine re-expands
+    once via prepare_uploads and reuses that."""
+    n_meta = (META5_SHORTS * vcap) // 2
+    bcast = jax.lax.bitcast_convert_type
+    meta_i = bcast(frame_u[:n_meta], jnp.int16).reshape(-1)
+    cam_f = bcast(frame_u[n_meta:n_meta + 19], jnp.float32)
     slots_sel, mask6_sel, positions_sel = _unpack_meta5(meta_i, vcap)
     counts6_sel = counts6_pool[slots_sel]
     view_proj, cam_pos = _unpack_cam(cam_f)
@@ -878,7 +899,7 @@ def _fused_frame5(quad_pool, counts6_pool, meta_i, cam_f, *, vcap: int,
         color, depth, stats = _render_step(
             quads, quad_world, total, view_proj, cam_pos,
             gather_cap=gather_cap, **step_kw)
-    return color, depth, stats, quads, quad_world, total
+    return color, depth, stats
 
 
 def _pipe_fused5(quad_pool, counts6_pool, meta_i, cam_c,
@@ -930,7 +951,8 @@ def _fused_frame_insert(quad_pool, counts6_pool, frame_u, *, vcap: int,
     The pool scatter (app/engine.apply_insert_payload — shared code) runs
     BEFORE the expansion, so this frame's draw list can reference the
     just-inserted meshes.  ``quad_pool``/``counts6_pool`` are donated;
-    returns (pool', counts6', color, depth, stats, uploads...)."""
+    returns (pool', counts6', color, depth, stats) — see _fused_frame5
+    on why the expanded stream buffers are not returned."""
     n_meta = (META5_SHORTS * vcap) // 2
     bcast = jax.lax.bitcast_convert_type
     meta_i = bcast(frame_u[:n_meta], jnp.int16).reshape(-1)
@@ -953,7 +975,7 @@ def _fused_frame_insert(quad_pool, counts6_pool, frame_u, *, vcap: int,
         color, depth, stats = _render_step(
             quads, quad_world, total, view_proj, cam_pos,
             gather_cap=gather_cap, **step_kw)
-    return pool2, c6b, color, depth, stats, quads, quad_world, total
+    return pool2, c6b, color, depth, stats
 
 
 def _step_camf_hiz(quads, quad_world, n_quads, cam_f, hiz1, *,
@@ -1179,8 +1201,18 @@ class Renderer:
         for cap in self.gather_buckets:
             step, fused, fused5 = self._steps_for(cap)
             if counts6_pool is not None:
-                _c, _d, _s, quads, quad_world, total_dev = fused5(
-                    quad_pool, counts6_pool, jnp.asarray(meta), cam)
+                frame_u = np.concatenate([
+                    meta.view(np.uint32),
+                    np.asarray(cam).view(np.uint32)])
+                jax.block_until_ready(fused5(
+                    quad_pool, counts6_pool, jnp.asarray(frame_u))[0])
+                # uploads for warming the plain step come from the
+                # standalone expansion (fused5 no longer returns them)
+                slots5, mask65, pos5 = _unpack_meta5(
+                    jnp.asarray(meta).astype(jnp.int32), vcap)
+                quads, quad_world, total_dev = _expand_uploads(
+                    quad_pool, slots5, counts6_pool[slots5],
+                    mask65, pos5, gather_cap=cap)
                 if cap == self.gather_buckets[-1]:
                     # the 11-short truncation fallback is reachable only
                     # at the LARGEST bucket (truncated => total > every
@@ -1308,13 +1340,19 @@ class Renderer:
         # so legacy-counts callers always take the 11-short layout
         legacy_counts = np.asarray(counts_sel).ndim == 1
         if counts6_dev is not None and not truncated and not legacy_counts:
-            meta = _pack_meta5(vcap, slots_a, mask6, pos_a)
-            color, depth, stats, quads, quad_world, total_dev = fused5(
-                quad_pool, counts6_dev, jnp.asarray(meta), cam)
-        else:
-            meta = _pack_meta(vcap, slots_a, counts6, mask6, pos_a)
-            color, depth, stats, quads, quad_world, total_dev = fused(
-                quad_pool, jnp.asarray(meta), cam)
+            frame_u = np.concatenate([
+                _pack_meta5(vcap, slots_a, mask6, pos_a).view(np.uint32),
+                _pack_cam(view_proj, cam_pos).view(np.uint32),
+            ])
+            color, depth, stats = fused5(
+                quad_pool, counts6_dev, jnp.asarray(frame_u))
+            # the expanded stream is NOT returned (2.5 MB of per-frame
+            # outputs that are garbage while the camera moves); callers
+            # re-expand via prepare_uploads when the draw list settles
+            return color, depth, stats, None
+        meta = _pack_meta(vcap, slots_a, counts6, mask6, pos_a)
+        color, depth, stats, quads, quad_world, total_dev = fused(
+            quad_pool, jnp.asarray(meta), cam)
         return color, depth, stats, (quads, quad_world, total_dev)
 
     def _cam_dev(self, view_proj, cam_pos):
@@ -1384,8 +1422,8 @@ class Renderer:
         ])
         out = self._insert_step_for(cap)(quad_pool, counts6_dev,
                                          jnp.asarray(frame_u))
-        pool2, c6b, color, depth, stats, quads, qw, total = out
-        return pool2, c6b, color, depth, stats, (quads, qw, total)
+        pool2, c6b, color, depth, stats = out
+        return pool2, c6b, color, depth, stats
 
     # ------------------------------------------- frames-in-flight pipeline
     def _check_pipelined(self) -> None:
