@@ -547,3 +547,47 @@ def test_fused_insert_frames_bit_identical():
     np.testing.assert_array_equal(np.asarray(eng_a.pool.quads),
                                   np.asarray(eng_b.pool.quads))
     np.testing.assert_array_equal(eng_a.pool.counts6, eng_b.pool.counts6)
+
+
+def test_insert_payload_roundtrip_matches_insert_many():
+    """Property test for the fused-insert payload packer: random batches
+    of random-size meshes (incl. None/uniform entries) applied via
+    prepare_insert_payload + the device scatter must leave the pool
+    (device rows, counts6 mirror, host tables) identical to insert_many."""
+    from differential_projection_voxel_renderer_tpu.app.engine import (
+        QuadPool,
+    )
+
+    rng = np.random.default_rng(7)
+    for trial in range(4):
+        pool_a = QuadPool(slots=64, qcap=1024)
+        pool_b = QuadPool(slots=64, qcap=1024)
+        n = int(rng.integers(1, QuadPool.INSERT_KP + 1))
+        items = []
+        for i in range(n):
+            if rng.random() < 0.2:
+                items.append(((trial, i, 0), None))
+            else:
+                m = int(rng.integers(1, QuadPool.INSERT_MC + 1))
+                # dir-sorted packed quads (the pool asserts dir grouping)
+                dirs = np.sort(rng.integers(0, 6, m).astype(np.uint32))
+                q = (dirs << np.uint32(29)) | rng.integers(
+                    0, 2**20, m).astype(np.uint32)
+                items.append(((trial, i, 0), q))
+        payload = pool_a.prepare_insert_payload(items)
+        assert payload is not None
+        pool_a.dispatch_insert_payload(payload)
+        pool_b.insert_many(items)
+        np.testing.assert_array_equal(np.asarray(pool_a.quads),
+                                      np.asarray(pool_b.quads))
+        np.testing.assert_array_equal(np.asarray(pool_a.counts6_dev),
+                                      np.asarray(pool_b.counts6_dev))
+        np.testing.assert_array_equal(pool_a.counts6, pool_b.counts6)
+        np.testing.assert_array_equal(pool_a.counts, pool_b.counts)
+        assert pool_a.by_pos == pool_b.by_pos
+    # over-limit batches refuse (the caller falls back to insert_many)
+    big = [((9, i, 9), np.zeros(4, np.uint32))
+           for i in range(QuadPool.INSERT_KP + 1)]
+    assert QuadPool(slots=64, qcap=1024).prepare_insert_payload(big) is None
+    wide = [((9, 0, 9), np.zeros(QuadPool.INSERT_MC + 1, np.uint32))]
+    assert QuadPool(slots=64, qcap=1024).prepare_insert_payload(wide) is None
