@@ -91,7 +91,7 @@ def timeit(fn, args, k, label):
     ms = (time.time() - t0) / k * 1000
     log(f"{label::>10}: {ms:.3f} ms")
     print(json.dumps({"stage": label, "ms": round(ms, 4)}), flush=True)
-    return ms, out
+    return ms
 
 
 def main():
