@@ -96,6 +96,10 @@ def timeit(fn, args, k, label):
 
 def main():
     import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jaxcache")
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
     import jax.numpy as jnp
 
     from differential_projection_voxel_renderer_tpu.ops import projection as P

@@ -75,6 +75,12 @@ def main():
     out["cam_target"] = cam_target
     out["framebuffer"] = res.color_numpy()
 
+    # Provenance marker (VERDICT r4 #7): the fixture loader
+    # (tests/test_perlin_fixtures.py _fixture) surfaces this and prefers
+    # a golden_terrain_reference.npz (provenance "reference-generated")
+    # over this file the moment one can be produced from the Rust build.
+    out["provenance"] = np.array("self-generated")
+
     path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                         "golden_terrain.npz")
     np.savez_compressed(path, **out)
