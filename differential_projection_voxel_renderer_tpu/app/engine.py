@@ -497,6 +497,23 @@ class Engine:
         # the fused layout
         self.fused_insert = True
         self._pending_insert: np.ndarray | None = None
+        # One-frame-stale pool mode (opt-in; DPVR_STALE_POOL=1 or set
+        # this flag): a streaming frame renders from the pool AS OF the
+        # previous frame and the frame's remesh batch is meshed +
+        # inserted AFTER the render dispatch goes out.  This breaks the
+        # donated-pool dependency chain — on relay-attached hosts every
+        # streaming frame's dispatch otherwise consumes the PREVIOUS
+        # frame's still-pending pool output, which the relay resolves
+        # synchronously (~a round trip per frame, NOTES.md round 4) —
+        # and overlaps host meshing with the device render.  Fidelity
+        # cost, bounded and documented: the remesh batch lands ONE frame
+        # late — a newly streamed chunk appears one frame after the
+        # serial mode would show it, and a remeshed neighbor shows its
+        # previous mesh for that one frame.  Nothing else differs
+        # (tested: tests/test_engine.py stale-pool cases).
+        self.stale_streaming = bool(
+            int(os.environ.get("DPVR_STALE_POOL", "0") or "0"))
+        self._stale_stash: list = []
         assert (QuadPool.INSERT_KP == Renderer.INSERT_KP
                 and QuadPool.INSERT_MC == Renderer.INSERT_MC
                 and QuadPool.INSERT_FP == Renderer.INSERT_FP)
@@ -518,19 +535,17 @@ class Engine:
                         to_mesh.append(np_)
         return self._mesh_list(to_mesh)
 
-    def _remesh_positions(self, vis_pos: np.ndarray) -> int:
-        """Vectorized form of :meth:`_remesh` for the per-frame funnel:
-        the missing-chunk scan is one sorted-key join (lookup_slots)
-        instead of a Python loop over every visible chunk (~0.4 ms at
-        vd12), and the neighbor-invalidation walk is one [M, 6, 3]
-        numpy expansion + one more sorted-key join (the per-neighbor
-        Python dict probes cost ~2 us each x 6M on streaming frames)."""
+    def _missing_remesh_list(self, vis_pos: np.ndarray) -> list:
+        """The frame's remesh batch: visible-but-unmeshed chunks plus
+        their loaded-AND-meshed neighbors (border faces change;
+        main.rs:224-277).  The missing-chunk scan is one sorted-key join
+        (lookup_slots) instead of a Python loop over every visible chunk
+        (~0.4 ms at vd12); the neighbor walk is one [M, 6, 3] numpy
+        expansion + one more sorted-key join."""
         _, has = self.pool.lookup_slots(vis_pos)
         if has.all():
-            return 0
+            return []
         missing = np.asarray(vis_pos[~has], np.int64)
-        # neighbors of the missing chunks that are loaded AND meshed get
-        # remeshed too (their border faces change; main.rs:224-277)
         offs = np.asarray(self._neighbor_offsets, np.int64)  # [6, 3]
         nbrs = (missing[:, None, :] + offs[None, :, :]).reshape(-1, 3)
         _, nb_meshed = self.pool.lookup_slots(nbrs)
@@ -539,7 +554,11 @@ class Engine:
         to_mesh = [tuple(p) for p in missing.tolist()]
         to_mesh += [pos for p in keep.tolist()
                     if (pos := (p[0], p[1], p[2])) in loaded]
-        return self._mesh_list(to_mesh, defer=True)
+        return to_mesh
+
+    def _remesh_positions(self, vis_pos: np.ndarray) -> int:
+        return self._mesh_list(self._missing_remesh_list(vis_pos),
+                               defer=True)
 
     def _mesh_list(self, to_mesh, defer: bool = False) -> int:
         if not to_mesh:
@@ -766,7 +785,14 @@ class Engine:
             )
             self._visible_cache = vis_pos
             if not (cam_same and world_v == self._seen_world_version):
-                self._remesh_positions(vis_pos)
+                if self.stale_streaming:
+                    # stale-pool mode: collect the batch now, mesh +
+                    # insert it AFTER the render dispatch (frame entry
+                    # points apply _stale_stash); this frame's draw list
+                    # is built from the pre-insert pool below
+                    self._stale_stash += self._missing_remesh_list(vis_pos)
+                else:
+                    self._remesh_positions(vis_pos)
                 if self.world.unload_version != self._seen_unload_version:
                     # retention only matters after an UNLOAD; streaming
                     # frames bump world.version every frame but unload
@@ -837,6 +863,16 @@ class Engine:
                counts_sel[:n].tobytes(), mask_sel[:n].tobytes())
         return vp, sig, n, n_visible_meshes, cam_same
 
+    def _apply_stale_stash(self) -> None:
+        """Stale-pool mode: mesh + insert the batch collected by this
+        frame's funnel, AFTER the frame's render dispatch went out (the
+        host meshing overlaps the device render; the insert's donated
+        pool output is consumed no earlier than the NEXT frame's
+        dispatch, by which time it has long completed)."""
+        if self._stale_stash:
+            stash, self._stale_stash = self._stale_stash, []
+            self._mesh_list(stash, defer=False)
+
     def render_frame(self, dt: float = 0.016) -> FrameResult:
         if (self.renderer._pipe_carry is not None
                 or self.renderer._pipe_done is not None):
@@ -864,6 +900,7 @@ class Engine:
                 pool2, c6b, color, depth, stats = out
                 self.pool.adopt_device_arrays(pool2, c6b)
                 self._upload_cache = (sig, None)
+                self._apply_stale_stash()
                 self._frame_bookkeeping(stats, n, frame_t0)
                 return FrameResult(color, depth, stats, n,
                                    n_visible_meshes)
@@ -911,6 +948,7 @@ class Engine:
                              else self.pool.counts6_dev),
             )
             self._upload_cache = (sig, uploads)
+        self._apply_stale_stash()
         self._frame_bookkeeping(stats, n, frame_t0)
         return FrameResult(color, depth, stats, n, n_visible_meshes)
 
@@ -972,6 +1010,7 @@ class Engine:
                              else self.pool.counts6_dev),
             )
             self._upload_cache = (sig, uploads)
+        self._apply_stale_stash()
         self._pipe_meta.append((n, n_visible_meshes))
         if out is None:
             return None

@@ -367,22 +367,19 @@ def _render_step(
             quads_c, wq_c, proj_c, tables, color_tables,
             width=width, height=height, span_mode=span_mode,
         )
-        f_full = jnp.stack(
-            [coeffs[k].astype(jnp.float32) for k in raster_ops.F_FIELDS]
-        )
-        # the screen-row range (y0|y1<<16) and near depth ride along as
-        # int rows so per-octet row bounds / suffix-min need no extra
-        # gathers
-        i_full = jnp.stack([
-            coeffs["color_even"].astype(jnp.int32),
-            coeffs["color_odd"].astype(jnp.int32),
-            coeffs["mask_lo"].astype(jnp.int32),
-            coeffs["mask_hi"].astype(jnp.int32),
-            bby_c,
-            jax.lax.bitcast_convert_type(dn_c, jnp.int32),
-        ])
 
         if use_packed:
+            f_full = jnp.stack(
+                [coeffs[k].astype(jnp.float32) for k in raster_ops.F_FIELDS]
+            )
+            i_full = jnp.stack([
+                coeffs["color_even"].astype(jnp.int32),
+                coeffs["color_odd"].astype(jnp.int32),
+                coeffs["mask_lo"].astype(jnp.int32),
+                coeffs["mask_hi"].astype(jnp.int32),
+                bby_c,
+                jax.lax.bitcast_convert_type(dn_c, jnp.int32),
+            ])
             return _packed_tail(
                 f_full, i_full, bbx_c, bby_c, count_c, overflow,
                 n_quads, count, subpix_total,
@@ -391,6 +388,26 @@ def _render_step(
                 interpret=interpret,
                 debug_return_records=debug_return_records,
             )
+
+        # ALL per-item state that must cross the binning — the 20 record
+        # rows AND the two metadata rows (screen-row range, near depth) —
+        # stacks into ONE [22, rc] int32 array so the binning costs ONE
+        # multi-row gather (VERDICT r4 #1, the XLA half of the "narrow
+        # mega-kernel": the f32 record rows and int metadata rows were
+        # previously two separate multi-row gathers at ~one flat-gather
+        # cost each).  The metadata rows land in the records' former
+        # zero-padding rows 20/21, which the kernel never reads.
+        bcast22 = jax.lax.bitcast_convert_type
+        all22 = jnp.stack(
+            [bcast22(coeffs[k].astype(jnp.float32), jnp.int32)
+             for k in raster_ops.F_FIELDS]
+            + [coeffs["color_even"].astype(jnp.int32),
+               coeffs["color_odd"].astype(jnp.int32),
+               coeffs["mask_lo"].astype(jnp.int32),
+               coeffs["mask_hi"].astype(jnp.int32),
+               bby_c,
+               bcast22(dn_c, jnp.int32)]
+        )
 
         # ---- bin the compacted quads straight to framebuffer tiles
         tilebox = proj_ops.pack_tilebox(
@@ -452,36 +469,51 @@ def _render_step(
                 order6=order6, order6_dy1=order6_dy1, valid=valid_c,
             )
         )
-        f_binned = f_full[:, flat]
-        ig = i_full[:, flat]
+        g22 = all22[:, flat]
         # covered tile-local pixel-row range per item -> per-octet row
         # bounds for the kernel's row loop (aligned groups of 8 items)
         tpy0 = (t_of_item // tiles_x) * tile_h
-        ly0 = jnp.clip((ig[4] & 0xFFFF) - tpy0, 0, tile_h - 1)
-        ly1 = jnp.clip((ig[4] >> 16) - tpy0, 0, tile_h - 1)
+        bby_g = g22[20]
+        ly0 = jnp.clip((bby_g & 0xFFFF) - tpy0, 0, tile_h - 1)
+        ly1 = jnp.clip((bby_g >> 16) - tpy0, 0, tile_h - 1)
         n_oct = flat.shape[0] // 8
         octet_rows = (jnp.min(ly0.reshape(n_oct, 8), axis=1)
                       | (jnp.max(ly1.reshape(n_oct, 8), axis=1) << 8))
-        # suffix-min of near depth to the end of each tile's segment
-        # (segmented by tile id; padding slots forced to +inf) — the
-        # kernel's exact occlusion break key
+        # Suffix-min of near depth to the end of each tile's segment —
+        # the kernel's occlusion-break key — as ONE reverse cummin over a
+        # packed (tile, order-mapped depth) uint32 key instead of the
+        # previous tuple-segmented associative_scan (half the scanned
+        # data, a plain `min` combinator).  The tile id rides in the high
+        # bits: t_of_item is non-decreasing over the stream, so a
+        # position's suffix minimum always carries its OWN tile's id and
+        # the depth bits never leak across segments.  Depth is the
+        # standard total-order bit map of f32, floor-quantized by the
+        # tile-bit shift — the unmapped value is a LOWER bound on the
+        # true segment suffix-min (<= 2^-14 relative slack at 460 tiles),
+        # so the break stays strictly conservative: it can only fire
+        # later than the exact key would, never skip a winnable blend —
+        # frames are bit-identical (tested vs the jnp twin, which uses no
+        # break at all).
         n_kept = tile_starts[-1] + tile_counts[-1]
-        dn_i = jnp.where(jnp.arange(flat.shape[0]) < n_kept,
-                         jax.lax.bitcast_convert_type(ig[5], jnp.float32),
-                         jnp.inf)
-        def _segmin(a, b):
-            return (b[0], jnp.where(a[0] == b[0],
-                                    jnp.minimum(a[1], b[1]), b[1]))
-        _, dn_r = jax.lax.associative_scan(
-            _segmin, (t_of_item[::-1], dn_i[::-1]))
-        octet_zmin = dn_r[::-1].reshape(n_oct, 8)[:, 0]
-        # field-major records [24, ITEM_CAP] (floats bitcast; rows padded
-        # to the sublane tile) — the kernel transposes per 256-item block
+        bits_t = max(1, (tiles_y * tiles_x).bit_length())
+        dn_u = jax.lax.bitcast_convert_type(g22[21], jnp.uint32)
+        omap = dn_u ^ jnp.where((dn_u >> 31) != 0,
+                                jnp.uint32(0xFFFFFFFF), jnp.uint32(1 << 31))
+        packed_key = ((t_of_item.astype(jnp.uint32) << (32 - bits_t))
+                      | (omap >> bits_t))
+        packed_key = jnp.where(jnp.arange(flat.shape[0]) < n_kept,
+                               packed_key, jnp.uint32(0xFFFFFFFF))
+        sfx = jax.lax.cummin(packed_key, axis=0, reverse=True)
+        zq = (sfx << bits_t)  # floor of the order-mapped depth key
+        zbits = jnp.where((zq >> 31) != 0, zq ^ jnp.uint32(1 << 31), ~zq)
+        zmin_all = jax.lax.bitcast_convert_type(zbits, jnp.float32)
+        octet_zmin = zmin_all.reshape(n_oct, 8)[:, 0]
+        # field-major records [24, ITEM_CAP] (floats bitcast; rows 20/21
+        # carry the metadata rows, rows 22/23 pad to the sublane tile —
+        # the kernel reads rows [0, 20) only and transposes per block
         records = jnp.concatenate([
-            jax.lax.bitcast_convert_type(f_binned, jnp.int32),
-            ig[:4],
-            jnp.zeros((24 - len(raster_ops.REC_FIELDS), flat.shape[0]),
-                      jnp.int32),
+            g22,
+            jnp.zeros((2, flat.shape[0]), jnp.int32),
         ])
         if debug_return_records:  # stage profiling hook (benches/)
             return records, tile_starts, tile_counts, octet_rows, octet_zmin
