@@ -80,26 +80,46 @@ def main():
     # ~3x on this relay (NOTES.md), so neither ordering within one
     # process measures it honestly.
     fly_line = None
+    fly_stale = None
     if not args.quick:
         import subprocess
 
-        try:
+        def _fly(env_extra):
             out = subprocess.run(
                 [sys.executable,
                  os.path.join(os.path.dirname(os.path.abspath(__file__)),
                               "benches", "flythrough_bench.py"),
                  str(args.vd)],
                 capture_output=True, text=True, timeout=3600,
+                env={**os.environ, **env_extra},
             )
             lines = [l for l in out.stdout.splitlines()
                      if l.startswith("FLYTHROUGH")]
-            if lines:
-                _, f1, f2 = lines[0].split()
-                fly_line = (f"flythrough (streaming + remesh + moving "
-                            f"camera, fresh process): {f1} FPS primed / "
-                            f"{f2} FPS streaming")
+            if not lines:
+                raise RuntimeError(out.stderr[-400:])
+            _, f1, f2 = lines[0].split()
+            return float(f1), float(f2)
+
+        try:
+            f1, f2 = _fly({})
+            fly_line = (f"flythrough (streaming + remesh + moving "
+                        f"camera, fresh process): {f1} FPS primed / "
+                        f"{f2} FPS streaming")
+            # one-frame-stale pool mode (VERDICT r4 #2): a streaming
+            # frame's remesh batch is meshed + inserted AFTER its render
+            # dispatch, so no dispatch consumes the previous frame's
+            # still-pending donated pool output (the round-trip-per-frame
+            # chain on relay hosts).  New chunks appear one frame late —
+            # bounded staleness, contract-tested in tests/test_engine.py.
+            s1, s2 = _fly({"DPVR_STALE_POOL": "1"})
+            fly_stale = (f"flythrough stale-pool mode (new chunks render "
+                         f"1 frame late): {s1} FPS primed / {s2} FPS "
+                         f"streaming")
         except Exception as e:  # pragma: no cover
-            fly_line = f"(flythrough subprocess failed: {e})"
+            if fly_line is None:
+                fly_line = f"(flythrough subprocess failed: {e})"
+            else:
+                fly_stale = f"(stale-pool flythrough failed: {e})"
 
     import jax
 
@@ -412,6 +432,8 @@ def main():
 
     if fly_line:
         log(fly_line)
+    if fly_stale:
+        log(fly_stale)
 
     print(json.dumps({
         "metric": f"fps_1280x720_vd{args.vd}_textured_shaded",

@@ -170,18 +170,17 @@ class QuadPool:
         self._dev_cache = None
         self._lookup_cache = None
 
-    def insert_rows_device(self, positions, quad_rows, counts) -> None:
+    def insert_rows_device(self, positions, quad_rows, counts, c6) -> None:
         """Batched insert of device-resident quad rows (the device-meshing
-        path): one device-to-device scatter, no quad H2D.  Per-dir counts
-        come from one small device reduction (the dir-skip gather needs
-        them; the D2H is 6*k ints)."""
+        path): one device-to-device scatter, no quad H2D.  ``c6`` is the
+        per-dir histogram for the HOST mirror, computed inside the meshing
+        dispatch (ops/meshing_jax._mesh_chunks_jit) — fetching it from the
+        quad rows here used to download the whole [k, qcap] buffer.
+        Duplicate positions are allowed iff their rows are identical
+        (the bucket-padding contract): the duplicate-index scatter then
+        writes the same data whatever order XLA picks."""
         k = len(positions)
         assert quad_rows.shape == (k, self.qcap)
-        in_count = (np.arange(self.qcap)[None, :]
-                    < np.asarray(counts, np.int64)[:, None])
-        dirs = np.asarray((quad_rows >> 29) & jnp.uint32(7))
-        c6 = np.stack([((dirs == d) & in_count).sum(1)
-                       for d in range(6)], axis=1).astype(np.int32)
         slots = np.zeros(k, np.int32)
         for i, pos in enumerate(positions):
             key = tuple(int(c) for c in pos)
@@ -624,12 +623,21 @@ class Engine:
                 part = positions[i:i + chunk_size]
                 planes = MJ.neighbor_planes_from_batch(blocks_by_pos, part)
                 batch = np.stack([blocks_by_pos[p] for p in part])
-                quads, counts, overflow = MJ.mesh_chunks_device(
-                    jnp.asarray(batch), jnp.asarray(planes),
-                    qcap=self.pool.qcap)
-                self.pool.insert_rows_device(part, quads,
-                                             np.asarray(counts))
-                self.pool.overflow_drops += int(np.asarray(overflow).sum())
+                # bucketed jit (ops/meshing_jax.MESH_BUCKETS): streaming
+                # batch sizes vary per frame; unbucketed this retraced the
+                # whole meshing program every frame (435 ms/frame, NOTES)
+                quads, counts, overflow, c6, bucket = (
+                    MJ.mesh_chunks_device_bucketed(
+                        batch, planes, qcap=self.pool.qcap))
+                if bucket != len(part):
+                    # padding = repeats of chunk 0 -> identical rows, so
+                    # the duplicate-slot scatter is deterministic
+                    pad = bucket - len(part)
+                    part = part + [part[0]] * pad
+                    counts = np.concatenate([counts, counts[:1].repeat(pad)])
+                    c6 = np.concatenate([c6, c6[:1].repeat(pad, axis=0)])
+                self.pool.insert_rows_device(part, quads, counts, c6)
+                self.pool.overflow_drops += int(overflow.sum())
         return len(to_mesh)
 
     # ------------------------------------------------------- runtime toggles

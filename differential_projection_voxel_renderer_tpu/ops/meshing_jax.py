@@ -215,6 +215,68 @@ def mesh_chunks_device(blocks, neighbor_planes, *, max_steps: int = 64,
     return out, jnp.minimum(counts, qcap), q_overflow.astype(jnp.int32)
 
 
+# streaming batch sizes vary frame to frame (0-16 chunks at the engine's
+# max_chunks_per_frame, up to 512 in bulk priming); without a shape ladder
+# every new size retraces + recompiles the whole meshing program (measured
+# 435 ms/frame while streaming, NOTES round 3).  Pad to these buckets —
+# same trick as QuadPool.insert_many's pow2 batch ladder.
+MESH_BUCKETS = (1, 2, 4, 8, 16, 32, 64, 128, 256, 512)
+
+
+def mesh_bucket_for(b: int) -> int:
+    for m in MESH_BUCKETS:
+        if b <= m:
+            return m
+    return MESH_BUCKETS[-1]
+
+
+@functools.partial(jax.jit, static_argnames=("max_steps", "qcap"))
+def _mesh_chunks_jit(blocks, neighbor_planes, *, max_steps: int, qcap: int):
+    """One compiled program per (bucket, qcap): meshing + the per-dir
+    histogram the pool's host mirror needs, folded into the same dispatch
+    so the caller fetches ONE small [B, 8] int32 array (count | overflow |
+    counts6) instead of pulling the [B, qcap] quad rows to the host (the
+    other half of the 435 ms/frame streaming cost: insert_rows_device used
+    to download every quad row just to histogram the face-dir bits)."""
+    quads, counts, overflow = mesh_chunks_device(
+        blocks, neighbor_planes, max_steps=max_steps, qcap=qcap)
+    dirs = (quads >> U32(29)) & U32(7)
+    in_count = jnp.arange(qcap, dtype=jnp.int32)[None, :] < counts[:, None]
+    c6 = jnp.stack(
+        [((dirs == U32(d)) & in_count).sum(axis=1) for d in range(6)],
+        axis=1,
+    ).astype(jnp.int32)
+    meta = jnp.concatenate(
+        [counts[:, None], overflow[:, None], c6], axis=1)
+    return quads, meta
+
+
+def mesh_chunks_device_bucketed(blocks: np.ndarray, planes: np.ndarray, *,
+                                max_steps: int = 64, qcap: int = 4096):
+    """Shape-bucketed jitted front end for streaming/bulk use
+    (VERDICT r4 #8).  Pads the batch to the next MESH_BUCKETS size by
+    REPEATING chunk 0 (duplicate chunks mesh to identical rows, so a
+    duplicate-index pool scatter stays deterministic — QuadPool's
+    established padding contract) and returns
+    ``(quads_dev u32[bucket, qcap], counts i32[b], overflow i32[b],
+    c6 i32[b, 6], bucket)`` with the host metadata arriving in one small
+    D2H fetch."""
+    b = blocks.shape[0]
+    assert b >= 1
+    bucket = mesh_bucket_for(b)
+    if bucket != b:
+        rep = np.broadcast_to(blocks[0], (bucket - b,) + blocks.shape[1:])
+        blocks = np.concatenate([blocks, rep])
+        repp = np.broadcast_to(planes[0], (bucket - b,) + planes.shape[1:])
+        planes = np.concatenate([planes, repp])
+    quads, meta = _mesh_chunks_jit(
+        jnp.asarray(blocks), jnp.asarray(planes),
+        max_steps=max_steps, qcap=qcap)
+    meta = np.asarray(meta)  # ONE [bucket, 8] fetch
+    return (quads, meta[:b, 0].copy(), meta[:b, 1].copy(),
+            meta[:b, 2:].copy(), bucket)
+
+
 def neighbor_planes_from_batch(blocks_by_pos: dict, positions) -> np.ndarray:
     """Host helper: assemble bool[B, 6, 32, 32] neighbor planes for a batch
     of chunk positions from a {pos: uint8[32,32,32]} dict (missing

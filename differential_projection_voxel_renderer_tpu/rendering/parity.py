@@ -215,16 +215,124 @@ def run_selftests(*, interpret=False, seed=42):
     """Every kernel configuration's parity gate, each named: the solo
     kernel (128x128, tiles_x=1 degrades stream_group to 1), the
     production shared-stream kernel (640x128: tiles_x=5 -> sg5 + bq1024,
-    the exact configuration the 1280x720 headline frame compiles), and
-    the frames-in-flight fused-geometry configuration (the pipelined
-    mode's raster call with the next-frame stage-A pass riding in it).
+    the exact configuration the 1280x720 headline frame compiles), the
+    frames-in-flight fused-geometry configuration (the pipelined
+    mode's raster call with the next-frame stage-A pass riding in it),
+    and — on hardware only — the streaming fused insert+render frame.
     Returns e.g. "solo@128x128: exact | sg5+bq1024@640x128: exact |
-    pipelined@640x128: exact"."""
+    pipelined@640x128: exact | fused-insert@640x128: exact"."""
     v1 = run_hardware_selftest(interpret=interpret, seed=seed)
     v2 = run_hardware_selftest(interpret=interpret, seed=seed, width=640)
     v3 = run_pipelined_selftest(interpret=interpret, seed=seed)
-    return (f"solo@128x128: {v1} | sg5+bq1024@640x128: {v2} | "
-            f"pipelined@640x128: {v3}")
+    parts = [f"solo@128x128: {v1}", f"sg5+bq1024@640x128: {v2}",
+             f"pipelined@640x128: {v3}"]
+    if not interpret:
+        # the fused-insert gate drives the full Renderer (whose pallas
+        # path always compiles via Mosaic, interpret=False); interpret
+        # mode is covered by tests/test_engine.py's engine-level
+        # bit-identity cases on the jnp twin
+        v4 = run_fused_insert_selftest(seed=seed)
+        parts.append(f"fused-insert@640x128: {v4}")
+    return " | ".join(parts)
+
+
+def fuzz_chunk_mono(seed=43):
+    """A single-block-type heightfield variant of ``fuzz_chunk``: greedy
+    merging collapses it to well under the fused-insert payload's
+    per-mesh cap (Renderer.INSERT_MC = 512 quads), so it can arrive via
+    the one-dispatch streaming path."""
+    from ..models.chunk import Chunk
+
+    rng = np.random.default_rng(seed)
+    x = np.arange(32)
+    hx = np.sin(x / 32 * 8 + rng.uniform(0, 3)) * 3
+    hz = np.cos(np.arange(32) / 32 * 6 + rng.uniform(0, 3)) * 3
+    # quantize to 4-block terraces: top faces then merge into large
+    # rectangles (a smooth heightfield meshes to ~1000 quads — over cap)
+    height = ((hx[None, :] + hz[:, None] + 10) // 4) * 4  # [z, x]
+    y = np.arange(32)[None, :, None]
+    solid = y < height[:, None, :]
+    blocks = np.where(solid, np.uint8(1), np.uint8(0)).astype(np.uint8)
+    return Chunk.varied((0, 0, 0), blocks)
+
+
+def run_fused_insert_selftest(*, seed=42, size=128, width=640):
+    """Streaming fused insert+render gate (VERDICT r4 #5): a frame whose
+    remesh batch rides INSIDE the render dispatch (ONE consolidated
+    upload, pool scatter -> draw-list expansion -> render in one program;
+    rendering/pipeline._fused_frame_insert) must produce the bit-exact
+    frame AND device pool state of the separate-dispatch path
+    (QuadPool.insert_many -> prepare_uploads -> render_prepared).
+
+    This drives the REAL compiled production path on the current backend
+    through the full Renderer — the reference gates its real AVX2 path on
+    real frames (span_walker.rs:914-1141); the prior gates cover the
+    raster/geometry kernels but not the fused-insert program.  Scene:
+    fuzz chunk A pre-inserted, mono fuzz chunk B arriving via the fused
+    payload, camera seeing both."""
+    from ..app.engine import QuadPool
+    from ..meshing.greedy import mesh_chunk
+    from ..models.camera import Camera
+    from ..utils.config import RenderConfig
+    from .pipeline import Renderer
+
+    quads_a = mesh_chunk(fuzz_chunk(seed))
+    quads_b = mesh_chunk(fuzz_chunk_mono(seed + 1))
+    assert 0 < len(quads_b) <= Renderer.INSERT_MC, len(quads_b)
+    pos_a, pos_b = (0, 0, 0), (1, 0, 0)
+    cfg = RenderConfig(width=width, height=size, gather_cap=16384,
+                       quads_cap=8192, tile_k_cap=2048)
+    renderer = Renderer(cfg)
+    cam = Camera(np.array([32.0, 44.0, 56.0], np.float32), width / size)
+    cam.look_at(np.array([32.0, 8.0, 16.0], np.float32))
+    vp = cam.view_projection_matrix()
+
+    def draw_list(pool):
+        vcap = cfg.visible_chunks_cap
+        slots = np.array([pool.by_pos[pos_a], pool.by_pos[pos_b]],
+                         np.int32)
+        visible = np.zeros(vcap, np.int32)
+        counts_sel = np.zeros((vcap, 6), np.int32)
+        positions_sel = np.zeros((vcap, 3), np.int32)
+        visible[:2] = slots
+        counts_sel[:2] = pool.counts6[slots]
+        positions_sel[:2] = pool.positions[slots]
+        return visible, counts_sel, positions_sel
+
+    # separate-dispatch path: both meshes inserted up front
+    pool_s = QuadPool(slots=64, qcap=4096)
+    pool_s.insert_many([(pos_a, quads_a), (pos_b, quads_b)])
+    uploads = renderer.prepare_uploads(pool_s.quads, *draw_list(pool_s))
+    c1, d1, s1 = renderer.render_prepared(uploads, vp, cam.position)
+
+    # fused path: chunk B arrives inside the frame's dispatch
+    pool_f = QuadPool(slots=64, qcap=4096)
+    pool_f.insert_many([(pos_a, quads_a)])
+    payload = pool_f.prepare_insert_payload([(pos_b, quads_b)])
+    assert payload is not None
+    out = renderer.render_fused_insert(
+        pool_f.quads, pool_f.counts6_dev, *draw_list(pool_f),
+        vp, cam.position, payload)
+    assert out is not None, "fused-insert frame fell back"
+    pool2, c6b, c2, d2, s2 = out
+    pool_f.adopt_device_arrays(pool2, c6b)
+
+    from ..utils.config import SKY_COLOR
+
+    c1n = np.asarray(c1).view(np.uint32)
+    c2n = np.asarray(c2).view(np.uint32)
+    nonsky = int((c1n != np.uint32(SKY_COLOR)).sum())
+    assert nonsky > size * size // 4, "gate scene rendered (almost) empty"
+    np.testing.assert_array_equal(np.asarray(s1)[:2], np.asarray(s2)[:2])
+    assert_kernel_parity(c1n, np.asarray(d1), c2n, np.asarray(d2))
+    # the scattered device pool state converged to the separate path's
+    for pos in (pos_a, pos_b):
+        ss, sf = pool_s.by_pos[pos], pool_f.by_pos[pos]
+        np.testing.assert_array_equal(np.asarray(pool_s.quads)[ss],
+                                      np.asarray(pool_f.quads)[sf])
+        np.testing.assert_array_equal(np.asarray(pool_s.counts6_dev)[ss],
+                                      np.asarray(pool_f.counts6_dev)[sf])
+    return "exact"
 
 
 def run_pipelined_selftest(*, interpret=False, seed=42, size=128,

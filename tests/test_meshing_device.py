@@ -108,3 +108,46 @@ def test_mesh_chunks_device_overflow_truncates_in_order():
     host = mesh_chunk(c, [c])
     assert int(np.asarray(dovf)[0]) == len(host) - 4096
     np.testing.assert_array_equal(np.asarray(dq)[0], host[:4096])
+
+
+def test_mesh_chunks_device_bucketed_pads_and_histograms():
+    """The shape-bucketed streaming front end (VERDICT r4 #8): a batch of
+    3 chunks pads to bucket 4 by repeating chunk 0 (identical rows — the
+    duplicate-scatter contract), returns host metadata sliced back to 3,
+    and its per-dir histogram matches the host mesher's face-dir counts."""
+    rng = np.random.default_rng(11)
+    blocks = np.where(
+        rng.random((32, 32, 32)) < 0.08,
+        rng.integers(1, 4, (32, 32, 32)),
+        0,
+    ).astype(np.uint8)
+    chunks = [
+        Chunk.generate_terrain((0, 0, 0)),
+        Chunk.varied((1, 0, 0), blocks),
+        Chunk.generate_test_solid((0, 0, 1)),
+    ]
+    blocks_by_pos = {tuple(c.position): c.dense() for c in chunks}
+    positions = [c.position for c in chunks]
+    planes = MJ.neighbor_planes_from_batch(blocks_by_pos, positions)
+    batch = np.stack([c.dense() for c in chunks])
+    quads, counts, overflow, c6, bucket = MJ.mesh_chunks_device_bucketed(
+        batch, planes, max_steps=512, qcap=16384)
+    assert bucket == 4 and quads.shape == (4, 16384)
+    assert counts.shape == (3,) and c6.shape == (3, 6)
+    assert not overflow.any()
+    q = np.asarray(quads)
+    # the pad row is chunk 0's row, byte for byte
+    np.testing.assert_array_equal(q[3], q[0])
+    for i, c in enumerate(chunks):
+        host = mesh_chunk(c, chunks)
+        host = host if host is not None else np.zeros(0, np.uint32)
+        assert counts[i] == len(host), f"chunk {i} count"
+        np.testing.assert_array_equal(q[i, : counts[i]], host)
+        dirs = (host.astype(np.uint64) >> 29) & 7
+        expect6 = np.bincount(dirs.astype(np.int64), minlength=6)[:6]
+        np.testing.assert_array_equal(c6[i], expect6, err_msg=f"chunk {i}")
+
+
+def test_mesh_bucket_for_ladder():
+    assert [MJ.mesh_bucket_for(b) for b in (1, 2, 3, 5, 16, 17, 512, 600)] \
+        == [1, 2, 4, 8, 16, 32, 512, 512]
