@@ -60,10 +60,16 @@ def main():
     serial = not bool(int(os.environ.get("DPVR_FLY_PIPELINED", "0")
                           or "0"))
     eng.prime_all()
-    # a mid-flight bucket switch costs a ~2.5 s trace
-    eng.warm_buckets(pipelined=not serial)
+    if eng.resident_stream:
+        # DPVR_RESIDENT=1: the resident superset-stream mode compiles
+        # its own (smaller) program set
+        eng.warm_resident()
+    else:
+        # a mid-flight bucket switch costs a ~2.5 s trace
+        eng.warm_buckets(pipelined=not serial)
     res = eng.render_frame(dt=0.0)  # sets the upload cache: warm_streaming
-    eng.warm_streaming()            # then warms only the relevant buckets
+    if not eng.resident_stream:
+        eng.warm_streaming()        # then warms only the relevant buckets
     for _ in range(8):
         res = eng.render_frame(dt=0.0)
     # force a real D2H round trip: block_until_ready alone does not

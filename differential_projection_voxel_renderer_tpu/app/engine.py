@@ -23,7 +23,7 @@ import collections
 import functools
 import os
 import time
-from dataclasses import dataclass
+from dataclasses import dataclass, replace as dc_replace
 
 import jax
 import jax.numpy as jnp
@@ -31,7 +31,7 @@ import numpy as np
 
 from ..meshing.greedy import mesh_chunk
 from ..models.camera import Camera, CameraController
-from ..models.world import World, WorldConfig
+from ..models.world import World, WorldConfig, world_to_chunk_pos
 from ..ops.culling import HorizonCullingConfig, horizon_cull_mask, sort_front_to_back
 from ..ops.occlusion import occlusion_pass, project_chunk_rects
 from ..rendering.pipeline import Renderer, _c6_of, apply_insert_payload
@@ -446,8 +446,47 @@ class Engine:
                  world_config: WorldConfig | None = None,
                  pool_slots: int = 4096,
                  horizon_config: HorizonCullingConfig | None = None,
-                 device_meshing: bool = False):
+                 device_meshing: bool = False,
+                 resident_stream: bool | None = None):
         self.config = render_config or RenderConfig()
+        # Resident superset stream mode (opt-in; DPVR_RESIDENT=1): the
+        # moving-camera mode.  The device stream is built from the
+        # DISTANCE SPHERE (the world's own visibility criterion,
+        # world.rs:118-146, evaluated at the camera's chunk cell) with a
+        # cell-widened dir mask, so it stays valid across ANY rotation
+        # and any movement within the cell — the frustum draw list
+        # changes nearly every moving frame (measured: 79/80 frames at
+        # flythrough speed; NOTES.md round 5) and forced a per-frame
+        # device re-expansion.  Every extra quad the superset carries is
+        # one the device's exact frustum/backface culls drop, so frames
+        # are bit-identical to the serial path (tested).  The stream
+        # rebuilds only on cell crossings / unloads / explicit
+        # invalidation; newly streamed chunks APPEND post-dispatch
+        # (1-frame stale — the stale-pool contract).  Costs: a larger
+        # gather bucket (2x gather_cap, compaction re-enabled) and
+        # sphere-sized draw lists (vcap >= 1024).
+        self.resident_stream = (bool(
+            int(os.environ.get("DPVR_RESIDENT", "0") or "0"))
+            if resident_stream is None else resident_stream)
+        if self.resident_stream:
+            self.config = dc_replace(
+                self.config,
+                gather_cap=2 * self.config.gather_cap,
+                visible_chunks_cap=max(self.config.visible_chunks_cap,
+                                       1024),
+                # the superset rasterizes the chunks the host horizon
+                # cull would have dropped; measured 259 items past the
+                # 98304 item cap at the vd12 flythrough pose — and item
+                # overflow drops whole trailing TILES (frame-visible),
+                # so the resident mode carries headroom
+                tile_k_cap=max(self.config.tile_k_cap, 131072))
+        self._res_uploads = None          # (quads, quad_world) device pair
+        self._res_total = 0               # host-tracked stream length
+        self._res_cell = None             # camera chunk cell at build
+        self._res_pos: set = set()        # position keys in the stream
+        self._res_n = 0                   # chunk count (bookkeeping)
+        self._res_dirty = False           # force rebuild next frame
+        self._res_appends = 0             # append-dispatch counter (tests)
         self.world = World(world_config or WorldConfig(
             view_distance=12, frustum_culling=True, max_chunks_per_frame=16
         ))
@@ -510,8 +549,10 @@ class Engine:
         # serial mode would show it, and a remeshed neighbor shows its
         # previous mesh for that one frame.  Nothing else differs
         # (tested: tests/test_engine.py stale-pool cases).
-        self.stale_streaming = bool(
+        self.stale_streaming = (bool(
             int(os.environ.get("DPVR_STALE_POOL", "0") or "0"))
+            or self.resident_stream)  # resident appends are inherently
+        #                               one frame stale (post-dispatch)
         self._stale_stash: list = []
         assert (QuadPool.INSERT_KP == Renderer.INSERT_KP
                 and QuadPool.INSERT_MC == Renderer.INSERT_MC
@@ -726,6 +767,42 @@ class Engine:
             jax.block_until_ready(self.pool.quads)
         self.pool.remove(fake)
 
+    def warm_resident(self) -> None:
+        """Compile the resident-mode programs ahead of the frame loop:
+        the pool scatter ladder, the rebuild expansion + its render step
+        (the current scene's bucket), and the stream append.  The
+        resident path never calls the fused/insert frame programs, so
+        this replaces warm_buckets + warm_streaming."""
+        assert self.resident_stream
+        fake = (10 ** 6, 10 ** 6, 10 ** 6)
+        for bs, width in ((1, 450), (5, 450), (10, 450),
+                          (17, 1), (17, 200), (17, 450), (30, 450),
+                          (64, 450), (1, 513), (4, 513)):
+            self.pool.insert_many([(fake, np.zeros(width, np.uint32))] * bs)
+        self.pool.remove(fake)
+        cell = world_to_chunk_pos(self.camera.position)
+        if not self._rebuild_resident(cell):
+            return
+        vp = self.camera.view_projection_matrix()
+        self.renderer.render_prepared(
+            (self._res_uploads[0], self._res_uploads[1],
+             np.int32(self._res_total)), vp, self.camera.position)
+        # warm the append with a throwaway mesh at a free in-sphere
+        # position (falls back to an in-flight compile if none is free)
+        vd = self.world.config.view_distance
+        probe = None
+        for dy in range(vd, -vd - 1, -1):
+            cand = (cell[0], cell[1] + dy, cell[2])
+            if cand not in self.pool.by_pos:
+                probe = cand
+                break
+        if probe is not None:
+            self.pool.insert_many([(probe, np.zeros(37, np.uint32))])
+            self._append_resident([probe])
+            self.pool.remove(probe)
+        self._res_dirty = True  # rebuild drops the throwaway next frame
+        jax.block_until_ready(self.pool.quads)
+
     def prime_all(self) -> None:
         """Mesh every loaded chunk (warm-cache steady state: rotating or
         moving the camera then hits the mesh cache, like the reference's
@@ -881,7 +958,152 @@ class Engine:
             stash, self._stale_stash = self._stale_stash, []
             self._mesh_list(stash, defer=False)
 
+    # --------------------------------------------- resident superset stream
+    def invalidate_resident(self) -> None:
+        """Force a resident-stream rebuild next frame.  Call after any
+        out-of-band pool/world mutation (block edits, manual remeshes);
+        the engine's own streaming/unload paths invalidate
+        automatically."""
+        self._res_dirty = True
+
+    def _rebuild_resident(self, cell) -> bool:
+        """Build the resident stream: every pooled mesh within the
+        world's own sphere criterion of ``cell`` (dist_sq <= vd^2 in
+        chunk grid — world.rs:118-146 evaluated at the cell, so the
+        frame-by-frame frustum query always returns a subset), dir mask
+        widened to the union of exact masks over the cell (valid for
+        every camera position inside it; f32-exact integer arithmetic).
+        Returns False when the set exceeds the draw-list/bucket caps —
+        the caller falls back to the per-frame frustum path."""
+        pool = self.pool
+        live = np.flatnonzero(pool.counts > 0)
+        vcap = self.config.visible_chunks_cap
+        if len(live) == 0:
+            return False
+        p = pool.positions[live].astype(np.float32)
+        d = p - np.float32(np.asarray(cell, np.float32))
+        keep = np.einsum("ij,ij->i", d, d) <= np.float32(
+            self.world.config.view_distance ** 2)
+        sl = live[keep]
+        n = len(sl)
+        if n == 0 or n > vcap:
+            return False
+        vs = np.zeros(vcap, np.int32)
+        cs = np.zeros((vcap, 6), np.int32)
+        ps = np.zeros((vcap, 3), np.int32)
+        vs[:n] = sl
+        cs[:n] = pool.counts6[sl]
+        ps[:n] = pool.positions[sl]
+        mk = np.ones((vcap, 6), np.int32)
+        m = ps[:n].astype(np.float32) * np.float32(CHUNK_SIZE)
+        lo = np.asarray(cell, np.float32) * np.float32(CHUNK_SIZE)
+        hi = lo + np.float32(CHUNK_SIZE)
+        for axis in range(3):
+            # union over cam in [lo, hi) of the exact per-axis keep
+            # tests (_dir_keep_mask): any cam < hi passes the widened
+            # +axis test; any cam > lo passes the widened -axis test
+            mk[:n, 2 * axis] = hi[axis] > m[:, axis] + np.float32(1.0)
+            mk[:n, 2 * axis + 1] = lo[axis] < m[:, axis] + np.float32(31.0)
+        total = int((pool.counts6[sl] * mk[:n]).sum())
+        if total > self.renderer.gather_buckets[-1]:
+            return False
+        q, w, _t = self.renderer.prepare_uploads(
+            pool.quads, vs, cs, ps, dir_mask=mk)
+        self._res_uploads = (q, w)
+        self._res_total = total
+        self._res_cell = tuple(int(c) for c in cell)
+        self._res_pos = {tuple(int(x) for x in row)
+                         for row in pool.positions[sl]}
+        self._res_n = n
+        self._res_dirty = False
+        return True
+
+    def _append_resident(self, new_positions) -> None:
+        """Post-dispatch stream append of newly inserted meshes (all-ones
+        dir mask — superset, exact).  Oversized batches or a full stream
+        flag a rebuild instead."""
+        from ..rendering.pipeline import (RESIDENT_APPEND_VCAP,
+                                          resident_append_cap)
+
+        pool = self.pool
+        cell = np.asarray(self._res_cell, np.float32)
+        vd2 = np.float32(self.world.config.view_distance ** 2)
+        slots = []
+        for pos in new_positions:
+            s = pool.by_pos.get(pos)
+            if s is None:
+                continue
+            d = np.asarray(pos, np.float32) - cell
+            if float((d * d).sum()) > vd2:
+                continue  # outside the build sphere; next rebuild's job
+            self._res_pos.add(pos)
+            if pool.counts[s] > 0:
+                slots.append(s)
+        if not slots:
+            return
+        slots = np.asarray(slots, np.int32)
+        c6 = pool.counts6[slots]
+        batch = int(c6.sum())
+        stream_len = int(self._res_uploads[0].shape[0])
+        cap = resident_append_cap(stream_len)
+        if (len(slots) > RESIDENT_APPEND_VCAP or batch > cap
+                or self._res_total + cap > stream_len):
+            self._res_dirty = True
+            return
+        q2, w2 = self.renderer.append_uploads(
+            self._res_uploads, pool.quads, slots, c6,
+            pool.positions[slots], self._res_total)
+        self._res_uploads = (q2, w2)
+        self._res_total += batch
+        self._res_n += len(slots)
+        self._res_appends += 1
+
+    def _render_frame_resident(self, dt: float) -> FrameResult | None:
+        """Resident-mode frame: no frustum draw list, no per-frame
+        expansion — one render_prepared dispatch on the resident stream,
+        then (stale contract) host meshing + pool insert + stream append
+        for whatever streamed in.  Returns None when the scene exceeds
+        the resident caps (caller falls back to the frustum path)."""
+        frame_t0 = time.perf_counter()
+        cam = self.camera
+        self.controller.update_camera(cam, dt)
+        self.world.update(cam.position)
+        if self.world.version != self._seen_world_version:
+            vis = self.world.get_visible_positions(cam.position, None)
+            self._stale_stash += self._missing_remesh_list(vis)
+            self._seen_world_version = self.world.version
+        if self.world.unload_version != self._seen_unload_version:
+            self.pool.retain(self.world.chunks)
+            self._seen_unload_version = self.world.unload_version
+            self._res_dirty = True
+        cell = world_to_chunk_pos(cam.position)
+        if (self._res_uploads is None or self._res_dirty
+                or cell != self._res_cell):
+            if not self._rebuild_resident(cell):
+                return None
+        vp = cam.view_projection_matrix()
+        color, depth, stats = self.renderer.render_prepared(
+            (self._res_uploads[0], self._res_uploads[1],
+             np.int32(self._res_total)), vp, cam.position)
+        if self._stale_stash:
+            stash, self._stale_stash = self._stale_stash, []
+            self._mesh_list(stash, defer=False)
+            newpos = [pos for pos in dict.fromkeys(stash)
+                      if pos not in self._res_pos]
+            if newpos:
+                self._append_resident(newpos)
+        self._frame_bookkeeping(stats, self._res_n, frame_t0)
+        return FrameResult(color, depth, stats, self._res_n, self._res_n)
+
     def render_frame(self, dt: float = 0.016) -> FrameResult:
+        if self.resident_stream:
+            out = self._render_frame_resident(dt)
+            if out is not None:
+                return out
+            # scene exceeds the resident caps: permanent fallback to the
+            # per-frame frustum path (camera was already updated)
+            self.resident_stream = False
+            dt = 0.0
         if (self.renderer._pipe_carry is not None
                 or self.renderer._pipe_done is not None):
             raise RuntimeError(

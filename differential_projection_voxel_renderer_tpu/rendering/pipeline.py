@@ -678,6 +678,49 @@ def _expand_uploads(quad_pool, slots_sel, counts6_sel, mask6_sel,
                                 mask6_sel, positions_sel, gather_cap)
 
 
+# resident-stream append batch limits (Engine resident mode): chunks per
+# append dispatch and quads per append dispatch.  A streaming frame
+# inserts <= max_chunks_per_frame (16) new chunks plus remeshed
+# neighbors; batches beyond these caps force a full stream rebuild.
+RESIDENT_APPEND_VCAP = 64
+RESIDENT_APPEND_CAP = 16384
+
+
+def resident_append_cap(stream_len: int) -> int:
+    """Append window size for a resident stream of ``stream_len``: the
+    fixed cap, shrunk so the window always fits comfortably inside the
+    stream (small test configs would otherwise never append — every
+    batch would fall into the rebuild path and leave the append
+    untested)."""
+    return min(RESIDENT_APPEND_CAP, max(256, stream_len // 8))
+
+
+@functools.partial(jax.jit, static_argnames=("cap",), donate_argnums=(0, 1))
+def _append_uploads_jit(quads_res, qw_res, quad_pool, slots_sel,
+                        counts6_sel, positions_sel, offset, *, cap: int):
+    """Append a small batch of chunk meshes to a resident stream
+    (Engine resident mode): expand the batch like _expand_uploads (mask
+    all-ones — a superset of any dir mask is exact, the device backface
+    cull drops the extras) and write it into the donated stream copy at
+    ``offset`` (the host-tracked stream length).  The window blend keeps
+    the [nk, cap) tail of the window unchanged, so padding never
+    corrupts later stream slots.  Callers guarantee
+    offset + cap <= stream length (rebuild otherwise), so the dynamic
+    slice never clamps."""
+    ones = jnp.ones_like(counts6_sel)
+    new_q, new_w, nk = _expand_uploads_impl(
+        quad_pool, slots_sel, counts6_sel, ones, positions_sel, cap)
+    idx = jnp.arange(cap, dtype=jnp.int32)
+    win_q = jax.lax.dynamic_slice(quads_res, (offset,), (cap,))
+    quads2 = jax.lax.dynamic_update_slice(
+        quads_res, jnp.where(idx < nk, new_q, win_q), (offset,))
+    win_w = jax.lax.dynamic_slice(qw_res, (0, offset), (3, cap))
+    qw2 = jax.lax.dynamic_update_slice(
+        qw_res, jnp.where((idx < nk)[None, :], new_w, win_w),
+        (0, offset))
+    return quads2, qw2
+
+
 def _normalize_counts6(counts_sel):
     """Accept legacy [vcap] totals (everything as one dir-0 segment — the
     expansion then gathers row[0:count] exactly like the pre-dir-aware
@@ -1409,6 +1452,30 @@ class Renderer:
             quads, quad_world, total,
             self._cam_dev(view_proj, cam_pos),
         )
+
+    def append_uploads(self, uploads, quad_pool, slots, counts6,
+                       positions, offset: int):
+        """Resident-stream append (Engine resident mode): expand the
+        ``slots`` batch from the pool and write it into the stream copy
+        at ``offset``.  Donates the stream arrays — the caller must
+        replace its uploads with the returned pair.  Returns
+        (quads2, quad_world2); the caller tracks the new total on the
+        host (offset + sum(counts6))."""
+        nv = len(slots)
+        assert nv <= RESIDENT_APPEND_VCAP
+        vc = RESIDENT_APPEND_VCAP
+        slots_a = np.zeros(vc, np.int32)
+        counts_a = np.zeros((vc, 6), np.int32)
+        pos_a = np.zeros((vc, 3), np.int32)
+        slots_a[:nv] = slots
+        counts_a[:nv] = counts6
+        pos_a[:nv] = positions
+        quads, qw = uploads[0], uploads[1]
+        return _append_uploads_jit(
+            quads, qw, quad_pool, jnp.asarray(slots_a),
+            jnp.asarray(counts_a), jnp.asarray(pos_a),
+            jnp.int32(offset),
+            cap=resident_append_cap(int(quads.shape[0])))
 
     # ----------------------------------------- fused insert+render frame
     INSERT_KP = 16
