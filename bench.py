@@ -81,6 +81,7 @@ def main():
     # process measures it honestly.
     fly_line = None
     fly_stale = None
+    fly_res = None
     if not args.quick:
         import subprocess
 
@@ -115,11 +116,23 @@ def main():
             fly_stale = (f"flythrough stale-pool mode (new chunks render "
                          f"1 frame late): {s1} FPS primed / {s2} FPS "
                          f"streaming")
+            # resident superset-stream mode (round 5): the draw list is
+            # the distance sphere at the camera's chunk cell, so moving
+            # frames reuse the cached device stream instead of
+            # re-expanding per frame; frames bit-identical when primed,
+            # streamed chunks land 1 frame late (stale contract) —
+            # tests/test_engine.py resident cases.
+            r1, r2 = _fly({"DPVR_RESIDENT": "1"})
+            fly_res = (f"flythrough resident-stream mode (sphere draw "
+                       f"list, new chunks render 1 frame late): {r1} FPS "
+                       f"primed / {r2} FPS streaming")
         except Exception as e:  # pragma: no cover
             if fly_line is None:
                 fly_line = f"(flythrough subprocess failed: {e})"
-            else:
+            elif fly_stale is None:
                 fly_stale = f"(stale-pool flythrough failed: {e})"
+            else:
+                fly_res = f"(resident flythrough failed: {e})"
 
     import jax
 
@@ -434,6 +447,8 @@ def main():
         log(fly_line)
     if fly_stale:
         log(fly_stale)
+    if fly_res:
+        log(fly_res)
 
     print(json.dumps({
         "metric": f"fps_1280x720_vd{args.vd}_textured_shaded",

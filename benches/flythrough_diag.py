@@ -44,9 +44,13 @@ def main():
     while eng.world.update(eng.camera.position):
         pass
     eng.prime_all()
-    eng.warm_buckets()
+    if eng.resident_stream:
+        eng.warm_resident()
+    else:
+        eng.warm_buckets()
     res = eng.render_frame(dt=0.0)
-    eng.warm_streaming()
+    if not eng.resident_stream:
+        eng.warm_streaming()
     for _ in range(8):
         res = eng.render_frame(dt=0.0)
     np.asarray(res.color[:1, :1])
@@ -70,13 +74,16 @@ def main():
         setattr(obj, name, wrapped)
 
     for name in ("render_prepared", "render_fused", "render_fused_insert",
-                 "prepare_uploads"):
+                 "prepare_uploads", "append_uploads"):
         wrap(eng.renderer, name)
     wrap(eng.pool, "insert_many")
     wrap(eng.pool, "prepare_insert_payload")
     wrap(eng, "_funnel")
     wrap(eng.world, "update")
     wrap(eng, "_mesh_list")
+    wrap(eng, "_rebuild_resident")
+    wrap(eng, "_append_resident")
+    wrap(eng, "_missing_remesh_list")
 
     for pas in range(2):
         counters.clear()

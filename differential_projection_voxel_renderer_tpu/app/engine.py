@@ -487,6 +487,15 @@ class Engine:
         self._res_n = 0                   # chunk count (bookkeeping)
         self._res_dirty = False           # force rebuild next frame
         self._res_appends = 0             # append-dispatch counter (tests)
+        # resident meshing budget: the sphere-wide remesh scan queues
+        # every newly loaded chunk PLUS remeshed neighbors (the frustum
+        # path only queues the visible ones) — unbudgeted, a streaming
+        # frame could mesh 40-80 chunks (unwarmed 512-wide insert
+        # shapes, ~5 ms host).  Per frame the stash is distance-sorted
+        # and at most this many mesh; the rest carry over (the reference
+        # budgets its own streaming at 16 chunks/frame, world.rs:34)
+        self.resident_mesh_budget = 48
+        self._stale_set: set = set()      # resident stash dedupe
         self.world = World(world_config or WorldConfig(
             view_distance=12, frustum_culling=True, max_chunks_per_frame=16
         ))
@@ -1070,7 +1079,10 @@ class Engine:
         self.world.update(cam.position)
         if self.world.version != self._seen_world_version:
             vis = self.world.get_visible_positions(cam.position, None)
-            self._stale_stash += self._missing_remesh_list(vis)
+            for p in self._missing_remesh_list(vis):
+                if p not in self._stale_set:
+                    self._stale_set.add(p)
+                    self._stale_stash.append(p)
             self._seen_world_version = self.world.version
         if self.world.unload_version != self._seen_unload_version:
             self.pool.retain(self.world.chunks)
@@ -1086,10 +1098,20 @@ class Engine:
             (self._res_uploads[0], self._res_uploads[1],
              np.int32(self._res_total)), vp, cam.position)
         if self._stale_stash:
-            stash, self._stale_stash = self._stale_stash, []
-            self._mesh_list(stash, defer=False)
-            newpos = [pos for pos in dict.fromkeys(stash)
-                      if pos not in self._res_pos]
+            # nearest chunks mesh first (they become visible soonest);
+            # the rest carry to later frames under the budget
+            if len(self._stale_stash) > self.resident_mesh_budget:
+                c = cam.position / np.float32(CHUNK_SIZE)
+                arr = np.asarray(self._stale_stash, np.float32)
+                d2 = ((arr - c[None, :]) ** 2).sum(1)
+                order = np.argsort(d2, kind="stable")
+                self._stale_stash = [self._stale_stash[i] for i in order]
+            batch = self._stale_stash[:self.resident_mesh_budget]
+            self._stale_stash = self._stale_stash[
+                self.resident_mesh_budget:]
+            self._stale_set.difference_update(batch)
+            self._mesh_list(batch, defer=False)
+            newpos = [pos for pos in batch if pos not in self._res_pos]
             if newpos:
                 self._append_resident(newpos)
         self._frame_bookkeeping(stats, self._res_n, frame_t0)
