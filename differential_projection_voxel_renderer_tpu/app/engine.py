@@ -499,6 +499,8 @@ class Engine:
         self.world = World(world_config or WorldConfig(
             view_distance=12, frustum_culling=True, max_chunks_per_frame=16
         ))
+        if self.resident_stream:
+            self.world.track_added = True
         self.renderer = Renderer(self.config)
         self.pool = QuadPool(slots=pool_slots)
         aspect = self.config.width / self.config.height
@@ -796,20 +798,16 @@ class Engine:
         self.renderer.render_prepared(
             (self._res_uploads[0], self._res_uploads[1],
              np.int32(self._res_total)), vp, self.camera.position)
-        # warm the append with a throwaway mesh at a free in-sphere
-        # position (falls back to an in-flight compile if none is free)
-        vd = self.world.config.view_distance
-        probe = None
-        for dy in range(vd, -vd - 1, -1):
-            cand = (cell[0], cell[1] + dy, cell[2])
-            if cand not in self.pool.by_pos:
-                probe = cand
-                break
-        if probe is not None:
-            self.pool.insert_many([(probe, np.zeros(37, np.uint32))])
-            self._append_resident([probe])
-            self.pool.remove(probe)
-        self._res_dirty = True  # rebuild drops the throwaway next frame
+        # warm the append jit with a zero-count batch on the live stream
+        # (nk=0 blends nothing; the result is discarded, the stream kept
+        # as built).  NOTE: an in-pool probe position cannot warm this —
+        # after prime_all every in-sphere position is already pooled, so
+        # the probe search always came up empty and the first streaming
+        # frame paid the ~3 s in-flight trace (measured, round 5).
+        self.renderer.append_uploads(
+            self._res_uploads, self.pool.quads,
+            np.zeros(1, np.int32), np.zeros((1, 6), np.int32),
+            np.zeros((1, 3), np.int32), 0)
         jax.block_until_ready(self.pool.quads)
 
     def prime_all(self) -> None:
@@ -1078,11 +1076,17 @@ class Engine:
         self.controller.update_camera(cam, dt)
         self.world.update(cam.position)
         if self.world.version != self._seen_world_version:
-            vis = self.world.get_visible_positions(cam.position, None)
-            for p in self._missing_remesh_list(vis):
-                if p not in self._stale_set:
-                    self._stale_set.add(p)
-                    self._stale_stash.append(p)
+            # incremental remesh scan: only the chunks streamed in since
+            # last frame (world add log) + their meshed neighbors — the
+            # full sphere scan cost ~0.8 ms per streaming frame
+            added = self.world.drain_added()
+            if added:
+                todo = self._missing_remesh_list(
+                    np.asarray(added, np.int64))
+                for p in todo:
+                    if p not in self._stale_set:
+                        self._stale_set.add(p)
+                        self._stale_stash.append(p)
             self._seen_world_version = self.world.version
         if self.world.unload_version != self._seen_unload_version:
             self.pool.retain(self.world.chunks)
@@ -1091,6 +1095,14 @@ class Engine:
         cell = world_to_chunk_pos(cam.position)
         if (self._res_uploads is None or self._res_dirty
                 or cell != self._res_cell):
+            # rebuilds also run the full sphere scan: a straggler that
+            # predates the add log (initial region, external inserts)
+            # gets meshed here
+            vis = self.world.get_visible_positions(cam.position, None)
+            for p in self._missing_remesh_list(vis):
+                if p not in self._stale_set:
+                    self._stale_set.add(p)
+                    self._stale_stash.append(p)
             if not self._rebuild_resident(cell):
                 return None
         vp = cam.view_projection_matrix()

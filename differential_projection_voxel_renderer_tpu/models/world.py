@@ -75,6 +75,11 @@ class World:
         # frame (the reference's retain runs per frame, main.rs:280, but
         # its HashMap::retain is native; ours was ~0.4 ms of Python)
         self.unload_version = 0
+        # opt-in add log (resident engine): positions streamed in since
+        # the last drain_added().  Off by default so long-lived
+        # non-resident worlds don't accumulate an unbounded list.
+        self.track_added = False
+        self._added_log: list = []
 
     # -------------------------------------------------------------- access
     def get_or_generate_chunk(self, chunk_pos) -> Chunk:
@@ -221,9 +226,18 @@ class World:
         keys, arr, n, minsf = self._pos_cache
         return minsf[:n]
 
+    def drain_added(self) -> list:
+        """Positions streamed in since the last drain (``track_added``
+        must be on — the resident engine's incremental remesh scan; the
+        full sphere scan cost ~0.8 ms per streaming frame)."""
+        out, self._added_log = self._added_log, []
+        return out
+
     def _note_add(self, key) -> None:
         """O(1) cache maintenance for a streamed-in chunk."""
         self.version += 1
+        if self.track_added:
+            self._added_log.append(key)
         if self._pos_cache is None:
             return
         keys, arr, n, minsf = self._pos_cache

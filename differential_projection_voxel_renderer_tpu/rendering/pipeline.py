@@ -695,18 +695,25 @@ def resident_append_cap(stream_len: int) -> int:
     return min(RESIDENT_APPEND_CAP, max(256, stream_len // 8))
 
 
-@functools.partial(jax.jit, static_argnames=("cap",), donate_argnums=(0, 1))
+@functools.partial(jax.jit, static_argnames=("cap",))
 def _append_uploads_jit(quads_res, qw_res, quad_pool, slots_sel,
                         counts6_sel, positions_sel, offset, *, cap: int):
     """Append a small batch of chunk meshes to a resident stream
     (Engine resident mode): expand the batch like _expand_uploads (mask
     all-ones — a superset of any dir mask is exact, the device backface
-    cull drops the extras) and write it into the donated stream copy at
+    cull drops the extras) and write it into a COPY of the stream at
     ``offset`` (the host-tracked stream length).  The window blend keeps
     the [nk, cap) tail of the window unchanged, so padding never
     corrupts later stream slots.  Callers guarantee
     offset + cap <= stream length (rebuild otherwise), so the dynamic
-    slice never clamps."""
+    slice never clamps.
+
+    NOT donated, deliberately: the stream buffer always has the frame's
+    just-dispatched render as a pending reader, and on relay-attached
+    hosts donating a buffer with pending readers resolves SYNCHRONOUSLY
+    — measured ~106 ms per append (NOTES.md round 5).  The ~4 MB
+    device-side copy is microseconds; the old buffers free once the
+    pending renders drain."""
     ones = jnp.ones_like(counts6_sel)
     new_q, new_w, nk = _expand_uploads_impl(
         quad_pool, slots_sel, counts6_sel, ones, positions_sel, cap)
