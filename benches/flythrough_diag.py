@@ -74,7 +74,7 @@ def main():
         setattr(obj, name, wrapped)
 
     for name in ("render_prepared", "render_fused", "render_fused_insert",
-                 "prepare_uploads", "append_uploads"):
+                 "prepare_uploads", "render_prepared_append"):
         wrap(eng.renderer, name)
     wrap(eng.pool, "insert_many")
     wrap(eng.pool, "prepare_insert_payload")
@@ -82,7 +82,7 @@ def main():
     wrap(eng.world, "update")
     wrap(eng, "_mesh_list")
     wrap(eng, "_rebuild_resident")
-    wrap(eng, "_append_resident")
+    wrap(eng, "_queue_append")
     wrap(eng, "_missing_remesh_list")
 
     for pas in range(2):

@@ -486,7 +486,8 @@ class Engine:
         self._res_pos: set = set()        # position keys in the stream
         self._res_n = 0                   # chunk count (bookkeeping)
         self._res_dirty = False           # force rebuild next frame
-        self._res_appends = 0             # append-dispatch counter (tests)
+        self._res_appends = 0             # consumed append-rider counter
+        self._res_pending = None          # queued batch for next dispatch
         # resident meshing budget: the sphere-wide remesh scan queues
         # every newly loaded chunk PLUS remeshed neighbors (the frustum
         # path only queues the visible ones) — unbudgeted, a streaming
@@ -798,16 +799,22 @@ class Engine:
         self.renderer.render_prepared(
             (self._res_uploads[0], self._res_uploads[1],
              np.int32(self._res_total)), vp, self.camera.position)
-        # warm the append jit with a zero-count batch on the live stream
-        # (nk=0 blends nothing; the result is discarded, the stream kept
-        # as built).  NOTE: an in-pool probe position cannot warm this —
-        # after prime_all every in-sphere position is already pooled, so
-        # the probe search always came up empty and the first streaming
-        # frame paid the ~3 s in-flight trace (measured, round 5).
-        self.renderer.append_uploads(
-            self._res_uploads, self.pool.quads,
-            np.zeros(1, np.int32), np.zeros((1, 6), np.int32),
-            np.zeros((1, 3), np.int32), 0)
+        # warm the append-rider step with a zero-count batch on the live
+        # stream (nk=0 blends nothing; results discarded, stream kept as
+        # built).  NOTE: a probe-chunk warm cannot work here — after
+        # prime_all every in-sphere position is already pooled, so a
+        # free-position search always came up empty and the first
+        # streaming frame paid the ~3 s in-flight trace (measured,
+        # round 5).
+        from ..rendering.pipeline import pack_append_meta
+
+        self.renderer.render_prepared_append(
+            (self._res_uploads[0], self._res_uploads[1],
+             np.int32(self._res_total)),
+            vp, self.camera.position, self.pool.quads,
+            pack_append_meta(np.zeros(1, np.int32),
+                             np.zeros((1, 6), np.int32),
+                             np.zeros((1, 3), np.int32)), 0)
         jax.block_until_ready(self.pool.quads)
 
     def prime_all(self) -> None:
@@ -1023,13 +1030,20 @@ class Engine:
                          for row in pool.positions[sl]}
         self._res_n = n
         self._res_dirty = False
+        # a queued batch is already in the pool, so the fresh expansion
+        # includes it — the pending rider is superseded
+        self._res_pending = None
         return True
 
-    def _append_resident(self, new_positions) -> None:
-        """Post-dispatch stream append of newly inserted meshes (all-ones
-        dir mask — superset, exact).  Oversized batches or a full stream
-        flag a rebuild instead."""
+    def _queue_append(self, new_positions) -> None:
+        """Queue newly inserted meshes for the NEXT frame's dispatch:
+        the append rides inside that frame's render program
+        (renderer.render_prepared_append — one dispatch, the stale
+        contract unchanged: these chunks were already going to render
+        one frame late).  All-ones dir mask — superset, exact.
+        Oversized batches or a full stream flag a rebuild instead."""
         from ..rendering.pipeline import (RESIDENT_APPEND_VCAP,
+                                          pack_append_meta,
                                           resident_append_cap)
 
         pool = self.pool
@@ -1057,13 +1071,10 @@ class Engine:
                 or self._res_total + cap > stream_len):
             self._res_dirty = True
             return
-        q2, w2 = self.renderer.append_uploads(
-            self._res_uploads, pool.quads, slots, c6,
-            pool.positions[slots], self._res_total)
-        self._res_uploads = (q2, w2)
-        self._res_total += batch
+        ameta = pack_append_meta(slots, c6, pool.positions[slots])
+        self._res_pending = (ameta, self._res_total, batch, len(slots))
+        self._res_total += batch  # the stream copy lands next frame
         self._res_n += len(slots)
-        self._res_appends += 1
 
     def _render_frame_resident(self, dt: float) -> FrameResult | None:
         """Resident-mode frame: no frustum draw list, no per-frame
@@ -1106,9 +1117,22 @@ class Engine:
             if not self._rebuild_resident(cell):
                 return None
         vp = cam.view_projection_matrix()
-        color, depth, stats = self.renderer.render_prepared(
-            (self._res_uploads[0], self._res_uploads[1],
-             np.int32(self._res_total)), vp, cam.position)
+        uploads = (self._res_uploads[0], self._res_uploads[1],
+                   np.int32(self._res_total))
+        if self._res_pending is not None:
+            # previous frame's streamed batch rides in this dispatch:
+            # append to the stream copy + render, one program
+            ameta, offset, _batch, _nc = self._res_pending
+            self._res_pending = None
+            color, depth, stats, new_up = (
+                self.renderer.render_prepared_append(
+                    uploads, vp, cam.position, self.pool.quads,
+                    ameta, offset))
+            self._res_uploads = new_up
+            self._res_appends += 1
+        else:
+            color, depth, stats = self.renderer.render_prepared(
+                uploads, vp, cam.position)
         if self._stale_stash:
             # nearest chunks mesh first (they become visible soonest);
             # the rest carry to later frames under the budget
@@ -1125,7 +1149,7 @@ class Engine:
             self._mesh_list(batch, defer=False)
             newpos = [pos for pos in batch if pos not in self._res_pos]
             if newpos:
-                self._append_resident(newpos)
+                self._queue_append(newpos)
         self._frame_bookkeeping(stats, self._res_n, frame_t0)
         return FrameResult(color, depth, stats, self._res_n, self._res_n)
 

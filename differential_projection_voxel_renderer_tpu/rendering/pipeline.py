@@ -695,37 +695,22 @@ def resident_append_cap(stream_len: int) -> int:
     return min(RESIDENT_APPEND_CAP, max(256, stream_len // 8))
 
 
-@functools.partial(jax.jit, static_argnames=("cap",))
-def _append_uploads_jit(quads_res, qw_res, quad_pool, slots_sel,
-                        counts6_sel, positions_sel, offset, *, cap: int):
-    """Append a small batch of chunk meshes to a resident stream
-    (Engine resident mode): expand the batch like _expand_uploads (mask
-    all-ones — a superset of any dir mask is exact, the device backface
-    cull drops the extras) and write it into a COPY of the stream at
-    ``offset`` (the host-tracked stream length).  The window blend keeps
-    the [nk, cap) tail of the window unchanged, so padding never
-    corrupts later stream slots.  Callers guarantee
-    offset + cap <= stream length (rebuild otherwise), so the dynamic
-    slice never clamps.
-
-    NOT donated, deliberately: the stream buffer always has the frame's
-    just-dispatched render as a pending reader, and on relay-attached
-    hosts donating a buffer with pending readers resolves SYNCHRONOUSLY
-    — measured ~106 ms per append (NOTES.md round 5).  The ~4 MB
-    device-side copy is microseconds; the old buffers free once the
-    pending renders drain."""
-    ones = jnp.ones_like(counts6_sel)
-    new_q, new_w, nk = _expand_uploads_impl(
-        quad_pool, slots_sel, counts6_sel, ones, positions_sel, cap)
-    idx = jnp.arange(cap, dtype=jnp.int32)
-    win_q = jax.lax.dynamic_slice(quads_res, (offset,), (cap,))
-    quads2 = jax.lax.dynamic_update_slice(
-        quads_res, jnp.where(idx < nk, new_q, win_q), (offset,))
-    win_w = jax.lax.dynamic_slice(qw_res, (0, offset), (3, cap))
-    qw2 = jax.lax.dynamic_update_slice(
-        qw_res, jnp.where((idx < nk)[None, :], new_w, win_w),
-        (0, offset))
-    return quads2, qw2
+def pack_append_meta(slots, counts6, positions) -> np.ndarray:
+    """One consolidated i32 upload for the append rider's batch draw
+    list (slots | counts6 | positions over RESIDENT_APPEND_VCAP rows) —
+    see _step_camf_append."""
+    vc = RESIDENT_APPEND_VCAP
+    nv = len(slots)
+    assert nv <= vc
+    meta = np.zeros(10 * vc, np.int32)
+    meta[:nv] = slots
+    c = np.zeros((vc, 6), np.int32)
+    c[:nv] = counts6
+    meta[vc:7 * vc] = c.reshape(-1)
+    p = np.zeros((vc, 3), np.int32)
+    p[:nv] = positions
+    meta[7 * vc:] = p.reshape(-1)
+    return meta
 
 
 def _normalize_counts6(counts_sel):
@@ -1087,6 +1072,46 @@ def _step_camf(quads, quad_world, n_quads, cam_f, *, gather_cap: int,
                         gather_cap=gather_cap, **step_kw)
 
 
+def _step_camf_append(quads, quad_world, n_quads, cam_f, quad_pool,
+                      ameta_i, offset, *,
+                      gather_cap: int, append_cap: int, **step_kw):
+    """Render step + resident-stream append rider (Engine resident
+    mode, streaming frames): expand the previous frame's freshly
+    scattered batch from the pool, blend it into a copy of the stream
+    at ``offset``, and render THIS frame from the appended stream — one
+    dispatch instead of an append dispatch plus a render dispatch, and
+    the batch stays exactly ONE frame late (the stale-pool contract:
+    inserted after frame N's dispatch, first rendered in frame N+1).
+    ``n_quads`` must be the post-append total (offset + batch).
+    ``ameta_i`` packs the batch draw list (slots | counts6 | positions,
+    RESIDENT_APPEND_VCAP rows) into ONE i32 upload — each separate
+    host->device transfer costs ~a round trip here.  Returns
+    (color, depth, stats, quads2, quad_world2); callers keep quads2/qw2
+    as the stream for subsequent frames."""
+    vc = RESIDENT_APPEND_VCAP
+    slots_sel = ameta_i[:vc]
+    counts6_sel = ameta_i[vc:7 * vc].reshape(vc, 6)
+    positions_sel = ameta_i[7 * vc:10 * vc].reshape(vc, 3)
+    ones = jnp.ones_like(counts6_sel)
+    new_q, new_w, nk = _expand_uploads_impl(
+        quad_pool, slots_sel, counts6_sel, ones, positions_sel,
+        append_cap)
+    idx = jnp.arange(append_cap, dtype=jnp.int32)
+    win_q = jax.lax.dynamic_slice(quads, (offset,), (append_cap,))
+    quads2 = jax.lax.dynamic_update_slice(
+        quads, jnp.where(idx < nk, new_q, win_q), (offset,))
+    win_w = jax.lax.dynamic_slice(quad_world, (0, offset),
+                                  (3, append_cap))
+    qw2 = jax.lax.dynamic_update_slice(
+        quad_world, jnp.where((idx < nk)[None, :], new_w, win_w),
+        (0, offset))
+    view_proj, cam_pos = _unpack_cam(cam_f)
+    color, depth, stats = _render_step(
+        quads2, qw2, n_quads, view_proj, cam_pos,
+        gather_cap=gather_cap, **step_kw)
+    return color, depth, stats, quads2, qw2
+
+
 def _geom_stage(quads, quad_world, n_quads, view_proj, cam_pos, *,
                 width: int, height: int, backface_culling: bool,
                 use_pallas: bool, interpret: bool):
@@ -1214,6 +1239,7 @@ class Renderer:
         #                                        awaiting emission
         self._cam_cache: tuple | None = None   # (key bytes, device cam)
         self._insert_steps: dict[int, object] = {}  # fused insert+render
+        self._append_steps: dict[int, object] = {}  # resident append rider
         if cfg.temporal_hiz and cfg.two_pass_near_quads:
             raise ValueError(
                 "temporal_hiz and two_pass_near_quads are mutually "
@@ -1460,29 +1486,35 @@ class Renderer:
             self._cam_dev(view_proj, cam_pos),
         )
 
-    def append_uploads(self, uploads, quad_pool, slots, counts6,
-                       positions, offset: int):
-        """Resident-stream append (Engine resident mode): expand the
-        ``slots`` batch from the pool and write it into the stream copy
-        at ``offset``.  Donates the stream arrays — the caller must
-        replace its uploads with the returned pair.  Returns
-        (quads2, quad_world2); the caller tracks the new total on the
-        host (offset + sum(counts6))."""
-        nv = len(slots)
-        assert nv <= RESIDENT_APPEND_VCAP
-        vc = RESIDENT_APPEND_VCAP
-        slots_a = np.zeros(vc, np.int32)
-        counts_a = np.zeros((vc, 6), np.int32)
-        pos_a = np.zeros((vc, 3), np.int32)
-        slots_a[:nv] = slots
-        counts_a[:nv] = counts6
-        pos_a[:nv] = positions
-        quads, qw = uploads[0], uploads[1]
-        return _append_uploads_jit(
-            quads, qw, quad_pool, jnp.asarray(slots_a),
-            jnp.asarray(counts_a), jnp.asarray(pos_a),
-            jnp.int32(offset),
-            cap=resident_append_cap(int(quads.shape[0])))
+    def _append_step_for(self, gather_cap: int):
+        got = self._append_steps.get(gather_cap)
+        if got is None:
+            kw = self._bucket_kw(gather_cap)
+            if kw.pop("near_quads", 0):
+                raise ValueError(
+                    "resident mode does not compose with "
+                    "two_pass_near_quads (the near/far split would need "
+                    "the per-frame draw list)")
+            got = jax.jit(functools.partial(
+                _step_camf_append, gather_cap=gather_cap,
+                append_cap=resident_append_cap(gather_cap), **kw))
+            self._append_steps[gather_cap] = got
+        return got
+
+    def render_prepared_append(self, uploads, view_proj, cam_pos,
+                               quad_pool, ameta: np.ndarray,
+                               offset: int):
+        """Resident-mode streaming frame: render from the pre-append
+        stream AND fold the pending batch append into the same dispatch
+        (_step_camf_append).  ``ameta`` comes from pack_append_meta.
+        Returns (color, depth, stats, (quads2, quad_world2)); the
+        caller tracks the new total (offset + batch)."""
+        quads, qw, total = uploads
+        step = self._append_step_for(int(quads.shape[0]))
+        color, depth, stats, q2, w2 = step(
+            quads, qw, total, self._cam_dev(view_proj, cam_pos),
+            quad_pool, jnp.asarray(ameta), jnp.int32(offset))
+        return color, depth, stats, (q2, w2)
 
     # ----------------------------------------- fused insert+render frame
     INSERT_KP = 16
