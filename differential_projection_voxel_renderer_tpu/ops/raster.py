@@ -217,10 +217,10 @@ def rasterize_jnp(fcoef, icoef, count, *, height: int, width: int,
 
 
 @functools.partial(jax.jit, static_argnames=("tiles_y", "tiles_x",
-                                               "item_cap"))
+                                               "item_cap", "tile_perm"))
 def build_tile_lists(tilebox, count, *, tiles_y: int, tiles_x: int,
                      item_cap: int, order6=None, order6_dy1=None,
-                     valid=None):
+                     valid=None, tile_perm=None):
     """Bin quads to tiles as ONE flat item stream of (tile, quad) pairs,
     ordered by (tile, ascending quad) — so per-tile blend order matches the
     unbinned stream exactly, and downstream work is proportional to real
@@ -247,10 +247,34 @@ def build_tile_lists(tilebox, count, *, tiles_y: int, tiles_x: int,
     (Blending is a lexicographic min over (depth, stream index) —
     commutative — so within-tile order is free to choose.)
 
+    ``tile_perm`` (optional) = (group_rows, group_w): emit tiles in
+    GROUP-major order instead of row-major — the framebuffer's tile grid
+    is partitioned into group_rows x group_w blocks and a tile's stream
+    id becomes ``(block * group_rows + row_in_block) * group_w + col``.
+    Every group's member segments are then CONTIGUOUS in the flat
+    stream, which is what lets the pair-row shared-stream kernel
+    (``_raster_kernel_shared`` with ``group_rows=2``) share ONE DMA
+    chain across a 2x5 tile block.  Per-tile segments, within-tile
+    order and blend semantics are unchanged (the permutation only
+    relabels tiles); ``starts``/``counts``/``t_of_item`` are indexed by
+    the PERMUTED id.
+
     Returns (items i32[item_cap] — quad index per stream slot,
              starts i32[T], counts i32[T] — per-tile segments (NOT aligned),
              overflow i32 — dropped items).
     """
+    if tile_perm is not None:
+        gr, gw = tile_perm
+        assert tiles_y % gr == 0 and tiles_x % gw == 0, (
+            tiles_y, tiles_x, tile_perm)
+        gpx = tiles_x // gw
+
+        def tid_of(ty, tx):
+            blk = (ty // gr) * gpx + tx // gw
+            return (blk * gr + ty % gr) * gw + tx % gw
+    else:
+        def tid_of(ty, tx):
+            return ty * tiles_x + tx
     m = tilebox.shape[0]
     shift = max(1, (m - 1).bit_length())
     n_tiles = tiles_y * tiles_x
@@ -283,7 +307,7 @@ def build_tile_lists(tilebox, count, *, tiles_y: int, tiles_x: int,
             tx = tx0 + dx
             ty = ty0 + dy
             ok = small & (tx <= tx1) & (ty <= ty1)
-            tid = ty * tiles_x + tx
+            tid = tid_of(ty, tx)
             src6 = order6 if (dy == 0 or order6_dy1 is None) else order6_dy1
             obits = 0 if src6 is None else (src6 << shift)
             keys.append(jnp.where(
@@ -320,7 +344,7 @@ def build_tile_lists(tilebox, count, *, tiles_y: int, tiles_x: int,
     ty_b = jnp.where(bvalid, ty0[src], 0)[None, :] + j // bsx
     tx_b = jnp.where(bvalid, tx0[src], 0)[None, :] + j % bsx
     okb = bvalid[None, :] & (j < jnp.where(bvalid, ntile_of[src], 0)[None, :])
-    tid_b = ty_b * tiles_x + tx_b
+    tid_b = tid_of(ty_b, tx_b)
     keys.append(jnp.where(
         okb, (u32(tid_b) << shift_t) | ob_src[None, :] | u32(src)[None, :],
         maxkey).reshape(-1))
@@ -336,9 +360,10 @@ def build_tile_lists(tilebox, count, *, tiles_y: int, tiles_x: int,
            & (tyg <= jnp.where(hvalid, ty1[hsrc], 0)[None, :]))
     oh = (jnp.zeros((1, huge_cap), jnp.uint32) if order6 is None else
           (u32(jnp.where(hvalid, order6[hsrc], 0)) << shift)[None, :])
+    tp_h = tid_of(tyg[:, 0], txg[:, 0])[:, None]
     keys.append(
         jnp.where(okh,
-                  (u32(t)[:, None] << shift_t) | oh | u32(hsrc)[None, :],
+                  (u32(tp_h) << shift_t) | oh | u32(hsrc)[None, :],
                   maxkey).reshape(-1)
     )
     big_dropped = (jnp.maximum(n_bigb - big_cap, 0)
@@ -894,7 +919,7 @@ def _raster_kernel(y0_ref, *args,
     static_argnames=("height", "width", "tile_h", "tile_w", "out_h",
                      "interpret", "tiles_per_step", "octets_per_iter",
                      "stream_group", "row_tree", "block_q",
-                     "geom_backface"),
+                     "geom_backface", "group_rows"),
 )
 def rasterize_pallas(records, tile_starts, tile_counts, octet_rows,
                      octet_zmin, init_color=None, init_depth=None,
@@ -905,7 +930,8 @@ def rasterize_pallas(records, tile_starts, tile_counts, octet_rows,
                      tiles_per_step: int | None = None,
                      y0_px=0, octets_per_iter: int = 6,
                      stream_group: int = 1, row_tree: bool = False,
-                     block_q: int = BLOCK_Q, geom_backface: bool = True):
+                     block_q: int = BLOCK_Q, geom_backface: bool = True,
+                     group_rows: int = 1):
     """Binned, streamed, tiled Pallas rasterizer over the flat item stream.
 
     ``records`` i32[24, ITEM_CAP] — field-major quad records (floats
@@ -930,6 +956,15 @@ def rasterize_pallas(records, tile_starts, tile_counts, octet_rows,
     out_h = out_h or height
     assert out_h % tile_h == 0 and width % tile_w == 0
     assert tile_w == 128 and tile_h % 8 == 0
+    if group_rows > 1:
+        # pair-row shared stream (VERDICT r4 #3): the caller binned with
+        # tile_perm=(group_rows, stream_group) — layout must line up
+        # exactly (no degrade), else the kernel would read the wrong
+        # segments
+        assert group_rows == 2 and stream_group > 1
+        assert out_h % (group_rows * tile_h) == 0, (out_h, tile_h)
+        assert (width // tile_w) % stream_group == 0
+        assert 128 * stream_group <= 1024
     assert records.shape[0] == 24 and records.shape[1] % 256 == 0
     # block_q is a request, not a contract: clamp to the record capacity
     # (tiny test scenes) and fall back to the base block on non-divisible
@@ -937,7 +972,11 @@ def rasterize_pallas(records, tile_starts, tile_counts, octet_rows,
     block_q = min(block_q, records.shape[1])
     if records.shape[1] % block_q or block_q % 256:
         block_q = BLOCK_Q
-    if tiles_per_step is None:
+    if group_rows > 1:
+        # one 2 x stream_group block per step; the binner's tile_perm
+        # fixed the layout, so no degrade logic applies
+        tps = stream_group
+    elif tiles_per_step is None:
         # widest even divisor with a <=1024-lane out block: more tiles per
         # step = fewer grid steps and deeper cross-tile DMA prefetch
         # (tps=5 measured ~0.1-0.3 ms faster than tps=2 at 720p/vd12).
@@ -955,12 +994,12 @@ def rasterize_pallas(records, tile_starts, tile_counts, octet_rows,
                 stream_group -= 1
     tiles_y, tiles_x = out_h // tile_h, width // tile_w
     n_tiles = tiles_y * tiles_x
-    if tiles_per_step is not None:
+    if tiles_per_step is not None and group_rows == 1:
         tps = tiles_per_step
         assert tiles_x % tps == 0
 
     with_init = init_color is not None
-    n_steps = n_tiles // tps
+    n_steps = n_tiles // (tps * group_rows)
 
     # fused next-frame geometry pass sizing (see _fused_geom_pass)
     geom_cfg = None
@@ -993,7 +1032,7 @@ def rasterize_pallas(records, tile_starts, tile_counts, octet_rows,
             tile_h=tile_h, tiles_x=tiles_x, tiles_per_step=tps,
             stream_group=stream_group, with_init=with_init,
             opi=octets_per_iter, row_tree=row_tree, bq=block_q,
-            geom_cfg=geom_cfg,
+            geom_cfg=geom_cfg, group_rows=group_rows,
         )
     else:
         kernel = functools.partial(
@@ -1005,6 +1044,7 @@ def rasterize_pallas(records, tile_starts, tile_counts, octet_rows,
             row_tree=row_tree, bq=block_q, geom_cfg=geom_cfg,
         )
     steps_x = tiles_x // tps
+    blk_h = group_rows * tile_h
     n_oct = records.shape[1] // 8
     n_slots = (2 * (tps // stream_group) if stream_group > 1 else 2 * tps)
 
@@ -1013,7 +1053,7 @@ def rasterize_pallas(records, tile_starts, tile_counts, octet_rows,
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1 + (2 if geom_cfg else 0),
-        grid=(n_tiles // tps,),
+        grid=(n_steps,),
         in_specs=[
             # metadata + records all stay in HBM; the kernel DMAs the
             # metadata to persistent SMEM once (see _raster_kernel note)
@@ -1024,15 +1064,15 @@ def rasterize_pallas(records, tile_starts, tile_counts, octet_rows,
             pl.BlockSpec(memory_space=pl.ANY),  # records
         ] + ([pl.BlockSpec(memory_space=pl.ANY)] * 4 if geom_cfg else [])
         + ([
-            pl.BlockSpec((tile_h, 128 * tps), _fb_block,
+            pl.BlockSpec((blk_h, 128 * tps), _fb_block,
                          memory_space=pltpu.VMEM),  # init color
-            pl.BlockSpec((tile_h, 128 * tps), _fb_block,
+            pl.BlockSpec((blk_h, 128 * tps), _fb_block,
                          memory_space=pltpu.VMEM),  # init depth
         ] if with_init else []),
         out_specs=[
-            pl.BlockSpec((tile_h, 128 * tps), _fb_block,
+            pl.BlockSpec((blk_h, 128 * tps), _fb_block,
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((tile_h, 128 * tps), _fb_block,
+            pl.BlockSpec((blk_h, 128 * tps), _fb_block,
                          memory_space=pltpu.VMEM),
         ] + ([pl.BlockSpec(memory_space=pl.ANY)] * 5 if geom_cfg else []),
         scratch_shapes=[
@@ -1091,7 +1131,8 @@ def rasterize_pallas(records, tile_starts, tile_counts, octet_rows,
 def _raster_kernel_shared(y0_ref, *args,
                           height, width, tile_h, tiles_x,
                           tiles_per_step, stream_group, with_init, opi=6,
-                          row_tree=False, bq=BLOCK_Q, geom_cfg=None):
+                          row_tree=False, bq=BLOCK_Q, geom_cfg=None,
+                          group_rows=1):
     """Octet rasterizer with a SHARED record stream per tile group.
 
     Identical per-pixel math, item stream, row spans and blend order as
@@ -1113,7 +1154,16 @@ def _raster_kernel_shared(y0_ref, *args,
     Costs: the group's accumulators stay live across the whole combined
     segment (stream_group x n_sub x 2 vregs) — vreg pressure bounds the
     useful group size — and a tile's octets can arrive one block later
-    than solo (its segment is walked inside the shared chain)."""
+    than solo (its segment is walked inside the shared chain).
+
+    ``group_rows=2`` (the pair-row variant, VERDICT r4 #3): each grid
+    step's group covers a 2 x stream_group BLOCK of tiles (out block
+    2*tile_h x 128*stream_group) sharing one DMA chain — possible only
+    because build_tile_lists emitted tiles in group-major order
+    (``tile_perm``), making the block's 2*stream_group segments
+    contiguous.  Member tile ids are then simply
+    ``step * n_members + i``; accumulator pressure doubles
+    (2 x stream_group x n_sub x 2 vregs — the measured spill bound)."""
     gscal, meta_in, gin, init, outs, gout, scratch, gscratch = _split_refs(
         args, with_init, geom_cfg is not None)
     starts_hbm, counts_hbm, rows_hbm, zmin_hbm, rec_hbm = meta_in
@@ -1124,6 +1174,9 @@ def _raster_kernel_shared(y0_ref, *args,
     step = pl.program_id(0)
     steps_x = tiles_x // tiles_per_step
     n_groups = tiles_per_step // stream_group
+    n_members = group_rows * stream_group
+    if group_rows > 1:
+        assert n_groups == 1, "pair-row mode runs one group per step"
     n_sub = tile_h // 8
 
     metas = ((starts_hbm, starts_ref), (counts_hbm, counts_ref),
@@ -1143,26 +1196,42 @@ def _raster_kernel_shared(y0_ref, *args,
     inff = jnp.full((8, 128), jnp.inf, jnp.float32)
     skyv = jnp.full((8, 128), SKY_I32, jnp.int32)
 
+    def member_offsets(j):
+        # (row, col) offset of member j's tile within the step's out block
+        if group_rows == 1:
+            return 0, 128 * j
+        r, c = divmod(j, stream_group)
+        return r * tile_h, 128 * c
+
     def tile_acc0(j):
         if not with_init:
             return tuple([inff, skyv] * n_sub)
+        ro, co = member_offsets(j)
         out = []
         for i in range(n_sub):
-            out.append(initd_ref[pl.ds(i * 8, 8), pl.ds(128 * j, 128)])
-            out.append(initc_ref[pl.ds(i * 8, 8), pl.ds(128 * j, 128)])
+            out.append(initd_ref[pl.ds(ro + i * 8, 8), pl.ds(co, 128)])
+            out.append(initc_ref[pl.ds(ro + i * 8, 8), pl.ds(co, 128)])
         return tuple(out)
 
     def tile_geo(st, j):
-        # j: tile index within the step (0..tiles_per_step)
-        ty = st // steps_x
-        tx = (st % steps_x) * tiles_per_step + j
-        t = ty * tiles_x + tx
+        # j: tile index within the step (0..n_groups*n_members)
+        if group_rows == 1:
+            ty = st // steps_x
+            tx = (st % steps_x) * tiles_per_step + j
+            t = ty * tiles_x + tx
+        else:
+            r, c = divmod(j, stream_group)
+            ty = (st // steps_x) * group_rows + r
+            tx = (st % steps_x) * stream_group + c
+            # group-major stream ids (build_tile_lists tile_perm): the
+            # step's block owns ids [st*n_members, (st+1)*n_members)
+            t = st * n_members + j
         return t, tx, ty, counts_ref[t], starts_ref[t]
 
     def group_geo(st, g):
-        # combined contiguous segment of the group's stream_group tiles
-        t0, _, _, _, base0 = tile_geo(st, g * stream_group)
-        tl, _, _, cl, bl = tile_geo(st, (g + 1) * stream_group - 1)
+        # combined contiguous segment of the group's member tiles
+        t0, _, _, _, base0 = tile_geo(st, g * n_members)
+        tl, _, _, cl, bl = tile_geo(st, (g + 1) * n_members - 1)
         total = bl + cl - base0
         first_blk = base0 // bq
         last_blk = (base0 + jnp.maximum(total, 1) - 1) // bq
@@ -1192,9 +1261,11 @@ def _raster_kernel_shared(y0_ref, *args,
     def do_group(g):
         first_blk, nblocks = group_geo(step, g)
         slot0 = 2 * g
-        geo = [tile_geo(step, g * stream_group + i)
-               for i in range(stream_group)]
-        py0 = y0_ref[0] + geo[0][2] * tile_h
+        geo = [tile_geo(step, g * n_members + i)
+               for i in range(n_members)]
+        # per-member pixel row base (pair-row members span two tile rows;
+        # identical values CSE in the single-row case)
+        py0s = [y0_ref[0] + gi[2] * tile_h for gi in geo]
         nxs = []
         for _, tx, _, _, _ in geo:
             px = jnp.float32(tx * 128) + lane.astype(jnp.float32)
@@ -1220,29 +1291,29 @@ def _raster_kernel_shared(y0_ref, *args,
                 k_lo = jnp.maximum(base - blk0, 0)
                 k_hi = jnp.minimum(base + count - blk0, bq)
                 return _walk_block(
-                    rec_t, rows_ref, zmin_ref, nxs[i], py0, hf,
+                    rec_t, rows_ref, zmin_ref, nxs[i], py0s[i], hf,
                     tile_h=tile_h, n_sub=n_sub, sub=sub,
                     k_lo=k_lo, k_hi=k_hi, gbase=gbase, bq=bq, opi=opi,
                     row_tree=row_tree, acc=acc, dmax0=dmax0)
 
             new_accs, new_dmaxs = [], []
-            for i in range(stream_group):
+            for i in range(n_members):
                 a, dm = walk_tile(i, accs[i], dmaxs[i])
                 new_accs.append(a)
                 new_dmaxs.append(dm)
             return tuple(new_accs), tuple(new_dmaxs)
 
-        accs0 = tuple(tile_acc0(g * stream_group + i)
-                      for i in range(stream_group))
-        dmaxs0 = tuple(jnp.float32(jnp.inf) for _ in range(stream_group))
+        accs0 = tuple(tile_acc0(g * n_members + i)
+                      for i in range(n_members))
+        dmaxs0 = tuple(jnp.float32(jnp.inf) for _ in range(n_members))
         accs, _ = jax.lax.fori_loop(0, nblocks, block_body, (accs0, dmaxs0))
-        for i in range(stream_group):
-            j = g * stream_group + i
+        for i in range(n_members):
+            ro, co = member_offsets(g * n_members + i)
             for s in range(n_sub):
-                depth_ref[pl.ds(s * 8, 8),
-                          pl.ds(128 * j, 128)] = accs[i][2 * s]
-                color_ref[pl.ds(s * 8, 8),
-                          pl.ds(128 * j, 128)] = accs[i][2 * s + 1]
+                depth_ref[pl.ds(ro + s * 8, 8),
+                          pl.ds(co, 128)] = accs[i][2 * s]
+                color_ref[pl.ds(ro + s * 8, 8),
+                          pl.ds(co, 128)] = accs[i][2 * s + 1]
 
     for g in range(n_groups):
         do_group(g)

@@ -282,7 +282,20 @@ def _render_step(
         # TPU a [R, N][:, idx] gather costs ~one flat gather while R
         # separate flat gathers cost R x (measured).
         bh = band_h if band_h is not None else height
-        out_h = -bh % tile_h + bh  # pad to a tile multiple; crop
+        # DPVR_PAIR_ROWS=1 (trace-time knob, VERDICT r4 #3): bin tiles in
+        # 2 x stream_group group-major order and raster each block with
+        # ONE shared DMA chain (raster_ops tile_perm / group_rows) —
+        # frames are bit-identical (the permutation only relabels tiles;
+        # per-tile segments and within-tile order are unchanged).  The
+        # framebuffer pads to a 2-tile-row multiple instead of one.
+        sg_eff = int(os.environ.get("DPVR_STREAM_GROUP", str(stream_group)))
+        pair_rows = (bool(int(os.environ.get("DPVR_PAIR_ROWS", "0")))
+                     and use_pallas and not span_mode and not packed_raster
+                     and band_h is None and sg_eff > 1
+                     and (width // tile_w) % sg_eff == 0
+                     and 128 * sg_eff <= 1024)
+        grp_rows = 2 if pair_rows else 1
+        out_h = -bh % (grp_rows * tile_h) + bh  # pad to a tile multiple
         tiles_y, tiles_x = out_h // tile_h, width // tile_w
         rc = min(gq, render_cap)
         bcast = jax.lax.bitcast_convert_type
@@ -467,12 +480,20 @@ def _render_step(
                 tilebox, count_c, tiles_y=tiles_y, tiles_x=tiles_x,
                 item_cap=tile_k_cap,
                 order6=order6, order6_dy1=order6_dy1, valid=valid_c,
+                tile_perm=(grp_rows, sg_eff) if pair_rows else None,
             )
         )
         g22 = all22[:, flat]
         # covered tile-local pixel-row range per item -> per-octet row
         # bounds for the kernel's row loop (aligned groups of 8 items)
-        tpy0 = (t_of_item // tiles_x) * tile_h
+        if pair_rows:
+            # invert the group-major tile id back to a framebuffer row
+            gpx = tiles_x // sg_eff
+            qrow = t_of_item // sg_eff
+            ty_it = ((qrow >> 1) // gpx) * 2 + (qrow & 1)
+            tpy0 = ty_it * tile_h
+        else:
+            tpy0 = (t_of_item // tiles_x) * tile_h
         bby_g = g22[20]
         ly0 = jnp.clip((bby_g & 0xFFFF) - tpy0, 0, tile_h - 1)
         ly1 = jnp.clip((bby_g >> 16) - tpy0, 0, tile_h - 1)
@@ -548,12 +569,12 @@ def _render_step(
             height=height, width=width,
             tile_h=tile_h, tile_w=tile_w, out_h=out_h,
             interpret=interpret, y0_px=band_y0,
-            stream_group=int(os.environ.get("DPVR_STREAM_GROUP",
-                                            str(stream_group))),
+            stream_group=sg_eff,
             row_tree=bool(int(os.environ.get("DPVR_ROW_TREE",
                                              str(int(row_tree))))),
             block_q=int(os.environ.get("DPVR_BLOCK_Q", str(block_q))),
             geom_backface=backface_culling,
+            group_rows=grp_rows,
         )
         pre_next = None
         if next_geom is not None:

@@ -286,6 +286,26 @@ def test_shared_stream_kernel_matches_jnp(fuzz_scene, monkeypatch):
     _assert_kernel_parity(c1, d1, c3, d3)
 
 
+def test_pair_row_kernel_matches_jnp(fuzz_scene, monkeypatch):
+    """Pair-row shared-stream mode (DPVR_PAIR_ROWS=1): tiles are binned
+    in 2 x stream_group group-major order (build_tile_lists tile_perm)
+    and each 2-row block shares ONE DMA chain (_raster_kernel_shared
+    group_rows=2).  The permutation only relabels tiles — per-tile
+    segments and within-tile order are unchanged — so the frame is
+    STRICT bit-equal to the jnp twin, which knows nothing of tiling."""
+    chunk, quads, cam256, *_ = fuzz_scene
+    cam = _camera([16.0, 48.0, 16.0], [16.0, 8.0, 16.0], aspect=2.0)
+    renderer = Renderer(RenderConfig(width=256, height=H, use_pallas=False))
+    args = _render_args(renderer, quads, cam)
+    c1, d1, s1 = _step(renderer, args, use_pallas=False, interpret=False)
+    monkeypatch.setenv("DPVR_STREAM_GROUP", "2")
+    monkeypatch.setenv("DPVR_PAIR_ROWS", "1")
+    c2, d2, s2 = _step(renderer, args, use_pallas=True, interpret=True,
+                       packed=False)
+    _assert_kernel_parity(c1, d1, c2, d2)
+    np.testing.assert_array_equal(s1[:2], s2[:2])
+
+
 def test_row_tree_kernel_matches_jnp(fuzz_scene, monkeypatch):
     """Merge-tree row loop (DPVR_ROW_TREE): the per-row tree reduce is
     the same commutative lexicographic min, so per-pixel VALUES are
