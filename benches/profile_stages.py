@@ -280,7 +280,14 @@ def main():
             sg = 5
             bq = 1024
             rt = False
+            pair = False
             base = st
+            if "_pr" in base:
+                # pair-row mode (DPVR_PAIR_ROWS / group_rows=2): records
+                # must be REBUILT under the env knob so the binning uses
+                # the group-major tile permutation the kernel expects
+                base = base.replace("_pr", "")
+                pair = True
             if "_rt" in base:
                 base = base.replace("_rt", "")
                 rt = True
@@ -297,6 +304,8 @@ def main():
                 base, t = base.split("_tps")
                 tps = int(t)
             # build records once from the real camera, on device
+            os.environ["DPVR_PAIR_ROWS"] = "1" if pair else "0"
+            pr_out_h = (-H % (32 if pair else TH)) + H
             step_dbg = functools.partial(
                 PL._render_step, color_tables=tables, width=W, height=H,
                 tile_h=TH, tile_w=TW, gather_cap=GQ, render_cap=RC,
@@ -339,9 +348,9 @@ def main():
                     c, d = R.rasterize_pallas(
                         r, tile_starts, tile_counts, octet_rows,
                         octet_zmin, height=H, width=W, tile_h=TH,
-                        tile_w=TW, out_h=out_h, tiles_per_step=tps,
+                        tile_w=TW, out_h=pr_out_h, tiles_per_step=tps,
                         octets_per_iter=opi, stream_group=sg, row_tree=rt,
-                        block_q=bq)
+                        block_q=bq, group_rows=2 if pair else 1)
                 return acc + c[0, 0].astype(jnp.float32)
 
             def run(x):

@@ -34,7 +34,9 @@ from ..models.camera import Camera, CameraController
 from ..models.world import World, WorldConfig, world_to_chunk_pos
 from ..ops.culling import HorizonCullingConfig, horizon_cull_mask, sort_front_to_back
 from ..ops.occlusion import occlusion_pass, project_chunk_rects
-from ..rendering.pipeline import Renderer, _c6_of, apply_insert_payload
+from ..rendering.pipeline import (
+    RESIDENT_INSERT_FP, RESIDENT_INSERT_KP, RESIDENT_INSERT_MC, Renderer,
+    _c6_of, apply_insert_payload)
 from ..utils.config import CHUNK_SIZE, QUADS_PER_CHUNK_CAP, RenderConfig
 from ..utils.profiling import FUNCTION_COUNTERS
 
@@ -289,7 +291,9 @@ class QuadPool:
     INSERT_MC = 512
     INSERT_FP = 8192
 
-    def prepare_insert_payload(self, items) -> np.ndarray | None:
+    def prepare_insert_payload(self, items, kp: int | None = None,
+                               mc: int | None = None,
+                               fp: int | None = None) -> np.ndarray | None:
         """Host bookkeeping + ONE u32 payload for a fused insert+render
         dispatch (rendering/pipeline._fused_frame_insert), or None when
         the batch doesn't fit the fused shape (<= INSERT_KP entries,
@@ -303,17 +307,19 @@ class QuadPool:
         host->device transfer costs ~a round trip on relay-attached
         hosts (NOTES.md) — folding the insert into the frame upload is
         the streaming path's round-trip diet."""
+        kp = self.INSERT_KP if kp is None else kp
+        mc = self.INSERT_MC if mc is None else mc
+        fp = self.INSERT_FP if fp is None else fp
         items = [it for it in items]
-        if not items or len(items) > self.INSERT_KP:
+        if not items or len(items) > kp:
             return None
-        if any(it[1] is not None and len(it[1]) > self.INSERT_MC
+        if any(it[1] is not None and len(it[1]) > mc
                for it in items):
             return None
         total = sum(len(q) for _, q in items if q is not None)
-        if total > self.INSERT_FP:
+        if total > fp:
             return None
         k = len(items)
-        kp = self.INSERT_KP
         slots = np.zeros(kp, np.int32)
         counts = np.zeros(kp, np.int32)
         parts = []
@@ -345,7 +351,7 @@ class QuadPool:
         starts = np.zeros(kp, np.int64)
         starts[:k] = np.cumsum(counts[:k]) - counts[:k]
         starts[k:] = starts[0]
-        packed = np.zeros(3 * kp + self.INSERT_FP, np.uint32)
+        packed = np.zeros(3 * kp + fp, np.uint32)
         packed[:kp] = slots.astype(np.uint32)
         packed[kp:2 * kp] = starts.astype(np.uint32)
         packed[2 * kp:3 * kp] = counts.astype(np.uint32)
@@ -355,12 +361,15 @@ class QuadPool:
         self._lookup_cache = None
         return packed
 
-    def dispatch_insert_payload(self, payload: np.ndarray) -> None:
+    def dispatch_insert_payload(self, payload: np.ndarray,
+                                kp: int | None = None,
+                                mc: int | None = None) -> None:
         """Apply a prepared payload with the STANDALONE donated scatter
         (the fallback when the frame can't take the fused path)."""
         self.quads, self.counts6_dev = _pool_set_rows_flat(
             self.quads, self.counts6_dev, jnp.asarray(payload),
-            k=self.INSERT_KP, mc=self.INSERT_MC)
+            k=self.INSERT_KP if kp is None else kp,
+            mc=self.INSERT_MC if mc is None else mc)
 
     def adopt_device_arrays(self, quads, counts6_dev) -> None:
         """Rebind the device pool arrays after a fused insert+render
@@ -488,14 +497,21 @@ class Engine:
         self._res_dirty = False           # force rebuild next frame
         self._res_appends = 0             # consumed append-rider counter
         self._res_pending = None          # queued batch for next dispatch
+        self._res_insert = None           # queued scatter payload (rides
+                                          # the same dispatch; see
+                                          # _step_camf_append_insert)
+        self._res_fused_inserts = 0       # consumed fused-scatter counter
         # resident meshing budget: the sphere-wide remesh scan queues
         # every newly loaded chunk PLUS remeshed neighbors (the frustum
         # path only queues the visible ones) — unbudgeted, a streaming
         # frame could mesh 40-80 chunks (unwarmed 512-wide insert
         # shapes, ~5 ms host).  Per frame the stash is distance-sorted
         # and at most this many mesh; the rest carry over (the reference
-        # budgets its own streaming at 16 chunks/frame, world.rs:34)
-        self.resident_mesh_budget = 48
+        # budgets its own streaming at 16 chunks/frame, world.rs:34).
+        # Sized to the resident insert payload (RESIDENT_INSERT_KP) so
+        # a full batch still rides the fused scatter+append+render
+        # dispatch instead of falling back to a standalone scatter.
+        self.resident_mesh_budget = RESIDENT_INSERT_KP
         self._stale_set: set = set()      # resident stash dedupe
         self.world = World(world_config or WorldConfig(
             view_distance=12, frustum_culling=True, max_chunks_per_frame=16
@@ -636,6 +652,46 @@ class Engine:
                 return len(to_mesh)
         self.pool.insert_many(batch)
         return len(to_mesh)
+
+    def _mesh_list_resident(self, to_mesh) -> None:
+        """Resident streaming tail: mesh the batch and QUEUE its pool
+        scatter as a payload riding the NEXT frame's render dispatch
+        (rendering/pipeline._step_camf_append_insert — scatter + stream
+        append + render, ONE dispatch / ONE upload).  Host pool state
+        updates now so this frame's append metadata sees the new
+        meshes; the device pool catches up inside that dispatch, which
+        is also exactly when the batch first renders (the 1-frame-stale
+        contract).  Batches that don't fit the resident payload shape
+        scatter immediately (insert_many's shape ladder)."""
+        if self.device_meshing and len(to_mesh) >= 4:
+            self._remesh_device(sorted(set(to_mesh)))
+            return
+        batch = []
+        for pos in sorted(set(to_mesh)):
+            chunk = self.world.chunks.get(pos)
+            if chunk is None:
+                continue
+            batch.append((pos, mesh_chunk(chunk, self.world.chunks)))
+        if not batch:
+            return
+        if self._res_insert is None:
+            payload = self.pool.prepare_insert_payload(
+                batch, kp=RESIDENT_INSERT_KP, mc=RESIDENT_INSERT_MC,
+                fp=RESIDENT_INSERT_FP)
+            if payload is not None:
+                self._res_insert = payload
+                return
+        self.pool.insert_many(batch)
+
+    def _flush_res_insert(self) -> None:
+        """Dispatch a queued resident scatter payload standalone — called
+        before anything outside the fused program reads the device pool
+        (stream rebuilds, mode fallbacks, remesh-only batches)."""
+        if self._res_insert is not None:
+            self.pool.dispatch_insert_payload(
+                self._res_insert, kp=RESIDENT_INSERT_KP,
+                mc=RESIDENT_INSERT_MC)
+            self._res_insert = None
 
     def _remesh_device(self, to_mesh) -> int:
         """Batched on-device meshing (ops/meshing_jax.mesh_chunks_device):
@@ -808,13 +864,29 @@ class Engine:
         # round 5).
         from ..rendering.pipeline import pack_append_meta
 
+        zmeta = pack_append_meta(np.zeros(1, np.int32),
+                                 np.zeros((1, 6), np.int32),
+                                 np.zeros((1, 3), np.int32))
         self.renderer.render_prepared_append(
             (self._res_uploads[0], self._res_uploads[1],
              np.int32(self._res_total)),
+            vp, self.camera.position, self.pool.quads, zmeta, 0)
+        # the fused scatter+append+render program (streaming frames):
+        # scatter a probe mesh into a FREE slot (a zero-count payload
+        # would scatter zero rows into its pad slot — entry-0 padding is
+        # only idempotent when entry 0 is a real row), zero-count append
+        fake = (10 ** 6 + 1, 10 ** 6, 10 ** 6)
+        payload = self.pool.prepare_insert_payload(
+            [(fake, np.zeros(4, np.uint32))], kp=RESIDENT_INSERT_KP,
+            mc=RESIDENT_INSERT_MC, fp=RESIDENT_INSERT_FP)
+        assert payload is not None
+        *_drop, pool2, c6b = self.renderer.render_prepared_append_insert(
+            (self._res_uploads[0], self._res_uploads[1],
+             np.int32(self._res_total)),
             vp, self.camera.position, self.pool.quads,
-            pack_append_meta(np.zeros(1, np.int32),
-                             np.zeros((1, 6), np.int32),
-                             np.zeros((1, 3), np.int32)), 0)
+            self.pool.counts6_dev, zmeta, 0, payload)
+        self.pool.adopt_device_arrays(pool2, c6b)
+        self.pool.remove(fake)
         jax.block_until_ready(self.pool.quads)
 
     def prime_all(self) -> None:
@@ -1106,6 +1178,9 @@ class Engine:
         cell = world_to_chunk_pos(cam.position)
         if (self._res_uploads is None or self._res_dirty
                 or cell != self._res_cell):
+            # the rebuild expands from the device pool: any queued
+            # scatter payload must land first
+            self._flush_res_insert()
             # rebuilds also run the full sphere scan: a straggler that
             # predates the add log (initial region, external inserts)
             # gets meshed here
@@ -1121,16 +1196,30 @@ class Engine:
                    np.int32(self._res_total))
         if self._res_pending is not None:
             # previous frame's streamed batch rides in this dispatch:
+            # pool scatter (when its payload fit the resident shape) +
             # append to the stream copy + render, one program
             ameta, offset, _batch, _nc = self._res_pending
             self._res_pending = None
-            color, depth, stats, new_up = (
-                self.renderer.render_prepared_append(
-                    uploads, vp, cam.position, self.pool.quads,
-                    ameta, offset))
+            if self._res_insert is not None:
+                payload = self._res_insert
+                self._res_insert = None
+                color, depth, stats, new_up, pool2, c6b = (
+                    self.renderer.render_prepared_append_insert(
+                        uploads, vp, cam.position, self.pool.quads,
+                        self.pool.counts6_dev, ameta, offset, payload))
+                self.pool.adopt_device_arrays(pool2, c6b)
+                self._res_fused_inserts += 1
+            else:
+                color, depth, stats, new_up = (
+                    self.renderer.render_prepared_append(
+                        uploads, vp, cam.position, self.pool.quads,
+                        ameta, offset))
             self._res_uploads = new_up
             self._res_appends += 1
         else:
+            # remesh-only batches (no new positions) still need their
+            # scatter before the stream's pool rows go stale-read
+            self._flush_res_insert()
             color, depth, stats = self.renderer.render_prepared(
                 uploads, vp, cam.position)
         if self._stale_stash:
@@ -1146,7 +1235,7 @@ class Engine:
             self._stale_stash = self._stale_stash[
                 self.resident_mesh_budget:]
             self._stale_set.difference_update(batch)
-            self._mesh_list(batch, defer=False)
+            self._mesh_list_resident(batch)
             newpos = [pos for pos in batch if pos not in self._res_pos]
             if newpos:
                 self._queue_append(newpos)

@@ -1133,6 +1133,66 @@ def _step_camf_append(quads, quad_world, n_quads, cam_f, quad_pool,
     return color, depth, stats, quads2, qw2
 
 
+RESIDENT_INSERT_KP = 32   # resident fused-insert payload shape: chunks
+RESIDENT_INSERT_MC = 512  # per dispatch / quads per mesh / flat quad cap
+RESIDENT_INSERT_FP = 4096  # (16 KB payload vs insert_many's 32 KB rows —
+                           # H2D bytes are ~the whole insert cost here)
+
+
+def _step_camf_append_insert(quads, quad_world, n_quads, frame_i,
+                             quad_pool, c6pool, *,
+                             gather_cap: int, append_cap: int,
+                             kp: int, mc: int, **step_kw):
+    """Resident-mode streaming frame as ONE dispatch + ONE upload:
+    scatter this batch's meshes into the (donated) pool
+    (apply_insert_payload), expand the SAME batch from the
+    freshly-scattered pool and blend it into a copy of the stream, and
+    render from the appended stream.  Replaces _step_camf_append + a
+    separate standalone pool scatter (insert_many) — a streaming frame
+    previously paid two dispatches and two uploads; each dispatch and
+    each separate host->device transfer costs ~a round trip on
+    relay-attached hosts (NOTES.md).
+
+    The staleness contract is unchanged: the batch is meshed after
+    frame N's dispatch and first scattered+appended+rendered inside
+    frame N+1's program — exactly one frame late, new chunks only.
+
+    ``frame_i`` i32[10*VC + 20 + 3*kp + fp] = ameta (pack_append_meta)
+    | cam (19 f32 bitcast) | offset | insert payload
+    (QuadPool.prepare_insert_payload: slots|starts|counts + flat quads,
+    u32 bitcast).  Returns (color, depth, stats, quads2, qw2, pool2,
+    c6b) — the caller adopts the donated-in pool arrays and keeps
+    quads2/qw2 as the stream."""
+    vc = RESIDENT_APPEND_VCAP
+    na = 10 * vc
+    ameta_i = frame_i[:na]
+    cam_f = jax.lax.bitcast_convert_type(frame_i[na:na + 19], jnp.float32)
+    offset = frame_i[na + 19]
+    payload = jax.lax.bitcast_convert_type(frame_i[na + 20:], jnp.uint32)
+    pool2, c6b = apply_insert_payload(quad_pool, c6pool, payload,
+                                     k=kp, mc=mc)
+    slots_sel = ameta_i[:vc]
+    counts6_sel = ameta_i[vc:7 * vc].reshape(vc, 6)
+    positions_sel = ameta_i[7 * vc:10 * vc].reshape(vc, 3)
+    ones = jnp.ones_like(counts6_sel)
+    new_q, new_w, nk = _expand_uploads_impl(
+        pool2, slots_sel, counts6_sel, ones, positions_sel, append_cap)
+    idx = jnp.arange(append_cap, dtype=jnp.int32)
+    win_q = jax.lax.dynamic_slice(quads, (offset,), (append_cap,))
+    quads2 = jax.lax.dynamic_update_slice(
+        quads, jnp.where(idx < nk, new_q, win_q), (offset,))
+    win_w = jax.lax.dynamic_slice(quad_world, (0, offset),
+                                  (3, append_cap))
+    qw2 = jax.lax.dynamic_update_slice(
+        quad_world, jnp.where((idx < nk)[None, :], new_w, win_w),
+        (0, offset))
+    view_proj, cam_pos = _unpack_cam(cam_f)
+    color, depth, stats = _render_step(
+        quads2, qw2, n_quads, view_proj, cam_pos,
+        gather_cap=gather_cap, **step_kw)
+    return color, depth, stats, quads2, qw2, pool2, c6b
+
+
 def _geom_stage(quads, quad_world, n_quads, view_proj, cam_pos, *,
                 width: int, height: int, backface_culling: bool,
                 use_pallas: bool, interpret: bool):
@@ -1261,6 +1321,7 @@ class Renderer:
         self._cam_cache: tuple | None = None   # (key bytes, device cam)
         self._insert_steps: dict[int, object] = {}  # fused insert+render
         self._append_steps: dict[int, object] = {}  # resident append rider
+        self._append_ins_steps: dict[int, object] = {}  # + fused scatter
         if cfg.temporal_hiz and cfg.two_pass_near_quads:
             raise ValueError(
                 "temporal_hiz and two_pass_near_quads are mutually "
@@ -1536,6 +1597,46 @@ class Renderer:
             quads, qw, total, self._cam_dev(view_proj, cam_pos),
             quad_pool, jnp.asarray(ameta), jnp.int32(offset))
         return color, depth, stats, (q2, w2)
+
+    def _append_ins_step_for(self, gather_cap: int):
+        got = self._append_ins_steps.get(gather_cap)
+        if got is None:
+            kw = self._bucket_kw(gather_cap)
+            if kw.pop("near_quads", 0):
+                raise ValueError(
+                    "resident mode does not compose with "
+                    "two_pass_near_quads")
+            got = jax.jit(functools.partial(
+                _step_camf_append_insert, gather_cap=gather_cap,
+                append_cap=resident_append_cap(gather_cap),
+                kp=RESIDENT_INSERT_KP, mc=RESIDENT_INSERT_MC, **kw),
+                donate_argnums=(4, 5))
+            self._append_ins_steps[gather_cap] = got
+        return got
+
+    def render_prepared_append_insert(self, uploads, view_proj, cam_pos,
+                                      quad_pool, counts6_dev,
+                                      ameta: np.ndarray, offset: int,
+                                      payload: np.ndarray):
+        """Resident-mode streaming frame, fully fused: pool scatter of
+        the pending batch + stream append + render as ONE dispatch with
+        ONE consolidated i32 upload (_step_camf_append_insert).
+        ``payload`` comes from QuadPool.prepare_insert_payload with the
+        resident shape (RESIDENT_INSERT_KP/_FP).  Returns (color, depth,
+        stats, (quads2, qw2), pool2, c6b) — the caller MUST adopt the
+        donated-in pool arrays."""
+        quads, qw, total = uploads
+        step = self._append_ins_step_for(int(quads.shape[0]))
+        frame_i = np.concatenate([
+            np.asarray(ameta, np.int32),
+            _pack_cam(view_proj, cam_pos).view(np.int32),
+            np.asarray([offset], np.int32),
+            np.asarray(payload, np.uint32).view(np.int32),
+        ])
+        color, depth, stats, q2, w2, pool2, c6b = step(
+            quads, qw, total, jnp.asarray(frame_i), quad_pool,
+            counts6_dev)
+        return color, depth, stats, (q2, w2), pool2, c6b
 
     # ----------------------------------------- fused insert+render frame
     INSERT_KP = 16

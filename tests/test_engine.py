@@ -773,6 +773,13 @@ def test_resident_streaming_stale_bounded_and_settles():
             return orig(to_mesh, defer=defer)
 
         eng._mesh_list = spy
+        origr = eng._mesh_list_resident
+
+        def spyr(to_mesh):
+            seen.update(tuple(p) for p in to_mesh)
+            return origr(to_mesh)
+
+        eng._mesh_list_resident = spyr
         base = eng.camera.position.copy()
         for i in range(1, 13):
             eng.camera.position = base + np.array(
@@ -801,6 +808,9 @@ def test_resident_streaming_stale_bounded_and_settles():
     assert eng_b._res_appends > 0, (
         "no streaming frame took the append path (every batch fell "
         "into the rebuild fallback); the append dispatch is untested")
+    assert eng_b._res_fused_inserts > 0, (
+        "no streaming frame took the fused scatter+append+render path "
+        "(_step_camf_append_insert); the fused dispatch is untested")
 
     h, w = base[0][0].shape
     n_diff = 0
