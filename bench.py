@@ -82,6 +82,7 @@ def main():
     fly_line = None
     fly_stale = None
     fly_res = None
+    fly_vals = {}
     if not args.quick:
         import subprocess
 
@@ -103,6 +104,7 @@ def main():
 
         try:
             f1, f2 = _fly({})
+            fly_vals.update(fly_primed_fps=f1, fly_streaming_fps=f2)
             fly_line = (f"flythrough (streaming + remesh + moving "
                         f"camera, fresh process): {f1} FPS primed / "
                         f"{f2} FPS streaming")
@@ -113,6 +115,8 @@ def main():
             # chain on relay hosts).  New chunks appear one frame late —
             # bounded staleness, contract-tested in tests/test_engine.py.
             s1, s2 = _fly({"DPVR_STALE_POOL": "1"})
+            fly_vals.update(fly_stale_primed_fps=s1,
+                            fly_stale_streaming_fps=s2)
             fly_stale = (f"flythrough stale-pool mode (new chunks render "
                          f"1 frame late): {s1} FPS primed / {s2} FPS "
                          f"streaming")
@@ -123,6 +127,8 @@ def main():
             # streamed chunks land 1 frame late (stale contract) —
             # tests/test_engine.py resident cases.
             r1, r2 = _fly({"DPVR_RESIDENT": "1"})
+            fly_vals.update(fly_resident_primed_fps=r1,
+                            fly_resident_streaming_fps=r2)
             fly_res = (f"flythrough resident-stream mode (sphere draw "
                        f"list, new chunks render 1 frame late): {r1} FPS "
                        f"primed / {r2} FPS streaming")
@@ -462,6 +468,9 @@ def main():
         "jittered_wall_fps": round(jit_fps, 2),
         "jittered_pipelined_fps": round(jit_pipe_fps, 2),
         "conservative_fps": round(conservative_fps, 2),
+        # flythrough config-5 numbers (fresh subprocess each; see the
+        # logged lines): plain / stale-pool / resident-stream modes
+        **{k: round(v, 1) for k, v in fly_vals.items()},
     }))
 
 

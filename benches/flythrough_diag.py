@@ -74,13 +74,16 @@ def main():
         setattr(obj, name, wrapped)
 
     for name in ("render_prepared", "render_fused", "render_fused_insert",
-                 "prepare_uploads", "render_prepared_append"):
+                 "prepare_uploads", "render_prepared_append",
+                 "render_prepared_append_insert"):
         wrap(eng.renderer, name)
     wrap(eng.pool, "insert_many")
     wrap(eng.pool, "prepare_insert_payload")
+    wrap(eng.pool, "dispatch_insert_payload")
     wrap(eng, "_funnel")
     wrap(eng.world, "update")
     wrap(eng, "_mesh_list")
+    wrap(eng, "_mesh_list_resident")
     wrap(eng, "_rebuild_resident")
     wrap(eng, "_queue_append")
     wrap(eng, "_missing_remesh_list")

@@ -674,14 +674,25 @@ class Engine:
             batch.append((pos, mesh_chunk(chunk, self.world.chunks)))
         if not batch:
             return
-        if self._res_insert is None:
+        # oversized meshes (> the payload's per-mesh row cap) scatter via
+        # insert_many's shape ladder instead of poisoning the whole
+        # batch's fused path (measured: one >cap mesh per batch was
+        # enough to push most streaming frames onto the fallback)
+        big = [(p, q) for p, q in batch
+               if q is not None and len(q) > RESIDENT_INSERT_MC]
+        if big:
+            self.pool.insert_many(big)
+            bigset = {p for p, _ in big}
+            batch = [(p, q) for p, q in batch if p not in bigset]
+        if batch and self._res_insert is None:
             payload = self.pool.prepare_insert_payload(
                 batch, kp=RESIDENT_INSERT_KP, mc=RESIDENT_INSERT_MC,
                 fp=RESIDENT_INSERT_FP)
             if payload is not None:
                 self._res_insert = payload
                 return
-        self.pool.insert_many(batch)
+        if batch:
+            self.pool.insert_many(batch)
 
     def _flush_res_insert(self) -> None:
         """Dispatch a queued resident scatter payload standalone — called
@@ -886,6 +897,14 @@ class Engine:
             vp, self.camera.position, self.pool.quads,
             self.pool.counts6_dev, zmeta, 0, payload)
         self.pool.adopt_device_arrays(pool2, c6b)
+        # ... and the standalone resident-shape scatter (_flush_res_insert
+        # on rebuilds / remesh-only batches) — unwarmed it traces in-flight
+        # mid-pass
+        payload2 = self.pool.prepare_insert_payload(
+            [(fake, np.zeros(4, np.uint32))], kp=RESIDENT_INSERT_KP,
+            mc=RESIDENT_INSERT_MC, fp=RESIDENT_INSERT_FP)
+        self.pool.dispatch_insert_payload(
+            payload2, kp=RESIDENT_INSERT_KP, mc=RESIDENT_INSERT_MC)
         self.pool.remove(fake)
         jax.block_until_ready(self.pool.quads)
 

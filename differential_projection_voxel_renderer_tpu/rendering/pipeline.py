@@ -1133,10 +1133,13 @@ def _step_camf_append(quads, quad_world, n_quads, cam_f, quad_pool,
     return color, depth, stats, quads2, qw2
 
 
-RESIDENT_INSERT_KP = 32   # resident fused-insert payload shape: chunks
-RESIDENT_INSERT_MC = 512  # per dispatch / quads per mesh / flat quad cap
-RESIDENT_INSERT_FP = 4096  # (16 KB payload vs insert_many's 32 KB rows —
-                           # H2D bytes are ~the whole insert cost here)
+RESIDENT_INSERT_KP = 32    # resident fused-insert payload shape: chunks
+RESIDENT_INSERT_MC = 1024  # per dispatch / quads per mesh / flat quad cap.
+RESIDENT_INSERT_FP = 8192  # Sized from the measured streaming batches
+                           # (~24-32 chunks incl. neighbor remeshes,
+                           # ~150-250 quads each, occasional >512-quad
+                           # mesh): FP 4096 / MC 512 pushed 28/30 batches
+                           # into the insert_many fallback (diag, round 5)
 
 
 def _step_camf_append_insert(quads, quad_world, n_quads, frame_i,
