@@ -511,7 +511,10 @@ class Engine:
         # Sized to the resident insert payload (RESIDENT_INSERT_KP) so
         # a full batch still rides the fused scatter+append+render
         # dispatch instead of falling back to a standalone scatter.
-        self.resident_mesh_budget = RESIDENT_INSERT_KP
+        # DPVR_RES_BUDGET: measurement knob (smaller batches spread host
+        # meshing over more frames at the cost of later visibility).
+        self.resident_mesh_budget = int(os.environ.get(
+            "DPVR_RES_BUDGET", str(RESIDENT_INSERT_KP)))
         self._stale_set: set = set()      # resident stash dedupe
         self.world = World(world_config or WorldConfig(
             view_distance=12, frustum_culling=True, max_chunks_per_frame=16
