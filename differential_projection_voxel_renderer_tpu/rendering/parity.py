@@ -233,6 +233,8 @@ def run_selftests(*, interpret=False, seed=42):
         # bit-identity cases on the jnp twin
         v4 = run_fused_insert_selftest(seed=seed)
         parts.append(f"fused-insert@640x128: {v4}")
+        v5 = run_resident_append_selftest(seed=seed)
+        parts.append(f"resident-append@640x128: {v5}")
     return " | ".join(parts)
 
 
@@ -326,6 +328,95 @@ def run_fused_insert_selftest(*, seed=42, size=128, width=640):
     np.testing.assert_array_equal(np.asarray(s1)[:2], np.asarray(s2)[:2])
     assert_kernel_parity(c1n, np.asarray(d1), c2n, np.asarray(d2))
     # the scattered device pool state converged to the separate path's
+    for pos in (pos_a, pos_b):
+        ss, sf = pool_s.by_pos[pos], pool_f.by_pos[pos]
+        np.testing.assert_array_equal(np.asarray(pool_s.quads)[ss],
+                                      np.asarray(pool_f.quads)[sf])
+        np.testing.assert_array_equal(np.asarray(pool_s.counts6_dev)[ss],
+                                      np.asarray(pool_f.counts6_dev)[sf])
+    return "exact"
+
+
+def run_resident_append_selftest(*, seed=42, size=128, width=640,
+                                 use_pallas=True):
+    """Resident streaming-frame gate (round 5): a frame whose remesh
+    batch rides the render program as pool scatter + stream append
+    (rendering/pipeline._step_camf_append_insert — the resident mode's
+    ONE-dispatch streaming frame) must produce the bit-exact frame AND
+    device pool state of the separate-dispatch path (insert_many ->
+    prepare_uploads over both chunks -> render_prepared).  The appended
+    batch lands at the stream's tail exactly where the full expansion
+    would place it (same draw-list order), so equality is exact, not
+    merely blend-commutative.  ``use_pallas=False`` runs the same gate
+    through the jnp twin (CPU tests)."""
+    from ..app.engine import QuadPool
+    from ..meshing.greedy import mesh_chunk
+    from ..models.camera import Camera
+    from ..utils.config import RenderConfig
+    from .pipeline import (RESIDENT_INSERT_FP, RESIDENT_INSERT_KP,
+                           RESIDENT_INSERT_MC, Renderer, pack_append_meta)
+
+    quads_a = mesh_chunk(fuzz_chunk(seed))
+    quads_b = mesh_chunk(fuzz_chunk_mono(seed + 1))
+    assert 0 < len(quads_b) <= RESIDENT_INSERT_MC, len(quads_b)
+    pos_a, pos_b = (0, 0, 0), (1, 0, 0)
+    cfg = RenderConfig(width=width, height=size, gather_cap=16384,
+                       quads_cap=8192, tile_k_cap=2048,
+                       use_pallas=use_pallas)
+    renderer = Renderer(cfg)
+    cam = Camera(np.array([32.0, 44.0, 56.0], np.float32), width / size)
+    cam.look_at(np.array([32.0, 8.0, 16.0], np.float32))
+    vp = cam.view_projection_matrix()
+    vcap = cfg.visible_chunks_cap
+
+    def draw_list(pool, poss):
+        slots = np.array([pool.by_pos[p] for p in poss], np.int32)
+        visible = np.zeros(vcap, np.int32)
+        counts_sel = np.zeros((vcap, 6), np.int32)
+        positions_sel = np.zeros((vcap, 3), np.int32)
+        n = len(slots)
+        visible[:n] = slots
+        counts_sel[:n] = pool.counts6[slots]
+        positions_sel[:n] = pool.positions[slots]
+        return visible, counts_sel, positions_sel
+
+    # separate-dispatch path: both meshes inserted up front
+    pool_s = QuadPool(slots=64, qcap=4096)
+    pool_s.insert_many([(pos_a, quads_a), (pos_b, quads_b)])
+    uploads = renderer.prepare_uploads(
+        pool_s.quads, *draw_list(pool_s, (pos_a, pos_b)))
+    c1, d1, s1 = renderer.render_prepared(uploads, vp, cam.position)
+
+    # resident path: the stream holds chunk A; chunk B scatters +
+    # appends + renders inside ONE program
+    pool_f = QuadPool(slots=64, qcap=4096)
+    pool_f.insert_many([(pos_a, quads_a)])
+    q_a, w_a, total_a = renderer.prepare_uploads(
+        pool_f.quads, *draw_list(pool_f, (pos_a,)))
+    payload = pool_f.prepare_insert_payload(
+        [(pos_b, quads_b)], kp=RESIDENT_INSERT_KP,
+        mc=RESIDENT_INSERT_MC, fp=RESIDENT_INSERT_FP)
+    assert payload is not None
+    slot_b = pool_f.by_pos[pos_b]
+    ameta = pack_append_meta(
+        np.array([slot_b], np.int32), pool_f.counts6[[slot_b]],
+        pool_f.positions[[slot_b]])
+    total = int(np.asarray(total_a)) + len(quads_b)
+    c2, d2, s2, _new_up, pool2, c6b = (
+        renderer.render_prepared_append_insert(
+            (q_a, w_a, np.int32(total)), vp, cam.position,
+            pool_f.quads, pool_f.counts6_dev, ameta,
+            int(np.asarray(total_a)), payload))
+    pool_f.adopt_device_arrays(pool2, c6b)
+
+    from ..utils.config import SKY_COLOR
+
+    c1n = np.asarray(c1).view(np.uint32)
+    c2n = np.asarray(c2).view(np.uint32)
+    nonsky = int((c1n != np.uint32(SKY_COLOR)).sum())
+    assert nonsky > size * size // 4, "gate scene rendered (almost) empty"
+    np.testing.assert_array_equal(np.asarray(s1)[:2], np.asarray(s2)[:2])
+    assert_kernel_parity(c1n, np.asarray(d1), c2n, np.asarray(d2))
     for pos in (pos_a, pos_b):
         ss, sf = pool_s.by_pos[pos], pool_f.by_pos[pos]
         np.testing.assert_array_equal(np.asarray(pool_s.quads)[ss],

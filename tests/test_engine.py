@@ -885,3 +885,16 @@ def test_resident_append_matches_rebuild():
     assert eng._res_total <= appended_total  # rebuild re-applies masks
     np.testing.assert_array_equal(r1.color_numpy(), r2.color_numpy())
     np.testing.assert_array_equal(r1.depth_numpy(), r2.depth_numpy())
+
+
+def test_resident_append_insert_gate_jnp_twin():
+    """The resident streaming-frame parity gate
+    (parity.run_resident_append_selftest: scatter + append + render in
+    one program vs the separate-dispatch path) through the jnp twin —
+    the hardware run applies the SAME gate to the compiled Mosaic
+    program in every bench.py session."""
+    from differential_projection_voxel_renderer_tpu.rendering.parity import (
+        run_resident_append_selftest,
+    )
+
+    assert run_resident_append_selftest(use_pallas=False) == "exact"
